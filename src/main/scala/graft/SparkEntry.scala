@@ -80,8 +80,8 @@ object SparkEntry {
         | count(*) AS n_orders
         |FROM orders""".stripMargin,
     "q8_rollup" ->
-      """SELECT coalesce(o_orderstatus,'ALL') AS status,
-        | coalesce(o_orderpriority,'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
         | count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,

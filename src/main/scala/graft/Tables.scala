@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Typed loaders for the test corpus (TPC-H-ish star schema + `events`
   * stream table + `documents`/`embeddings` for the LLM-pipeline operators).
@@ -19,7 +20,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4.x
+    * only reads as a raw long (`nanosAsLong`, set here defensively for
+    * sessions not built via GraftSession — it is a runtime-settable legacy
+    * conf). Convert once at the loader boundary so downstream operators see a
+    * true TimestampType. `div` keeps the ns→µs division in integer space;
+    * a double round-trip would lose precision at 1e18-ns magnitudes.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a timestamp (re-written snapshots etc.)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

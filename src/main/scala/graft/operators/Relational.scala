@@ -108,12 +108,16 @@ object Relational {
     Tables
       .orders(s, d)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n"),
-        col("total"))
+      .agg(
+        // grouping()==1 marks subtotal rows — unlike coalesce, this stays
+        // correct if the data ever contains genuine NULL status/priority.
+        when(grouping(col("o_orderstatus")) === 1, "ALL")
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, "ALL")
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select("status", "priority", "n", "total")
       .orderBy("status", "priority")
 
   /** Event-time tumbling-window aggregation (batch twin of the stream op). */

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), re-runs
+the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+same sfDir parquet tables, and compares rows / schema (column names) / value
+hash, like the driver does: columns sorted by name, values stringified.
+"""
+import sys, os, json, glob, hashlib
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}" if v == v else "NaN"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(tbl: pa.Table):
+    cols = sorted(tbl.column_names)
+    h = hashlib.sha256()
+    data = [tbl.column(c).to_pylist() for c in cols]
+    for row in zip(*data) if data else []:
+        h.update(("|".join(norm_cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    results, n_pass = {}, 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "err": None}
+        try:
+            files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+            spark_tbl = pq.read_table(files[0]) if len(files) == 1 else \
+                pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+            entry["spark_rows"] = spark_tbl.num_rows
+            if name not in oracle:
+                entry["rows_match"] = spark_tbl.num_rows > 0
+                entry["schema_match"] = entry["hash_match"] = None
+                entry["err"] = None if spark_tbl.num_rows > 0 else "0 rows (rows-only check)"
+                results[name] = entry
+                if entry["rows_match"]:
+                    n_pass += 1
+                continue
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            entry["oracle_rows"] = duck_tbl.num_rows
+            entry["rows_match"] = spark_tbl.num_rows == duck_tbl.num_rows
+            entry["schema_match"] = sorted(spark_tbl.column_names) == sorted(duck_tbl.column_names)
+            if entry["rows_match"] and entry["schema_match"]:
+                hs, hd = table_digest(spark_tbl), table_digest(duck_tbl)
+                entry["hash_match"] = hs == hd
+                if not entry["hash_match"]:
+                    # show first differing row to debug
+                    scols = sorted(spark_tbl.column_names)
+                    sp = list(zip(*[spark_tbl.column(c).to_pylist() for c in scols]))
+                    du = list(zip(*[duck_tbl.column(c).to_pylist() for c in scols]))
+                    for i, (a, b) in enumerate(zip(sp, du)):
+                        if [norm_cell(v) for v in a] != [norm_cell(v) for v in b]:
+                            entry["err"] = f"first diff row {i}: spark={a} oracle={b} cols={scols}"
+                            break
+            else:
+                entry["err"] = (f"rows {spark_tbl.num_rows} vs {duck_tbl.num_rows}; "
+                                f"cols {sorted(spark_tbl.column_names)} vs {sorted(duck_tbl.column_names)}")
+        except Exception as e:
+            entry["err"] = f"{type(e).__name__}: {e}"[:500]
+        results[name] = entry
+        if entry["rows_match"] and entry["schema_match"] in (True, None) and entry["hash_match"] in (True, None):
+            n_pass += 1
+    for name, r in results.items():
+        ok = r["rows_match"] and r["schema_match"] in (True, None) and r["hash_match"] in (True, None)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: rows={r.get('spark_rows')}/{r.get('oracle_rows','-')} "
+              f"schema={r['schema_match']} hash={r['hash_match']}"
+              + (f" err={r['err']}" if r["err"] else ""))
+    print(f"== {n_pass}/{len(results)} pass ==")
+    sys.exit(0 if n_pass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

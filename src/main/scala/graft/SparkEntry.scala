@@ -27,7 +27,13 @@ object SparkEntry {
     "q8_rollup" -> (Relational.q8Rollup _),
     "q9_event_windows" -> (Relational.q9EventWindows _),
     "q10_sessionize" -> (Relational.q10Sessionize _),
-    "q11_asof_join" -> (Relational.q11AsofJoin _)
+    "q11_asof_join" -> (Relational.q11AsofJoin _),
+    // Crawl/sync pipeline semantics (SURVEY §2 #12-#16)
+    "sync_diff" -> (SyncOps.qSyncDiff _),
+    "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
+    "mark_redirects" -> (SyncOps.qMarkRedirects _),
+    "error_retry" -> (SyncOps.qErrorRetry _),
+    "delete_threshold" -> (SyncOps.qDeleteThreshold _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,6 +124,88 @@ object SparkEntry {
         |     ORDER BY v.ts DESC, v.prior_view_event_id DESC) AS rn
         |  FROM p JOIN v ON p.user_id=v.user_id AND v.ts <= p.ts)
         |SELECT event_id, user_id, prior_view_event_id FROM j WHERE rn=1
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "sync_diff" ->
+      """WITH crawled AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 1 DAY
+        |         ELSE o_orderdate END AS modified
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |indexed AS (
+        |  SELECT o_orderkey AS id, o_orderdate AS modified,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS error_cnt
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(c.id, i.id) AS id,
+        |  CASE WHEN i.id IS NULL THEN 'new'
+        |       WHEN c.id IS NULL THEN 'deleted'
+        |       WHEN c.modified = i.modified AND i.error_cnt = 0 THEN 'unchanged'
+        |       ELSE 'modified' END AS status
+        |FROM crawled c FULL OUTER JOIN indexed i ON c.id = i.id
+        |ORDER BY id""".stripMargin,
+    "crawl_frontier" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.eu/docs/' || CAST(doc_id % 37 AS VARCHAR) ||
+        |    (['.html','','.pdf','.php','.aspx','','.gif','.jpg','.png','.svg'])[CAST(doc_id % 10 AS INT) + 1] AS url
+        |  FROM documents),
+        |dedup AS (SELECT url, min(doc_id) AS id FROM urls GROUP BY url),
+        |enriched AS (
+        |  SELECT id, url,
+        |    regexp_replace(url, '^https?://[^/]+', '') AS path,
+        |    lower(regexp_extract(url, '\.([A-Za-z0-9]+)$', 1)) AS ext
+        |  FROM dedup)
+        |SELECT id, url FROM enriched
+        |WHERE ext NOT IN ('png','svg','jpg','gif','eps','jpeg')
+        |  AND path NOT IN ('/docs/5','/docs/15.php')
+        |  AND NOT EXISTS (SELECT 1 FROM (VALUES ('/docs/1'),('/docs/33')) r(p)
+        |                  WHERE starts_with(path, p))
+        |ORDER BY id, url""".stripMargin,
+    "mark_redirects" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'redirected'
+        |         WHEN doc_id % 17 = 0 THEN 'manual' END AS ex
+        |  FROM documents),
+        |fstat AS (SELECT doc_id, doc_id % 7 = 0 AS redirected FROM documents)
+        |SELECT d.doc_id, TRUE AS update_only,
+        |  CASE WHEN f.redirected THEN 'redirected' END AS exclude_from_globalsearch
+        |FROM docs d JOIN fstat f USING (doc_id)
+        |WHERE NOT (d.ex IS NOT NULL AND d.ex <> 'redirected')
+        |  AND f.redirected <> coalesce(d.ex = 'redirected', FALSE)
+        |ORDER BY doc_id""".stripMargin,
+    "error_retry" ->
+      """WITH cur AS (SELECT DISTINCT user_id AS id FROM events WHERE event_type='error'),
+        |prior AS (
+        |  SELECT id, id % 5 AS error_cnt, id % 3 AS skip_cnt
+        |  FROM (SELECT DISTINCT user_id AS id FROM events) WHERE id % 2 = 0)
+        |SELECT coalesce(c.id, p.id) AS id,
+        |  CASE WHEN c.id IS NULL THEN 'dropped'
+        |       WHEN p.id IS NULL THEN 'retry'
+        |       WHEN p.error_cnt < 3 THEN 'retry'
+        |       WHEN p.skip_cnt < 2 THEN 'skip'
+        |       ELSE 'reset' END AS action,
+        |  CASE WHEN c.id IS NULL THEN NULL
+        |       WHEN p.id IS NULL THEN 1
+        |       WHEN p.error_cnt < 3 THEN p.error_cnt + 1
+        |       WHEN p.skip_cnt < 2 THEN p.error_cnt
+        |       ELSE NULL END AS error_cnt,
+        |  CASE WHEN c.id IS NULL THEN NULL
+        |       WHEN p.id IS NULL THEN 0
+        |       WHEN p.error_cnt < 3 THEN p.skip_cnt
+        |       WHEN p.skip_cnt < 2 THEN p.skip_cnt + 1
+        |       ELSE NULL END AS skip_cnt
+        |FROM cur c FULL OUTER JOIN prior p ON c.id = p.id
+        |ORDER BY id""".stripMargin,
+    "delete_threshold" ->
+      """WITH prev AS (SELECT doc_id AS id, source FROM documents),
+        |cur AS (SELECT * FROM prev WHERE id % 10 <> 0 AND NOT (source='src3' AND id % 2 = 0)),
+        |p AS (SELECT source, count(*) AS prev_cnt FROM prev GROUP BY source),
+        |k AS (SELECT source, count(*) AS kept_cnt FROM cur GROUP BY source)
+        |SELECT p.source, p.prev_cnt, coalesce(k.kept_cnt, 0) AS kept_cnt,
+        |  p.prev_cnt - coalesce(k.kept_cnt, 0) AS to_delete,
+        |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) AS delete_pct,
+        |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) > 25.0 AS should_abort
+        |FROM p LEFT JOIN k USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

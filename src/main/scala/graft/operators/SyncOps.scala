@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-sync / crawl-pipeline set operations — the daily work of the
+  * reference pipeline re-expressed as declarative Spark plans.
+  *
+  * Reference semantics (cited file:line, reference read-only at
+  * /root/reference):
+  *  - sync diff / skip-unchanged: dags/crawlers/crawlers/crawl_sitemap.py:86-101
+  *    (re-index when `modified` changed OR the doc had errors; delete docs
+  *    present in the index but absent from the crawl).
+  *  - error-retry policy: dags/d1_sync.py:83 `test_errors` with
+  *    `allowed_errors_for_doc` / `skip_doc_cnt` thresholds (d1_sync.py:94-95,
+  *    state machine at :120-:134).
+  *  - delete-threshold guard: dags/crawlers/crawlers/crawl_sitemap.py:30
+  *    (`threshold`, default 25) and :113-:138 (abort when the fraction of
+  *    docs to delete exceeds threshold%).
+  *  - frontier filtering: crawl_sitemap.py:15 `SKIP_EXTENSIONS`, :60-:75
+  *    (dedup / whitelist / blacklist), robots prefix+wildcard rules
+  *    dags/lib/robots_txt.py:22 `applies_to`.
+  *  - redirect marking: dags/d7_mark_redirects_bulk.py:51-:75 (update only on
+  *    state change; any other non-null exclusion value is preserved).
+  *
+  * Scale notes: every operator is one full-outer/anti join on the id key
+  * (single shuffle, AQE-skew-safe); rule tables (robots prefixes, blacklists)
+  * are tiny and broadcast so the fact side never shuffles for them.
+  */
+object SyncOps {
+
+  // ---------------------------------------------------------------- sync_diff
+
+  /** Classify each doc across two snapshots: `crawled` (id, modified) is the
+    * fresh enumeration, `indexed` (id, modified, error_cnt) the previous
+    * index state. A doc re-indexes ("modified") when its timestamp changed or
+    * it previously errored — crawl_sitemap.py:91.
+    */
+  def syncDiff(crawled: DataFrame, indexed: DataFrame): DataFrame = {
+    val c = crawled.select(col("id").as("c_id"), col("modified").as("c_modified"))
+    val i = indexed.select(col("id").as("i_id"), col("modified").as("i_modified"),
+      col("error_cnt"))
+    c.join(i, c("c_id") === i("i_id"), "full_outer")
+      .select(
+        coalesce(col("c_id"), col("i_id")).as("id"),
+        when(col("i_id").isNull, "new")
+          .when(col("c_id").isNull, "deleted")
+          .when(col("c_modified") === col("i_modified") && col("error_cnt") === 0, "unchanged")
+          .otherwise("modified")
+          .as("status"))
+  }
+
+  /** queries() wrapper: derives two deterministic snapshots from `orders`
+    * (id = o_orderkey; ~1/5 of docs touched since last crawl, ~1/13 deleted
+    * from the source, ~1/7 newly appeared, ~1/11 previously errored).
+    */
+  def qSyncDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val crawled = o
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 5 === 0, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("o_orderdate")).as("modified"))
+    val indexed = o
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_orderdate").as("modified"),
+        when(col("o_orderkey") % 11 === 0, lit(1)).otherwise(lit(0)).as("error_cnt"))
+    syncDiff(crawled, indexed).orderBy("id")
+  }
+
+  // ------------------------------------------------------------ crawl_frontier
+
+  /** crawl_sitemap.py:15 */
+  val SkipExtensions: Seq[String] = Seq("png", "svg", "jpg", "gif", "eps", "jpeg")
+
+  /** URL frontier: dedup (keep smallest id per url), skip binary extensions,
+    * drop exact-match blacklisted paths, drop robots-disallowed path prefixes.
+    * Rules are broadcast; the url set is only shuffled once (the dedup).
+    */
+  def crawlFrontier(
+      urls: DataFrame, // (doc_id, url)
+      blacklistPaths: Seq[String],
+      disallowPrefixes: Seq[String]): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val deduped = urls
+      .groupBy("url")
+      .agg(min("doc_id").as("id"))
+      .withColumn("path", regexp_replace(col("url"), "^https?://[^/]+", ""))
+      .withColumn("ext", lower(regexp_extract(col("url"), "\\.([A-Za-z0-9]+)$", 1)))
+    val kept = deduped
+      .filter(!col("ext").isin(SkipExtensions: _*))
+      .filter(!col("path").isin(blacklistPaths: _*))
+    val robots = broadcast(disallowPrefixes.toDF("prefix"))
+    kept
+      .join(robots, col("path").startsWith(col("prefix")), "left_anti")
+      .select("id", "url")
+  }
+
+  /** queries() wrapper: synthesizes a deterministic url per document row
+    * (collisions via doc_id mod 37 exercise the dedup; extension classes via
+    * doc_id mod 10 exercise the skip list).
+    */
+  def qCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+    val ext = element_at(
+      array(Seq(".html", "", ".pdf", ".php", ".aspx", "", ".gif", ".jpg", ".png", ".svg")
+        .map(lit): _*),
+      (col("doc_id") % 10 + 1).cast("int"))
+    val urls = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.eu/docs/"),
+        (col("doc_id") % 37).cast("string"), ext).as("url"))
+    crawlFrontier(urls, Seq("/docs/5", "/docs/15.php"), Seq("/docs/1", "/docs/33"))
+      .orderBy("id", "url")
+  }
+
+  // ------------------------------------------------------------ mark_redirects
+
+  /** d7 semantics: join index docs to their latest fetch status; emit an
+    * update only when the redirect state changed, and never touch docs
+    * carrying a different (manual) exclusion value.
+    */
+  def markRedirects(
+      docs: DataFrame, // (doc_id, exclude_from_globalsearch)
+      fetch: DataFrame // (doc_id, redirected: boolean)
+  ): DataFrame = {
+    val joined = docs.join(fetch, Seq("doc_id"), "inner")
+    val alreadyRedirected = col("exclude_from_globalsearch") === "redirected"
+    val skip = col("exclude_from_globalsearch").isNotNull && !alreadyRedirected
+    joined
+      .filter(!skip)
+      .filter(col("redirected") =!= coalesce(alreadyRedirected, lit(false)))
+      .select(
+        col("doc_id"),
+        lit(true).as("update_only"),
+        when(col("redirected"), "redirected").otherwise(lit(null).cast("string"))
+          .as("exclude_from_globalsearch"))
+  }
+
+  def qMarkRedirects(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0, "redirected")
+        .when(col("doc_id") % 17 === 0, "manual")
+        .otherwise(lit(null).cast("string")).as("exclude_from_globalsearch"))
+    val fetch = Tables.documents(s, d).select(
+      col("doc_id"), (col("doc_id") % 7 === 0).as("redirected"))
+    markRedirects(docs, fetch).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- error_retry
+
+  /** d1_sync.py:83 `test_errors` as a set operation. `current` is the set of
+    * ids erroring right now, `prior` the persisted (error_cnt, skip_cnt)
+    * state. Emits the next state plus an action:
+    *  - "dropped": previously tracked, no longer erroring (state deleted)
+    *  - "retry":   erroring but under the error threshold (crawl again)
+    *  - "skip":    over the error threshold, under the skip threshold
+    *  - "reset":   both thresholds exhausted (state deleted, crawl again)
+    */
+  def errorRetry(
+      current: DataFrame, // (id)
+      prior: DataFrame, // (id, error_cnt, skip_cnt)
+      allowedErrorsForDoc: Int,
+      skipDocCnt: Int): DataFrame = {
+    val c = current.select(col("id").as("c_id"))
+    val p = prior.select(col("id").as("p_id"), col("error_cnt"), col("skip_cnt"))
+    c.join(p, c("c_id") === p("p_id"), "full_outer")
+      .select(
+        coalesce(col("c_id"), col("p_id")).as("id"),
+        when(col("c_id").isNull, "dropped")
+          .when(col("p_id").isNull, "retry")
+          .when(col("error_cnt") < allowedErrorsForDoc, "retry")
+          .when(col("skip_cnt") < skipDocCnt, "skip")
+          .otherwise("reset").as("action"),
+        when(col("c_id").isNull, lit(null).cast("long")) // state deleted
+          .when(col("p_id").isNull, 1L)
+          .when(col("error_cnt") < allowedErrorsForDoc, col("error_cnt") + 1)
+          .when(col("skip_cnt") < skipDocCnt, col("error_cnt"))
+          .otherwise(lit(null).cast("long")).as("error_cnt"),
+        when(col("c_id").isNull, lit(null).cast("long"))
+          .when(col("p_id").isNull, 0L)
+          .when(col("error_cnt") < allowedErrorsForDoc, col("skip_cnt"))
+          .when(col("skip_cnt") < skipDocCnt, col("skip_cnt") + 1)
+          .otherwise(lit(null).cast("long")).as("skip_cnt"))
+  }
+
+  def qErrorRetry(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val current = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("id")).distinct()
+    val prior = ev.select(col("user_id").as("id")).distinct()
+      .filter(col("id") % 2 === 0)
+      .select(col("id"), (col("id") % 5).as("error_cnt"), (col("id") % 3).as("skip_cnt"))
+    errorRetry(current, prior, allowedErrorsForDoc = 3, skipDocCnt = 2).orderBy("id")
+  }
+
+  // ---------------------------------------------------------- delete_threshold
+
+  /** Delete-threshold guard, per source: compare the previous snapshot's doc
+    * set against the current crawl; if the share of docs that would be
+    * deleted exceeds `thresholdPct`, flag the source for abort instead of
+    * deleting (crawl_sitemap.py:113-:138).
+    */
+  def deleteThreshold(
+      previous: DataFrame, // (id, source)
+      current: DataFrame, // (id, source)
+      thresholdPct: Double): DataFrame = {
+    val stillThere = previous.join(current, Seq("id", "source"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("kept_cnt"))
+    previous
+      .groupBy("source").agg(count(lit(1)).as("prev_cnt"))
+      .join(stillThere, Seq("source"), "left_outer")
+      .select(
+        col("source"),
+        col("prev_cnt"),
+        coalesce(col("kept_cnt"), lit(0L)).as("kept_cnt"),
+        (col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))).as("to_delete"),
+        round((col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))) * 100.0 / col("prev_cnt"), 4)
+          .as("delete_pct"))
+      .withColumn("should_abort", col("delete_pct") > thresholdPct)
+  }
+
+  def qDeleteThreshold(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val previous = docs.select(col("doc_id").as("id"), col("source"))
+    val current = previous
+      .filter(col("id") % 10 =!= 0)
+      .filter(!(col("source") === "src3" && col("id") % 2 === 0))
+    deleteThreshold(previous, current, thresholdPct = 25.0).orderBy("source")
+  }
+}

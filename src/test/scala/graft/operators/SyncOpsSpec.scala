@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class SyncOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("syncDiff classifies new/deleted/modified/unchanged") {
+    val crawled = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"), (5L, "2024-01-05"))
+      .toDF("id", "modified")
+    val indexed = Seq((2L, "2024-01-02", 0), (3L, "2024-01-01", 0), (4L, "2024-01-04", 0), (5L, "2024-01-05", 2))
+      .toDF("id", "modified", "error_cnt")
+    val got = SyncOps.syncDiff(crawled, indexed).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      1L -> "new", // only in crawl
+      2L -> "unchanged", // same modified, no errors
+      3L -> "modified", // timestamp changed
+      4L -> "deleted", // gone from crawl
+      5L -> "modified")) // unchanged ts but previous errors force re-index
+  }
+
+  test("crawlFrontier dedups, skips extensions, blacklist and robots prefixes") {
+    val urls = Seq(
+      (10L, "https://a.eu/keep.html"),
+      (11L, "https://a.eu/keep.html"), // dup — keep id 10
+      (12L, "https://a.eu/image.PNG"), // extension skip (case-insensitive)
+      (13L, "https://a.eu/private/x.html"), // robots prefix
+      (14L, "https://a.eu/banned"), // exact blacklist
+      (15L, "https://a.eu/ok")).toDF("doc_id", "url")
+    val got = SyncOps
+      .crawlFrontier(urls, blacklistPaths = Seq("/banned"), disallowPrefixes = Seq("/private/"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got === Seq(10L -> "https://a.eu/keep.html", 15L -> "https://a.eu/ok"))
+  }
+
+  test("markRedirects only emits state changes and preserves manual exclusions") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), // not excluded
+      (2L, "redirected"), // currently marked
+      (3L, "manual"), // manually excluded — never touched
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "exclude_from_globalsearch")
+    val fetch = Seq((1L, true), (2L, true), (3L, true), (4L, false)).toDF("doc_id", "redirected")
+    val got = SyncOps.markRedirects(docs, fetch).orderBy("doc_id").collect().toSeq
+    // 1: newly redirected -> set; 2: still redirected -> no-op; 3: manual -> skip;
+    // 4: not redirected, not marked -> no-op.
+    assert(got === Seq(Row(1L, true, "redirected")))
+  }
+
+  test("markRedirects clears the flag when a redirect goes away") {
+    val docs = Seq((7L, "redirected")).toDF("doc_id", "exclude_from_globalsearch")
+    val fetch = Seq((7L, false)).toDF("doc_id", "redirected")
+    val got = SyncOps.markRedirects(docs, fetch).collect().toSeq
+    assert(got === Seq(Row(7L, true, null)))
+  }
+
+  test("errorRetry follows the reference threshold state machine") {
+    val current = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val prior = Seq(
+      (2L, 1L, 0L), // under error threshold -> retry, error_cnt+1
+      (3L, 3L, 1L), // over errors, under skips -> skip, skip_cnt+1
+      (4L, 3L, 2L), // both exhausted -> reset (state deleted)
+      (9L, 2L, 0L)) // no longer erroring -> dropped
+      .toDF("id", "error_cnt", "skip_cnt")
+    val got = SyncOps.errorRetry(current, prior, allowedErrorsForDoc = 3, skipDocCnt = 2)
+      .orderBy("id").collect().toSeq
+    assert(got === Seq(
+      Row(1L, "retry", 1L, 0L), // new error doc enters state
+      Row(2L, "retry", 2L, 0L),
+      Row(3L, "skip", 3L, 2L),
+      Row(4L, "reset", null, null),
+      Row(9L, "dropped", null, null)))
+  }
+
+  test("deleteThreshold flags sources losing more than threshold%") {
+    val prev = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"), (6L, "b")).toDF("id", "source")
+    val cur = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b")).toDF("id", "source")
+    val got = SyncOps.deleteThreshold(prev, cur, thresholdPct = 25.0)
+      .orderBy("source")
+      .select("source", "prev_cnt", "kept_cnt", "to_delete", "should_abort")
+      .collect().toSeq
+    assert(got === Seq(
+      Row("a", 4L, 3L, 1L, false), // 25% drop == threshold -> no abort (strict >)
+      Row("b", 2L, 1L, 1L, true))) // 50% drop -> abort
+  }
+}

@@ -33,7 +33,33 @@ object SparkEntry {
     "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
     "mark_redirects" -> (SyncOps.qMarkRedirects _),
     "error_retry" -> (SyncOps.qErrorRetry _),
-    "delete_threshold" -> (SyncOps.qDeleteThreshold _)
+    "delete_threshold" -> (SyncOps.qDeleteThreshold _),
+    // Normalization / document transforms (SURVEY §2 #17-#23)
+    "norm_clean_html" -> (NormOps.qNormCleanHtml _),
+    "norm_reading_time" -> (NormOps.qNormReadingTime _),
+    "norm_description" -> (NormOps.qNormDescription _),
+    "norm_add_counts" -> (NormOps.qNormAddCounts _),
+    "norm_maps" -> (NormOps.qNormMaps _),
+    "text_passages" -> (NormOps.qTextPassages _),
+    "flatten_json" -> (NormOps.qFlattenJson _),
+    // Search / indexing semantics (SURVEY §2 #24-#27)
+    "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
+    "search_bool" -> (SearchOps.qSearchBool _),
+    "facet_counts" -> (SearchOps.qFacetCounts _),
+    "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
+    // LLM-training-data pipeline (SURVEY §2 #28-#39)
+    "dedup_exact" -> (DedupOps.qDedupExact _),
+    "dedup_minhash" -> (DedupOps.qDedupMinhash _),
+    "dedup_simhash" -> (DedupOps.qDedupSimhash _),
+    "ngram_jaccard" -> (DedupOps.qNgramJaccard _),
+    "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
+    "ann_topk" -> (AnnOps.qAnnTopK _),
+    "ann_lsh" -> (AnnOps.qAnnLsh _),
+    "lang_id" -> (TextAnalysis.qLangId _),
+    "quality_score" -> (TextAnalysis.qQualityScore _),
+    "token_count" -> (TextAnalysis.qTokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
+    "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,6 +232,194 @@ object SparkEntry {
         |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) AS delete_pct,
         |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) > 25.0 AS should_abort
         |FROM p LEFT JOIN k USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+    "norm_clean_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title></head><body><h1>Doc ' || doc_id ||
+        |    '</h1><p>' || text || '</p><br/><a href="https://example.eu/d/' || doc_id ||
+        |    '">link</a> </body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(html, '<.*?>', '', 'g')) AS text_clean
+        |FROM h WHERE length(trim(regexp_replace(html, '<.*?>', '', 'g'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "norm_reading_time" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+        |  CASE WHEN source = 'src0' THEN CAST(-1.0 AS DOUBLE)
+        |       ELSE round(len(regexp_extract_all(text, '\w+')) / CAST(228 AS DOUBLE), 4) END AS reading_time
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "norm_description" ->
+      """SELECT doc_id,
+        |  CASE WHEN description_raw IS NULL OR description_raw = ''
+        |       THEN array_to_string(list_slice(string_split(trim(text), ' '), 1, 100), ' ')
+        |       ELSE description_raw END AS description
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN doc_id % 3 = 0 THEN 'Existing description for doc ' || doc_id
+        |             WHEN doc_id % 3 = 1 THEN '' END AS description_raw
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "norm_add_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(list_slice(string_split(trim(text), ' '), 1, 10))) AS BIGINT) AS items_count_topics,
+        |  CAST(1 AS BIGINT) AS items_count_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "norm_maps" ->
+      """SELECT d.doc_id,
+        |  coalesce(m.v, d.lang) AS lang_norm,
+        |  CASE WHEN d.source IN ('src0','src1','src2') THEN d.source END AS source_white,
+        |  d.n_chars, d.n_chars AS size_chars,
+        |  'CC-BY-4.0' AS rights
+        |FROM documents d
+        |LEFT JOIN (VALUES ('en','English'),('de','German'),('fr','French'),
+        |                  ('es','Spanish'),('it','Italian')) m(k, v)
+        |  ON d.lang = m.k
+        |ORDER BY doc_id""".stripMargin,
+    "text_passages" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |e AS (SELECT doc_id, w, unnest(range(0, len(w), 45)) AS start FROM w)
+        |SELECT doc_id,
+        |  CAST(start // 45 AS BIGINT) AS passage_id,
+        |  CAST(least(60, len(w) - start) AS BIGINT) AS n_words,
+        |  array_to_string(list_slice(w, start + 1, start + 60), ' ') AS passage
+        |FROM e ORDER BY doc_id, passage_id""".stripMargin,
+    "flatten_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "search_match_topk" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round((len(list_filter(string_split(trim(text),' '), x -> x = 'query'))
+        |         + len(list_filter(string_split(trim(text),' '), x -> x = 'data'))
+        |         + len(list_filter(string_split(trim(text),' '), x -> x = 'merge')))
+        |      / CAST(len(string_split(trim(text),' ')) AS DOUBLE), 6) AS score
+        |  FROM documents)
+        |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_bool" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS BIGINT) AS should_score
+        |FROM documents
+        |WHERE contains(text, 'join') AND contains(text, 'filter')
+        |  AND NOT lang = 'zh' AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "facet_counts" ->
+      """WITH u AS (
+        |  SELECT 'lang' AS facet, lang AS value, count(*) AS n FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source, count(*) FROM documents GROUP BY source),
+        |r AS (SELECT facet, value, n,
+        |        CAST(row_number() OVER (PARTITION BY facet ORDER BY n DESC, value) AS BIGINT) AS rnk
+        |      FROM u)
+        |SELECT facet, value, n, rnk FROM r WHERE rnk <= 3 ORDER BY facet, rnk""".stripMargin,
+    "es_bulk_format" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN '{"update":{"_index":"documents","_id":"' || doc_id || '"}}'
+        |    ELSE '{"index":{"_index":"documents","_id":"' || doc_id || '"}}' END AS action,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN '{"doc":' || src || ',"doc_as_upsert":true}'
+        |    ELSE src END AS source
+        |FROM (SELECT doc_id,
+        |        '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' || n_chars || '}' AS src
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text || ' ' FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' ')
+        |    FROM base WHERE doc_id % 9 = 0),
+        |h AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM corpus)
+        |SELECT doc_id, content_hash,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH base AS (SELECT doc_id, lang, source, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, source, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, lang, source, text || ' ' FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000, lang, source,
+        |    array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' ')
+        |    FROM base WHERE doc_id % 9 = 0),
+        |g AS (SELECT doc_id, lang, source,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS grams
+        |      FROM (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS w FROM corpus)
+        |      WHERE len(w) >= 3)
+        |SELECT id1, id2, jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL SELECT vec_id + 100000, label,
+        |    list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM base WHERE vec_id % 11 = 0),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus)
+        |SELECT id1, id2, cos_sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin,
+    "ann_topk" ->
+      """WITH base AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |p AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) / (nrm * qn) AS cos_raw
+        |      FROM n CROSS JOIN q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos_raw,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS "rank"
+        |      FROM p)
+        |SELECT query_id, neighbor_id, "rank", round(cos_raw, 4) AS cos_sim
+        |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ist','mit','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est','dans','pour','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, x -> x IN ('el','los','las','y','es','en','para','una'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, x -> x IN ('il','lo','che','e','di','per','non','alla'))) AS BIGINT) AS s_it
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es, s_it,
+        |  CASE WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
+        |       ELSE 'it' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+        |  round(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        |  round(least(n_words / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)) * 0.4
+        |      + (n_distinct / CAST(n_words AS DOUBLE)) * 0.3
+        |      + least(stop_hits / CAST(n_words AS DOUBLE) * 5.0, CAST(1 AS DOUBLE)) * 0.3, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text,
+        |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure `Column` functions shared by the normalization / text-analysis
+  * operator families. Everything here is built from `org.apache.spark.sql.
+  * functions._` expression trees so whole-stage codegen applies — no UDFs.
+  *
+  * Reference semantics mirrored (read-only reference at /root/reference):
+  *  - `cleanHtml`: dags/normalizers/lib/normalizers.py:208 `cleanhtml`
+  *    (non-greedy `<.*?>` strip, then strip()).
+  *  - `wordCount`/`readingTime`: normalizers.py:265 (`len(re.findall(r"\w+",
+  *    text))`, wpm=228 at :287) and the blacklist→-1 rule at :483.
+  *  - `firstWords`: normalizers.py:592 description fallback
+  *    (`" ".join(fulltext.strip().split(" ")[:100])`).
+  */
+object TextFns {
+
+  /** Reference regex verbatim (normalizers.py:211); `.` does not cross
+    * newlines in either Java or Python regex, matching the reference.
+    */
+  val HtmlTagRe = "<.*?>"
+
+  /** HTML → text: strip tags, then trim (normalizers.py:208-213). */
+  def cleanHtml(c: Column): Column = trim(regexp_replace(c, HtmlTagRe, ""))
+
+  /** `\w+` match count — the reference's word counter (normalizers.py:265). */
+  def wordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+"), lit(0))).cast("long")
+
+  /** Words-per-minute reading time (normalizers.py:287); callers apply the
+    * type-blacklist→-1 rule (normalizers.py:483) since it needs doc context.
+    */
+  def readingTime(c: Column, wpm: Int = 228): Column =
+    round(wordCount(c) / lit(wpm.toDouble), 4)
+
+  /** Single-space tokens of a trimmed text column. Uses `split` (codegen'd);
+    * the corpus is single-space separated so this equals Python
+    * `text.strip().split(" ")` (normalizers.py:592).
+    */
+  def spaceTokens(c: Column): Column = split(trim(c), " ")
+
+  /** First `n` space-tokens re-joined — the description fallback
+    * (normalizers.py:592).
+    */
+  def firstWords(c: Column, n: Int): Column =
+    array_join(slice(spaceTokens(c), 1, n), " ")
+
+  /** Distinct word n-grams as joined strings — the unit of the Jaccard /
+    * MinHash dedup family. Requires at least `n` tokens (callers filter).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(tokens) - (n - 1))
+    array_distinct(transform(idx, i =>
+      concat_ws("_", (0 until n).map(o => element_at(tokens, i + o)): _*)))
+  }
+
+  /** Count of tokens that belong to `set` (tiny literal set → stays inside
+    * codegen; no join needed).
+    */
+  def tokensIn(tokens: Column, set: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(set))).cast("long")
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Normalization / document-transform family — the reference's
+  * `common_normalizer` pipeline (dags/normalizers/lib/normalizers.py:497)
+  * re-expressed as declarative column transforms.
+  *
+  * Reference pieces mirrored (file:line in normalizers.py unless noted):
+  *  - cleanhtml :208, strip_fields :146, remove_empty :129
+  *  - readingTime :265/:287 with blacklist → -1 (:483)
+  *  - description fallback = first 100 words of fulltext (:592)
+  *  - add_counts `items_count_<field>` (:655 — lists → len, scalars → 1)
+  *  - apply_norm_obj value mapping :54, apply_norm_prop rename/fan-out :76,
+  *    apply_norm_missing defaults :90, apply_white_map :34
+  *  - simplify_elements nested-JSON → dotted keys (:219)
+  *  - passage splitting: normalizers/lib/nlp.py:68 `preprocess_split_doc`
+  *    (fixed word windows `split_length` with `split_overlap`)
+  *
+  * Scale notes: every operator is a narrow per-row projection (no shuffle at
+  * all except the final oracle-determinism sort); lookup maps (normObj) are
+  * tiny broadcast joins so the document side never moves.
+  */
+object NormOps {
+
+  // ------------------------------------------------------------ norm_clean_html
+
+  /** Strip HTML tags + trim + drop now-empty docs: cleanhtml (:208) then the
+    * strip_fields (:146) / remove_empty (:129) steps of common_normalizer.
+    */
+  def cleanHtmlDocs(docs: DataFrame, htmlCol: String): DataFrame =
+    docs
+      .withColumn("text_clean", cleanHtml(col(htmlCol)))
+      .filter(length(col("text_clean")) > 0)
+      .drop(htmlCol)
+
+  /** queries() wrapper: synthesizes deterministic HTML around each document's
+    * text (title/h1/p/self-closing/attribute tags all exercised).
+    */
+  def qNormCleanHtml(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><br/><a href=\"https://example.eu/d/"), col("doc_id"),
+      lit("\">link</a> </body></html>"))
+    cleanHtmlDocs(
+      Tables.documents(s, d).select(col("doc_id"), html.as("html")), "html")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- norm_reading_time
+
+  /** readingTime = `\w+` count / 228 wpm; blacklisted docs get -1
+    * (normalizers.py:287, :483 — the reference blacklists by @type; here the
+    * predicate is a column so any type test plugs in).
+    */
+  def addReadingTime(docs: DataFrame, textCol: String, blacklisted: Column): DataFrame =
+    docs
+      .withColumn("n_words", wordCount(col(textCol)))
+      .withColumn(
+        "reading_time",
+        when(blacklisted, lit(-1.0)).otherwise(round(col("n_words") / lit(228.0), 4)))
+
+  def qNormReadingTime(s: SparkSession, d: String): DataFrame =
+    addReadingTime(Tables.documents(s, d), "text", blacklisted = col("source") === "src0")
+      .select("doc_id", "n_words", "reading_time")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- norm_description
+
+  /** Description fallback: keep an existing non-empty description, else the
+    * first 100 words of fulltext (normalizers.py:590-593; Python falsy test
+    * covers both NULL and "").
+    */
+  def fillDescription(docs: DataFrame, descCol: String, fulltextCol: String): DataFrame =
+    docs.withColumn(
+      "description",
+      when(col(descCol).isNull || col(descCol) === "", firstWords(col(fulltextCol), 100))
+        .otherwise(col(descCol)))
+
+  /** queries() wrapper: 1/3 of docs have a description, 1/3 carry the empty
+    * string (Python-falsy), 1/3 NULL — all three reference paths exercised.
+    */
+  def qNormDescription(s: SparkSession, d: String): DataFrame = {
+    val existing = when(col("doc_id") % 3 === 0,
+      concat(lit("Existing description for doc "), col("doc_id")))
+      .when(col("doc_id") % 3 === 1, lit(""))
+      .otherwise(lit(null).cast("string"))
+    fillDescription(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), existing.as("description_raw")),
+      "description_raw", "text")
+      .select("doc_id", "description")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- norm_add_counts
+
+  /** add_counts (normalizers.py:655): `items_count_<field>` = len for list
+    * fields, 1 for scalars.
+    */
+  def addCounts(docs: DataFrame, listCols: Seq[String], scalarCols: Seq[String]): DataFrame = {
+    val withLists = listCols.foldLeft(docs) { (df, c) =>
+      df.withColumn(s"items_count_$c", size(col(c)).cast("long"))
+    }
+    scalarCols.foldLeft(withLists)((df, c) => df.withColumn(s"items_count_$c", lit(1L)))
+  }
+
+  /** queries() wrapper: topics = distinct first-10 words (a synthetic list
+    * field); lang stays scalar.
+    */
+  def qNormAddCounts(s: SparkSession, d: String): DataFrame =
+    addCounts(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(slice(spaceTokens(col("text")), 1, 10)).as("topics"),
+          col("lang")),
+      listCols = Seq("topics"), scalarCols = Seq("lang"))
+      .select("doc_id", "items_count_topics", "items_count_lang")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- norm_maps
+
+  /** The black/white-map + normObj + normProp + normMissing family as one
+    * composable step:
+    *  - `valueMap` (normObj :54): map values through a tiny broadcast lookup,
+    *    unmapped values pass through;
+    *  - `whitelist` (whiteMap :34): scalar values outside the whitelist → NULL;
+    *  - normProp (:76): fan a column out under additional names;
+    *  - normMissing (:90): constant default for a missing/NULL field.
+    */
+  def normMaps(
+      docs: DataFrame,
+      valueCol: String,
+      valueMap: DataFrame, // (k, v) — tiny, broadcast
+      whitelistCol: String,
+      whitelist: Seq[String],
+      fanOut: (String, Seq[String]),
+      missingDefaults: Map[String, String]): DataFrame = {
+    val mapped = docs
+      .join(broadcast(valueMap), docs(valueCol) === valueMap("k"), "left")
+      .withColumn(s"${valueCol}_norm", coalesce(col("v"), col(valueCol)))
+      .drop("k", "v")
+    val whitelisted = mapped.withColumn(
+      s"${whitelistCol}_white",
+      when(col(whitelistCol).isInCollection(whitelist), col(whitelistCol)))
+    val fanned = fanOut._2.foldLeft(whitelisted)((df, n) => df.withColumn(n, col(fanOut._1)))
+    missingDefaults.foldLeft(fanned) { case (df, (c, dflt)) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(dflt)))
+      else df.withColumn(c, lit(dflt))
+    }
+  }
+
+  def qNormMaps(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val langMap = Seq(
+      "en" -> "English", "de" -> "German", "fr" -> "French",
+      "es" -> "Spanish", "it" -> "Italian").toDF("k", "v")
+    normMaps(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+      valueCol = "lang", valueMap = langMap,
+      whitelistCol = "source", whitelist = Seq("src0", "src1", "src2"),
+      fanOut = ("n_chars", Seq("size_chars")),
+      missingDefaults = Map("rights" -> "CC-BY-4.0"))
+      .select("doc_id", "lang_norm", "source_white", "n_chars", "size_chars", "rights")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ text_passages
+
+  /** Passage splitting (nlp.py:68 `preprocess_split_doc`): fixed word windows
+    * of `splitLength` starting every `splitLength - overlap` words. One
+    * generator expression per doc — scales linearly, no shuffle.
+    */
+  def textPassages(docs: DataFrame, textCol: String, splitLength: Int, overlap: Int): DataFrame = {
+    require(overlap < splitLength, "overlap must be smaller than splitLength")
+    val stride = splitLength - overlap
+    docs
+      .withColumn("w", spaceTokens(col(textCol)))
+      .select(
+        col("*"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .as(Seq("passage_id", "start")))
+      .select(
+        col("doc_id"),
+        col("passage_id").cast("long").as("passage_id"),
+        least(lit(splitLength), size(col("w")) - col("start")).cast("long").as("n_words"),
+        array_join(slice(col("w"), col("start") + 1, lit(splitLength)), " ").as("passage"))
+  }
+
+  def qTextPassages(s: SparkSession, d: String): DataFrame =
+    textPassages(Tables.documents(s, d), "text", splitLength = 60, overlap = 15)
+      .orderBy("doc_id", "passage_id")
+
+  // ------------------------------------------------------------- flatten_json
+
+  /** simplify_elements (normalizers.py:219): nested structure → dotted-key
+    * columns. Works on any StructType columns, recursively.
+    */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    def expand(prefix: String, schema: StructType): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else prefix + "." + f.name
+        f.dataType match {
+          case st: StructType => expand(path, st)
+          case _ => Seq(col(path).as(path))
+        }
+      }
+    df.select(expand("", df.schema): _*)
+  }
+
+  /** queries() wrapper: parse `events.props` JSON and surface the dotted key.
+    * (The generic struct flattener is spec-tested; JSON-string extraction is
+    * the oracle-checkable slice.)
+    */
+  def qFlattenJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search / indexing semantics — the ES query surface the reference's
+  * consumers use (dags/lib/elastic.py) plus the bulk hand-off format
+  * (logstash/pipeline/search_pipeline.conf), re-expressed as Spark plans.
+  *
+  * Reference semantics:
+  *  - `search` (elastic.py:57) / `get_docs` (elastic.py:124): match queries
+  *    with relevance ordering, `size` caps, `_source` projection.
+  *  - bool queries: must / must_not / should / exists filter context
+  *    (used throughout d1_sync.py and the normalizer DAGs).
+  *  - facets: terms aggregations over keyword fields.
+  *  - bulk format: one action line + one source line per doc; `update_only`
+  *    docs route to `action: update` with `doc_as_upsert`
+  *    (search_pipeline.conf:13-27).
+  *
+  * Scale notes: match scoring is a per-row projection over the tokenized
+  * text (no shuffle); top-k collapses to TakeOrderedAndProject; facets are
+  * one partial-agg shuffle per distinct facet source; the bulk formatter is
+  * a pure projection that writes straight out of the scan's partitions.
+  */
+object SearchOps {
+
+  // --------------------------------------------------------- search_match_topk
+
+  /** Multi-term match with TF×(1/len) scoring: score(doc) = Σ_t tf(t) / |doc|.
+    * Docs matching no term are dropped (ES `match` returns only hits).
+    */
+  def matchTopK(docs: DataFrame, textCol: String, terms: Seq[String], k: Int): DataFrame = {
+    val toks = spaceTokens(col(textCol))
+    val tfSum = terms
+      .map(t => size(filter(toks, x => x === t)).cast("long"))
+      .reduce(_ + _)
+    docs
+      .withColumn("score", round(tfSum / size(toks).cast("double"), 6))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  def qSearchMatchTopK(s: SparkSession, d: String): DataFrame =
+    matchTopK(Tables.documents(s, d), "text", terms = Seq("query", "data", "merge"), k = 20)
+      .select("doc_id", "score")
+
+  // --------------------------------------------------------------- search_bool
+
+  /** Bool query: must (all predicates), must_not, exists; `should` clauses
+    * don't filter but contribute to the score, mirroring ES filter vs query
+    * context.
+    */
+  def boolSearch(
+      docs: DataFrame,
+      must: Seq[Column],
+      mustNot: Seq[Column],
+      exists: Seq[String],
+      should: Seq[Column]): DataFrame = {
+    val filtered = (must ++ mustNot.map(!_) ++ exists.map(col(_).isNotNull))
+      .foldLeft(docs)((df, p) => df.filter(p))
+    val shouldScore =
+      if (should.isEmpty) lit(0L)
+      else should.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    filtered.withColumn("should_score", shouldScore)
+  }
+
+  def qSearchBool(s: SparkSession, d: String): DataFrame =
+    boolSearch(
+      Tables.documents(s, d),
+      must = Seq(col("text").contains("join"), col("text").contains("filter")),
+      mustNot = Seq(col("lang") === "zh"),
+      exists = Seq("n_chars"),
+      should = Seq(col("source") === "src1", col("n_chars") > 300))
+      .select("doc_id", "lang", "source", "should_score")
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- facet_counts
+
+  /** Top-N terms facet over several fields at once (ES multi-field terms
+    * agg). One groupBy per field (map-side partial agg), tiny ranked unions.
+    */
+  def facetCounts(docs: DataFrame, facetCols: Seq[String], topN: Int): DataFrame = {
+    val w = Window.partitionBy("facet").orderBy(desc("n"), col("value"))
+    facetCols
+      .map(c =>
+        docs.groupBy(col(c).as("value"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(c).as("facet"), col("value"), col("n")))
+      .reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
+  def qFacetCounts(s: SparkSession, d: String): DataFrame =
+    facetCounts(Tables.documents(s, d), Seq("lang", "source"), topN = 3)
+      .orderBy("facet", "rnk")
+
+  // ------------------------------------------------------------ es_bulk_format
+
+  /** ES bulk NDJSON action/source pairs — the Logstash hand-off
+    * (search_pipeline.conf): plain docs get an `index` action; `update_only`
+    * docs get an `update` action with the source wrapped in
+    * `{"doc": ..., "doc_as_upsert": true}`.
+    *
+    * JSON is assembled with explicit concat (stable key order, no
+    * float-formatting ambiguity) so the output is byte-deterministic.
+    */
+  def esBulkFormat(docs: DataFrame, indexName: String, idCol: String, updateOnly: Column): DataFrame = {
+    val id = col(idCol)
+    val action = when(
+      updateOnly,
+      concat(lit(s"""{"update":{"_index":"$indexName","_id":""""), id, lit("\"}}")))
+      .otherwise(
+        concat(lit(s"""{"index":{"_index":"$indexName","_id":""""), id, lit("\"}}")))
+    docs
+      .withColumn("action", action)
+      .withColumn(
+        "source",
+        when(updateOnly, concat(lit("""{"doc":"""), col("doc_json"), lit(""","doc_as_upsert":true}""")))
+          .otherwise(col("doc_json")))
+  }
+
+  def qEsBulkFormat(s: SparkSession, d: String): DataFrame = {
+    val docJson = concat(
+      lit("""{"doc_id":"""), col("doc_id"),
+      lit(""","lang":""""), col("lang"),
+      lit("""","n_chars":"""), col("n_chars"), lit("}"))
+    esBulkFormat(
+      Tables.documents(s, d).withColumn("doc_json", docJson),
+      indexName = "documents", idCol = "doc_id",
+      updateOnly = col("doc_id") % 10 === 0)
+      .select("doc_id", "action", "source")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, winnowing fingerprints.
+  *
+  * All four are per-row expression trees (whole-stage codegen, zero shuffle
+  * except the deterministic result sort) — at 100 TB they run at scan speed,
+  * bounded by parquet decode.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------------ lang_id
+
+  /** Tiny per-language stopword sets — the classic n-gram/stopword heuristic.
+    * Literal sets stay inside codegen (no join, no UDF).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "para", "una"),
+    "it" -> Seq("il", "lo", "che", "e", "di", "per", "non", "alla"))
+
+  /** Predict language = argmax over stopword-hit counts; ties resolve in
+    * `Stopwords` declaration order (en first), deterministically.
+    */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = spaceTokens(col(textCol))
+    val scored = Stopwords.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", tokensIn(toks, words))
+    }
+    val mx = greatest(Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Stopwords.tail.foldLeft(
+      when(col(s"s_${Stopwords.head._1}") === mx, Stopwords.head._1)) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === mx, l)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    langId(Tables.documents(s, d), "text")
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "s_it", "pred_lang")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- quality_score
+
+  /** Document quality: length score (capped), vocabulary diversity
+    * (distinct/total tokens — the dup-line ratio analogue for one-line docs),
+    * stopword presence (capped ×5 — well-formed prose sits near 0.2+).
+    * quality = 0.4·len + 0.3·diversity + 0.3·stopword, rounded to 4.
+    */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = spaceTokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val stopHits = tokensIn(toks, Stopwords.head._2)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("distinct_ratio", round(nDistinct / nWords.cast("double"), 6))
+      .withColumn("stop_ratio", round(stopHits / nWords.cast("double"), 6))
+      .withColumn(
+        "quality",
+        round(
+          least(nWords / lit(200.0), lit(1.0)) * 0.4 +
+            (nDistinct / nWords.cast("double")) * 0.3 +
+            least(stopHits / nWords.cast("double") * 5.0, lit(1.0)) * 0.3,
+          4))
+  }
+
+  def qQualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScore(Tables.documents(s, d), "text")
+      .select("doc_id", "n_words", "distinct_ratio", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- token_count
+
+  /** Token counting three ways: whitespace tokens, a BPE-ish regex pass
+    * (letter/digit runs + each symbol — the classic pre-tokenizer), and the
+    * chars/4 rule-of-thumb estimate.
+    */
+  def tokenCount(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", size(spaceTokens(t)).cast("long"))
+      .withColumn(
+        "re_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("n_chars_text", length(t).cast("long"))
+      .withColumn("bpe_est", ceil(length(t) / lit(4.0)).cast("long"))
+  }
+
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    tokenCount(Tables.documents(s, d), "text")
+      .select("doc_id", "ws_tokens", "re_tokens", "n_chars_text", "bpe_est")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- doc_fingerprint
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash every
+    * k-gram of characters, slide a window of `w` hashes, keep each window's
+    * minimum, dedupe. Guarantees any shared substring of length ≥ w+k-1
+    * yields a shared fingerprint — the standard near-dup/plagiarism sketch.
+    *
+    * Hashing uses Spark's codegen'd murmur3 `hash` — per-doc expression tree,
+    * no shuffle; selectivity (fingerprints ≪ k-grams) keeps the output small
+    * enough to join at 100 TB.
+    */
+  def docFingerprints(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val kgrams = transform(sequence(lit(1), length(t) - (k - 1)), i => hash(t.substr(i, lit(k))))
+    docs
+      .filter(length(t) >= k + w - 1) // need at least one full window
+      .withColumn("kg", kgrams)
+      .withColumn(
+        "fingerprints",
+        array_distinct(
+          transform(sequence(lit(1), size(col("kg")) - (w - 1)), j =>
+            array_min(slice(col("kg"), j, lit(w))))))
+      .drop("kg")
+  }
+
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    docFingerprints(Tables.documents(s, d), "text")
+      .select(
+        col("doc_id"),
+        size(col("fingerprints")).cast("long").as("n_fingerprints"),
+        array_min(col("fingerprints")).cast("long").as("fp_min"),
+        array_max(col("fingerprints")).cast("long").as("fp_max"))
+      .orderBy("doc_id")
+}

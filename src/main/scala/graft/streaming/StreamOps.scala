@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators — the reference's
+  * always-on sync loop re-expressed as unbounded queries. Each transform
+  * takes a streaming DataFrame (`readStream` source) and returns the
+  * transformed stream; sinks/triggers are the caller's choice, so the same
+  * code serves tests (MemoryStream → memory sink) and production
+  * (Kafka/files → parquet).
+  *
+  * State stays bounded: watermarks age out window state, the sessionizer's
+  * per-key state dies on gap timeout, and dedup state is scoped to the
+  * watermark horizon — all prerequisites for running forever on a cluster.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with a watermark (batch twin:
+    * `Relational.q9EventWindows`).
+    */
+  def windowCounts(events: DataFrame, watermark: String = "1 hour", win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Exactly-once id dedup within the watermark horizon (batch twin:
+    * `DedupOps.dedupExact` keyed on event_id).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)
+
+  /** Gap-timeout sessionization via flatMapGroupsWithState (batch twin:
+    * `Relational.q10Sessionize`). A session closes when its key sees no
+    * events for `gapMinutes` past the watermark; closed sessions are emitted
+    * and their state dropped, so state size tracks live users only.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val gapMs = gapMinutes * 60 * 1000L
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, evts: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end)))
+      } else {
+        val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed += SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end))
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

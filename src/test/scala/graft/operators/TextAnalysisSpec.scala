@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies planted real-language sentences") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog is in the house", "en"),
+      (2L, "der hund ist nicht mit der katze und das haus ist alt", "de"),
+      (3L, "le chat est dans la maison et les chiens pour le jardin", "fr"),
+      (4L, "el perro y los gatos es en la casa para una fiesta", "es"),
+      (5L, "il gatto che dorme e il cane di casa non mangia alla sera", "it"))
+      .toDF("doc_id", "text", "expected")
+    val got = TextAnalysis.langId(df, "text")
+      .select("expected", "pred_lang").collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality score is bounded and rewards diverse long text") {
+    val df = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog and " * 20).trim), // long+diverse-ish
+      (2L, "spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(df, "text")
+      .orderBy("doc_id").select("quality").collect().map(_.getDouble(0))
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1), s"diverse long text ${got(0)} should beat spam ${got(1)}")
+  }
+
+  test("token counts: whitespace vs regex tokenization of punctuated text") {
+    val df = Seq((1L, "Hello, world! It's 42.")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(df, "text").collect()(0)
+    assert(r.getAs[Long]("ws_tokens") === 4L)
+    // Hello , world ! It ' s 42 .  -> 9 regex tokens
+    assert(r.getAs[Long]("re_tokens") === 9L)
+    assert(r.getAs[Long]("bpe_est") === math.ceil(22 / 4.0).toLong)
+  }
+
+  test("winnowing: shared long substring implies shared fingerprint; disjoint docs don't collide") {
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val df = Seq(
+      (1L, s"prefixone $shared suffixone"),
+      (2L, s"prefixtwo $shared suffixtwo"),
+      (3L, "completely unrelated text with other characters entirely here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.docFingerprints(df, "text")
+      .orderBy("doc_id").select("fingerprints").collect()
+      .map(_.getSeq[Int](0).toSet)
+    // Winnowing guarantee (k=7, w=4): any shared substring of length >= k+w-1=10
+    // yields at least one shared fingerprint.
+    assert(fps(0).intersect(fps(1)).nonEmpty, "shared substring must share a fingerprint")
+    assert(fps(0).intersect(fps(2)).isEmpty, "disjoint docs should not collide")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("stream_window_counts: tumbling windows aggregate within event-time hours") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowCounts(src.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      src.addData((ts(0), "view", 1.0), (ts(10), "view", 2.0), (ts(70), "click", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .select("event_type", "n", "total").orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream_dedup: duplicate event ids within the watermark are dropped") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.dedupEvents(src.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      src.addData((1L, ts(0), "view"), (2L, ts(1), "view"))
+      q.processAllAvailable()
+      src.addData((1L, ts(2), "view"), (3L, ts(3), "click")) // 1 is a dup
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream_sessionize: gap timeout closes sessions and emits them") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // session 1: user 1, two events 10 min apart
+      src.addData(
+        StreamOps.SessionEvent(1L, 1L, ts(0)),
+        StreamOps.SessionEvent(1L, 2L, ts(10)))
+      q.processAllAvailable()
+      // user 1 returns 2 hours later -> previous session closes in-flight
+      src.addData(StreamOps.SessionEvent(1L, 3L, ts(130)))
+      q.processAllAvailable()
+      // one more batch so the event-time timeout (watermark past end+gap) fires
+      src.addData(StreamOps.SessionEvent(2L, 4L, ts(300)))
+      q.processAllAvailable()
+      src.addData(StreamOps.SessionEvent(2L, 5L, ts(600)))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("user_id", "n_events", "session_start", "session_end")
+        .orderBy("session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // at least user 1's first session (2 events) must have been emitted
+      assert(got.nonEmpty, "no session emitted")
+      assert(got(0) === ((1L, 2L)), s"first closed session wrong: ${got.toSeq}")
+    } finally q.stop()
+  }
+}

@@ -86,11 +86,42 @@ object DedupOps {
   // ------------------------------------------------------------- dedup_minhash
 
   /** MinHash signatures: sig[i] = min over shingles of murmur3(shingle, i).
-    * One array traversal per hash function, all codegen'd expression trees.
+    * Expression-tree form (one array traversal per hash function) — used by
+    * the estimation spec; `minhashBands` below is the high-throughput path.
     */
   def minhashSignature(grams: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(grams, g => hash(g, lit(i))))): _*)
+
+  /** (doc_id, band, band_hash) from (doc_id, g) shingle rows: murmur3 each
+    * shingle ONCE, then `numHashes` cheap permuted-min aggregates with
+    * map-side partial aggregation (one shuffle on doc_id), then fold each
+    * band's mins into one band hash. Fully codegen'd; partial mins combine
+    * before the shuffle, so network volume is docs × numHashes ints
+    * regardless of document length.
+    */
+  def minhashBands(gramRows: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val exploded = gramRows
+      .select(col("doc_id"), hash(col("g")).cast("long").as("gh"))
+    // Permutations beyond the base murmur are the multiply-add universal
+    // family h_i(x) = (a_i·x + b_i) mod 2^32 (a_i odd), seeded and
+    // deterministic. Two long ops each — inlining 64 murmur bodies instead
+    // blows the aggregate update method past the JIT threshold and the whole
+    // stage drops to interpreted bytecode (~4× slower end-to-end).
+    val rnd = new scala.util.Random(0x5eed)
+    val minAggs = (0 until numHashes).map { i =>
+      val a = rnd.nextInt().toLong | 1L
+      val b = rnd.nextInt().toLong
+      min((col("gh") * a + b).bitwiseAND(lit(0xFFFFFFFFL))).as(s"m$i")
+    }
+    val mins = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    mins.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)): _*))
+        .as(Seq("band", "band_hash")))
+  }
 
   /** MinHash + LSH banding near-dup pairs:
     * shingle → `numHashes` minhashes → `bands` bands of `numHashes/bands`
@@ -99,31 +130,59 @@ object DedupOps {
     * τ on the shingle sets. Candidate volume is linear in docs × bands, not
     * quadratic — the scale path for text near-dup at 100 TB.
     */
+  /** One row per word n-gram: (doc_id, g). Built with posexplode + `lead`
+    * windows instead of higher-order array functions — HOFs are interpreted
+    * in Spark and dominate runtime (~10s of a 12s pipeline at sf0.1); this
+    * path is whole-stage-codegen end to end. The window's doc_id shuffle is
+    * reused by every downstream doc_id aggregation, so the op still costs
+    * one logical shuffle.
+    */
+  def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(o => lead("tok", o).over(byDocPos))
+    docs
+      .withColumn("w", spaceTokens(col("text")))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), size(col("w")).as("nw"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("g", concat_ws("_", parts: _*))
+      .filter(col("pos") <= col("nw") - n) // last n-1 positions have no full gram
+      .select("doc_id", "g")
+  }
+
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
       tau: Double = 0.4): DataFrame = {
-    val rows = numHashes / bands
-    val grams = docs
-      .withColumn("w", spaceTokens(col("text")))
-      .filter(size(col("w")) >= n)
-      .withColumn("grams", wordNgrams(col("w"), n))
-      .select("doc_id", "grams")
-    val sig = grams.withColumn("sig", minhashSignature(col("grams"), numHashes))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(b +: (0 until rows).map(r => element_at(col("sig"), b * lit(rows) + r + 1)): _*)))
-        .as(Seq("band", "band_hash")))
-    val cand = banded.as("x")
-      .join(banded.as("y"), Seq("band", "band_hash"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    val gramRows = ngramRows(docs, n)
+    val banded = minhashBands(gramRows, numHashes, bands)
+    // Pairs per bucket via collect_list instead of a self-join: the band
+    // lineage is computed once (a self-join would run it for both sides) and
+    // the only shuffle is the bucket groupBy. Buckets are tiny (near-dup
+    // groups), so in-bucket pair expansion is cheap; a pathological
+    // boilerplate bucket is the documented salting case.
+    val ids = array_sort(col("ids"))
+    val cand = banded
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
-    val g1 = grams.select(col("doc_id").as("id1"), col("grams").as("g1"))
-    val g2 = grams.select(col("doc_id").as("id2"), col("grams").as("g2"))
+    // Exact-verify gram sets are built ONLY for candidate docs (semi-join
+    // first): at scale candidates ≪ corpus, so the expensive string sets
+    // never materialize for the long tail.
+    val candIds = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2"))).distinct()
+    val gramSets = gramRows
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("g")).as("grams"))
+    val g1 = gramSets.select(col("doc_id").as("id1"), col("grams").as("g1"))
+    val g2 = gramSets.select(col("doc_id").as("id2"), col("grams").as("g2"))
     val inter = size(array_intersect(col("g1"), col("g2")))
     val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
     cand
@@ -139,19 +198,28 @@ object DedupOps {
 
   // ------------------------------------------------------------- dedup_simhash
 
-  /** 64-bit SimHash: bit b is the sign of Σ_tokens (±1 by bit b of
-    * xxhash64(token)). Computed as one expression tree over the token array
-    * (64 in-partition folds — at 100 TB this is the spot a custom codegen'd
-    * `Expression` would take over; semantics identical).
+  /** (doc_id, simhash) — 64-bit SimHash: bit b is the sign of
+    * Σ_tokens (±1 by bit b of xxhash64(token)). Scalar codegen path: explode
+    * tokens, xxhash64 each ONCE, 64 conditional-sum aggregates (map-side
+    * partial agg, one shuffle on doc_id), then fold the 64 sums into a long.
+    * Docs with zero tokens vanish with their empty explode — same contract
+    * as the reference's empty-doc skip.
     */
-  def simhash64(tokens: Column): Column =
-    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      val bitSum = aggregate(
-        tokens,
-        lit(0L),
-        (s, t) => s + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      acc.bitwiseOR(when(bitSum >= 0, lit(1L << b)).otherwise(0L))
-    }
+  def simhashTable(docs: DataFrame, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(spaceTokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    exploded
+      .groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+          acc.bitwiseOR(when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L))
+        }.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, candidates
     * via the 4×16-bit pigeonhole: distance ≤ 3 ⟹ at least one of the four
@@ -159,11 +227,7 @@ object DedupOps {
     * (one shuffle on (block, value)) instead of all-pairs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = docs
-      .withColumn("w", spaceTokens(col("text")))
-      .filter(size(col("w")) >= 1)
-      .withColumn("simhash", simhash64(col("w")))
-      .select("doc_id", "simhash")
+    val sh = simhashTable(docs, "text")
     val blocked = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits — the 100 TB contract, asserted. These checks encode
+  * what `.explain("formatted")` reviews verified by hand: filters reach the
+  * parquet scan, projection pruning reaches the reader, small dimensions
+  * broadcast, and top-k never materializes a global sort.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  // sparkPlan (pre-AQE) — AdaptiveSparkPlanExec hides its subtree from collect
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+
+  test("q2_join broadcasts dimension tables and pushes the date filter to the scan") {
+    val p = plan("q2_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    val ordersScan = scans("q2_join").find(_.toString.contains("orders.parquet")).get
+    assert(ordersScan.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter must reach the parquet reader")
+  }
+
+  test("scans read only the columns the query needs (projection pruning)") {
+    // token_count touches doc_id + text of a 5-column table
+    val scan = scans("token_count").head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"expected pruned schema, got ${scan.requiredSchema.fieldNames.toSeq}")
+    // q1_agg reads 4 of 16 lineitem columns
+    val li = scans("q1_agg").head
+    assert(li.requiredSchema.fieldNames.toSet ===
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  test("top-k queries collapse to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"))
+    assert(plan("search_match_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("ann_topk broadcasts the query vectors (corpus never shuffles)") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan("q5_semijoin").contains("LeftSemi"))
+    assert(plan("q6_antijoin").contains("LeftAnti"))
+  }
+
+  test("frontier rule tables broadcast so the url side never shuffles for them") {
+    assert(plan("crawl_frontier").contains("BroadcastNestedLoopJoin") ||
+      plan("crawl_frontier").contains("BroadcastExchange"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv round-trips with an explicit schema (no inference pass)") {
+    val dir = Files.createTempDirectory("csv").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema === schema)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("n_chars")).head.getLong(0) ===
+      docs.agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("json round-trips with an explicit schema") {
+    val dir = Files.createTempDirectory("json").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    docs.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val back = Sources.json(spark, dir, schema)
+    assert(back.count() === docs.count())
+    assert(back.filter(col("text").isNull).count() === 0)
+  }
+
+  test("partitioned parquet write prunes partitions for filters on the key") {
+    val dir = Files.createTempDirectory("part").toString
+    Sources.writePartitioned(Tables.documents(spark, sfDir), dir, "source")
+    // hive-style layout: one directory per source value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("source=")) && dirs.length >= 2)
+    val filtered = spark.read.parquet(dir).filter(col("source") === "src1")
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "filter on partition column must become a partition filter")
+    assert(filtered.count() ===
+      Tables.documents(spark, sfDir).filter(col("source") === "src1").count())
+  }
+}

@@ -66,14 +66,21 @@ object DedupOps {
       .filter(size(col("w")) >= n)
       .withColumn("grams", wordNgrams(col("w"), n))
       .select((Seq("doc_id", "grams") ++ blockCols).map(col): _*)
-    val a = grams.select(
-      (col("doc_id").as("id1") +: col("grams").as("g1") +: blockCols.map(col)): _*)
-    val b = grams.select(
-      (col("doc_id").as("id2") +: col("grams").as("g2") +: blockCols.map(col)): _*)
+    // Alias-based self-join (not renamed projections): both sides stay
+    // canonically identical, so Spark's ReuseExchange materializes the
+    // shuffled gram table ONCE — the n-gram construction is the expensive
+    // part and would otherwise run twice. The shuffle_hash hint matters:
+    // size stats undercount the built gram arrays, and the resulting
+    // broadcast join would construct them single-threaded on the driver.
+    val cond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
     val inter = size(array_intersect(col("g1"), col("g2")))
     val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
-    a.join(b, blockCols, "inner")
-      .filter(col("id1") < col("id2"))
+    grams.hint("shuffle_hash").as("a").join(grams.hint("shuffle_hash").as("b"), cond)
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.grams").as("g1"), col("b.grams").as("g2"))
       .withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
@@ -265,20 +272,19 @@ object DedupOps {
     base.unionByName(mut)
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Cosine near-dup pairs ≥ τ within `label` blocks (blocked cross join —
     * the exact small-scale baseline; `AnnOps.lshTopK` is the 100 TB path
     * where blocks come from random-hyperplane buckets instead of labels).
+    * Similarity runs through the codegen'd `CosineSim` expression — the
+    * interpreted `aggregate(zip_with(...))` formulation computes the same
+    * doubles ~5× slower.
     */
   def embeddingPairs(vecs: DataFrame, tau: Double): DataFrame = {
-    val normed = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = normed.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = normed.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val a = vecs.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = vecs.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos_sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .withColumn("cos_sim", round(graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
       .filter(col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
   }

@@ -22,7 +22,7 @@ class AnnOpsSpec extends SparkSpec {
   test("lshTopK always finds an exact duplicate (identical buckets in every table)") {
     val vecs = AnnOps.corpus(spark, sfDir)
     val clone = vecs.filter(col("vec_id") === 0)
-      .select(lit(99999L).as("vec_id"), col("label"), col("v"), col("nrm"))
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
     val got = AnnOps.lshTopK(vecs.unionByName(clone), clone, k = 1).collect()
     assert(got.length === 1 && got(0).getAs[Long]("neighbor_id") === 0L)
     assert(got(0).getAs[Double]("cos_sim") === 1.0)
@@ -34,7 +34,7 @@ class AnnOpsSpec extends SparkSpec {
     import spark2.implicits._
     // plant an exact copy of vec 0 with id 99999
     val clone = vecs.filter(col("vec_id") === 0)
-      .select(lit(99999L).as("vec_id"), col("label"), col("v"), col("nrm"))
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
     val exact = AnnOps.bruteTopK(vecs.unionByName(clone), clone, k = 1).collect()
     assert(exact.length === 1)
     assert(exact(0).getAs[Long]("neighbor_id") === 0L)

@@ -42,6 +42,8 @@ object SparkEntry {
     "norm_maps" -> (NormOps.qNormMaps _),
     "text_passages" -> (NormOps.qTextPassages _),
     "flatten_json" -> (NormOps.qFlattenJson _),
+    "norm_themes" -> (NormOps.qNormThemes _),
+    "norm_provenance" -> (NormOps.qNormProvenance _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bool" -> (SearchOps.qSearchBool _),
@@ -286,6 +288,30 @@ object SparkEntry {
     "flatten_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "norm_themes" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, list_slice(w, 1, 3) AS themes, list_slice(w, 4, 5) AS tax FROM w),
+        |e AS (SELECT doc_id, unnest(list_distinct(themes || tax)) AS token FROM d),
+        |m AS (SELECT doc_id, coalesce(t.label, e.token) AS theme
+        |      FROM e LEFT JOIN (VALUES ('data','Data & Maps'),('water','Water'),
+        |        ('query','Queries'),('join','Joins'),('stream','Streaming')) t(token, label)
+        |      ON e.token = t.token)
+        |SELECT doc_id, array_to_string(list_sort(list_distinct(list(theme))), '|') AS themes_merged
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "norm_provenance" ->
+      """WITH p AS (
+        |  SELECT doc_id, pos,
+        |    'https://prov.example.eu/' || ((doc_id + pos % 3) % 7) AS link,
+        |    'org' || ((doc_id + pos % 3) % 3) AS organisation,
+        |    'title' || ((doc_id + pos % 3) % 5) AS title
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS pos) t),
+        |dedup AS (
+        |  SELECT doc_id, organisation,
+        |    row_number() OVER (PARTITION BY doc_id, link, organisation, title ORDER BY pos) AS rn
+        |  FROM p)
+        |SELECT doc_id, count(*) AS n_provenances,
+        |  array_to_string(list_sort(list_distinct(list(organisation))), '|') AS organisations
+        |FROM dedup WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "search_match_topk" ->
       """WITH s AS (
         |  SELECT doc_id,

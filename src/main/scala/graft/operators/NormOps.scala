@@ -197,6 +197,78 @@ object NormOps {
     textPassages(Tables.documents(s, d), "text", splitLength = 60, overlap = 15)
       .orderBy("doc_id", "passage_id")
 
+  // -------------------------------------------------------------- norm_themes
+
+  /** merge_themes + update_from_theme_taxonomy (normalizers.py:403-:421):
+    * original themes ∪ taxonomy tokens, each mapped through the taxonomy
+    * (token → label, unmapped tokens pass through). The taxonomy is a tiny
+    * broadcast lookup; output order is normalized by sorting so results are
+    * deterministic under any partitioning.
+    */
+  def mergeThemes(
+      docs: DataFrame, // (doc_id, themes: array<string>, taxonomy_themes: array<string>)
+      taxonomy: DataFrame // (token, label) — tiny, broadcast
+  ): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(array_union(col("themes"), col("taxonomy_themes"))).as("token"))
+      .join(broadcast(taxonomy), Seq("token"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("token")).as("theme"))
+    exploded
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(collect_list("theme"))).as("themes"))
+      .select(col("doc_id"), array_join(col("themes"), "|").as("themes_merged"))
+  }
+
+  def qNormThemes(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val taxonomy = Seq(
+      "data" -> "Data & Maps", "water" -> "Water", "query" -> "Queries",
+      "join" -> "Joins", "stream" -> "Streaming").toDF("token", "label")
+    val w = spaceTokens(col("text"))
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      slice(w, 1, 3).as("themes"),
+      slice(w, 4, 2).as("taxonomy_themes"))
+    mergeThemes(docs, taxonomy).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- norm_provenance
+
+  /** Data-provenance dedup (normalizers.py:437 `get_data_provenance`): keep
+    * the FIRST occurrence of each (link, organisation, title) triple per doc,
+    * then the distinct organisations. One window over (doc, triple) — scales
+    * with provenance rows, which are tiny next to fulltext.
+    */
+  def provenanceDedup(prov: DataFrame): DataFrame = {
+    // (doc_id, pos, link, organisation, title)
+    val firstOfTriple = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "link", "organisation", "title").orderBy("pos")
+    prov
+      .withColumn("rn", row_number().over(firstOfTriple))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_provenances"),
+        array_join(array_sort(array_distinct(collect_list("organisation"))), "|")
+          .as("organisations"))
+  }
+
+  /** queries() wrapper: 4 provenance rows per doc with planted duplicate
+    * triples (pos 3 repeats pos 1's triple; orgs cycle mod 3).
+    */
+  def qNormProvenance(s: SparkSession, d: String): DataFrame = {
+    val prov = Tables.documents(s, d)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("pos"))
+      .select(
+        col("doc_id"), col("pos"),
+        concat(lit("https://prov.example.eu/"), (col("doc_id") + col("pos") % 3) % 7).as("link"),
+        concat(lit("org"), (col("doc_id") + col("pos") % 3) % 3).as("organisation"),
+        concat(lit("title"), (col("doc_id") + col("pos") % 3) % 5).as("title"))
+    provenanceDedup(prov).orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- flatten_json
 
   /** simplify_elements (normalizers.py:219): nested structure → dotted-key

@@ -118,6 +118,35 @@ object SyncOps {
       .orderBy("id", "url")
   }
 
+  /** Robots rule matching with the reference's full semantics
+    * (dags/lib/robots_txt.py:22 `applies_to`): a path is disallowed when it
+    * starts with the rule, or — for wildcard rules — when it glob-matches
+    * (`*` any run, `?` one char; trailing `$` forces an exact match,
+    * otherwise a trailing `*` is implied). Rules are a tiny broadcast table;
+    * the url side is matched with one codegen'd rlike per row, no shuffle.
+    */
+  def robotsDisallowed(urls: DataFrame, rules: Seq[String]): DataFrame = {
+    def globToRegex(rule: String): String = {
+      val (core, exact) =
+        if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
+      val quoted = core
+        .flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+          case c => c.toString
+        }
+      if (exact || core.endsWith("*")) s"^$quoted$$" else s"^$quoted.*"
+    }
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val ruleDf = broadcast(rules.map(r => (r, globToRegex(r))).toDF("rule", "rx"))
+    urls
+      .join(ruleDf, col("path").startsWith(col("rule")) || rlike(col("path"), col("rx")))
+      .select(urls.columns.map(col): _*)
+      .distinct()
+  }
+
   // ------------------------------------------------------------ mark_redirects
 
   /** d7 semantics: join index docs to their latest fetch status; emit an

@@ -83,4 +83,19 @@ class SyncOpsSpec extends SparkSpec {
       Row("a", 4L, 3L, 1L, false), // 25% drop == threshold -> no abort (strict >)
       Row("b", 2L, 1L, 1L, true))) // 50% drop -> abort
   }
+
+  test("robotsDisallowed implements prefix, glob, and exact-match rules") {
+    import spark.implicits._
+    val urls = Seq(
+      "/private/a.html", // prefix rule
+      "/tmp/x/cache.bin", // glob with inner *
+      "/exact", // exact ($) rule hit
+      "/exact/sub", // NOT hit by exact rule, no other match
+      "/public/ok.html" // clean
+    ).zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "path")
+    val rules = Seq("/private", "/tmp/*/cache*", "/exact$")
+    val got = SyncOps.robotsDisallowed(urls, rules)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(got === Set("/private/a.html", "/tmp/x/cache.bin", "/exact"))
+  }
 }

@@ -40,6 +40,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming results hand off to EsBulkSink via foreachBatch") {
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("streambulk").toString
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowCounts(src.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bulk = batch.select(
+          concat(lit("""{"index":{"_index":"counts","_id":""""),
+            col("event_type"), lit("\"}}")).as("action"),
+          concat(lit("""{"n":"""), col("n"), lit("}")).as("source"))
+        graft.sources.EsBulkSink.write(bulk, s"$out/batch_$id")
+        ()
+      }
+      .start()
+    try {
+      src.addData((ts(0), "view", 1.0), (ts(5), "click", 2.0))
+      q.processAllAvailable()
+      val lines = spark.read.text(s"$out/batch_*").collect().map(_.getString(0))
+      assert(lines.count(_.startsWith("{\"index\"")) === 2)
+      assert(lines.length === 4)
+    } finally q.stop()
+  }
+
   test("stream_sessionize: gap timeout closes sessions and emits them") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[StreamOps.SessionEvent]

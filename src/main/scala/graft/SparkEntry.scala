@@ -44,6 +44,7 @@ object SparkEntry {
     "flatten_json" -> (NormOps.qFlattenJson _),
     "norm_themes" -> (NormOps.qNormThemes _),
     "norm_provenance" -> (NormOps.qNormProvenance _),
+    "text_passages_sent" -> (NormOps.qTextPassagesSent _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bool" -> (SearchOps.qSearchBool _),

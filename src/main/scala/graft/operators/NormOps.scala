@@ -269,6 +269,56 @@ object NormOps {
     provenanceDedup(prov).orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- text_passages_sent
+
+  case class SentencePassage(doc_id: Long, passage_id: Int, n_words: Int, passage: String)
+
+  /** Sentence-boundary-respecting passage splitting — the reference's
+    * `split_respect_sentence_boundary` mode (nlp.py:68): sentences pack
+    * greedily into passages of at most `splitLength` words; a passage never
+    * splits a sentence unless a single sentence alone exceeds the budget.
+    *
+    * The greedy fold is inherently sequential per document, so this is the
+    * one operator implemented as a typed flatMap instead of expressions —
+    * still linear, partition-local, and shuffle-free.
+    */
+  def sentencePassages(docs: DataFrame, textCol: String, splitLength: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sents = text.split("(?<=[.!?])\\s+").iterator.filter(_.nonEmpty)
+        val out = Seq.newBuilder[SentencePassage]
+        var pid = 0
+        var words = 0
+        val buf = new StringBuilder
+        def flush(): Unit = if (words > 0) {
+          out += SentencePassage(id, pid, words, buf.toString)
+          pid += 1; words = 0; buf.clear()
+        }
+        sents.foreach { s =>
+          val n = s.split("\\s+").length
+          if (words > 0 && words + n > splitLength) flush()
+          if (buf.nonEmpty) buf.append(' ')
+          buf.append(s); words += n
+        }
+        flush()
+        out.result()
+      }
+      .toDF()
+  }
+
+  def qTextPassagesSent(s: SparkSession, d: String): DataFrame = {
+    // synthesize sentence structure: a period after every 12th word
+    val sentText = regexp_replace(col("text"), "((?:\\S+\\s+){11}\\S+)\\s+", "$1. ")
+    sentencePassages(
+      Tables.documents(s, d).select(col("doc_id"), sentText.as("text")),
+      "text", splitLength = 50)
+      .orderBy("doc_id", "passage_id")
+  }
+
   // ------------------------------------------------------------- flatten_json
 
   /** simplify_elements (normalizers.py:219): nested structure → dotted-key

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions register cosine_sim / dot_product as SQL functions") {
+    // Extensions only apply at session instantiation, so force a NEW session
+    // (clearing the active/default ones); the SparkContext is shared with
+    // other suites and must NOT be stopped here.
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .appName("graft-ext-test").master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT cosine_sim(array(1d, 0d), array(1d, 0d)) AS self,
+          |       dot_product(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS dot""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 32.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

@@ -41,6 +41,29 @@ class NormOpsSpec extends SparkSpec {
     assert(rows(0).getAs[String]("passage").endsWith(" w60"))
   }
 
+  test("sentencePassages respects sentence boundaries within the word budget") {
+    val text = "One two three four. Five six seven! Eight nine ten eleven twelve? Thirteen."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = NormOps.sentencePassages(df, "text", splitLength = 8)
+      .orderBy("passage_id").collect()
+    // greedy packing: [4w + 3w = 7w], [5w + 1w = 6w]
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("passage") === "One two three four. Five six seven!")
+    assert(rows(0).getAs[Int]("n_words") === 7)
+    assert(rows(1).getAs[String]("passage") === "Eight nine ten eleven twelve? Thirteen.")
+    // no passage exceeds the budget; no sentence is split across passages
+    assert(rows.forall(_.getAs[Int]("n_words") <= 8))
+  }
+
+  test("sentencePassages keeps an oversized single sentence whole") {
+    val long = (1 to 20).map(i => s"w$i").mkString(" ") + "."
+    val df = Seq((1L, s"Short one. $long Tail two.")).toDF("doc_id", "text")
+    val rows = NormOps.sentencePassages(df, "text", splitLength = 8)
+      .orderBy("passage_id").collect()
+    assert(rows.length === 3)
+    assert(rows(1).getAs[Int]("n_words") === 20) // not split mid-sentence
+  }
+
   test("flattenStructs turns nested structs into dotted-key columns") {
     val json = """{"a": {"b": {"c": 1}, "d": "x"}, "e": 2}"""
     val df = Seq(json).toDF("j")

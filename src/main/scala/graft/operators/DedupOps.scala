@@ -161,19 +161,26 @@ object DedupOps {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4,
+      maxBucket: Int = 1000): DataFrame = {
     val gramRows = ngramRows(docs, n)
     val banded = minhashBands(gramRows, numHashes, bands)
     // Pairs per bucket via collect_list instead of a self-join: the band
     // lineage is computed once (a self-join would run it for both sides) and
     // the only shuffle is the bucket groupBy. Buckets are tiny (near-dup
-    // groups), so in-bucket pair expansion is cheap; a pathological
-    // boilerplate bucket is the documented salting case.
+    // groups), so in-bucket pair expansion is cheap.
+    //
+    // `maxBucket` is the boilerplate guard: a band whose bucket collects
+    // more than `maxBucket` docs is a degenerate shingle cluster ("click
+    // here to accept cookies…") whose pair count grows quadratically — the
+    // standard web-dedup practice (and the skew story at 100 TB) is to drop
+    // the bucket; its members still pair through their other `bands-1`
+    // bands whenever they are genuine near-duplicates.
     val ids = array_sort(col("ids"))
     val cand = banded
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)), y =>
           struct(x.as("id1"), y.as("id2")))))).as("p"))

@@ -70,6 +70,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), "one-word mutation should stay within hamming budget")
   }
 
+  test("minhash boilerplate guard drops oversized buckets but keeps real dups") {
+    // 30 docs sharing one boilerplate text (a degenerate bucket of 30) plus
+    // one genuine near-dup pair of a distinct doc.
+    val boiler = (0 until 30).map(i => (100L + i, doc(99, 80)))
+    val base = doc(42, 80)
+    val near = base.split(" ").drop(2).mkString(" ")
+    val rows = (boiler ++ Seq((1L, base), (2L, near))).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(rows, tau = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "genuine near-dup must survive the guard")
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "boilerplate bucket (30 > maxBucket) must be dropped")
+  }
+
   test("identical docs have identical simhash (hamming 0)") {
     val rows = Seq((1L, doc(9)), (2L, doc(9))).toDF("doc_id", "text")
     val got = DedupOps.simhashPairs(rows, maxHamming = 0).collect()

@@ -36,6 +36,27 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Streaming twin of `SyncOps.syncDiff`: a live stream of crawled docs
+    * (id, modified) classified against the static index snapshot via a
+    * stream-static left join — the always-on form of the reference's daily
+    * sync. Stream-static joins need no watermark state (the static side is
+    * broadcast/re-read per micro-batch); "deleted" cannot exist in stream
+    * context (an absent doc never produces an event) — that classification
+    * stays with the batch op.
+    */
+  def streamSyncDiff(crawled: DataFrame, indexed: DataFrame): DataFrame = {
+    val idx = indexed.select(
+      col("id"), col("modified").as("i_modified"), col("error_cnt"))
+    crawled
+      .join(idx, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        when(col("i_modified").isNull, "new")
+          .when(col("modified") === col("i_modified") && col("error_cnt") === 0, "unchanged")
+          .otherwise("modified")
+          .as("status"))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)

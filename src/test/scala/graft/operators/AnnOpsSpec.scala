@@ -13,10 +13,12 @@ class AnnOpsSpec extends SparkSpec {
     val approx = AnnOps.lshTopK(vecs, queries, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"LSH recall@10 = $recall%.3f (${approx.size} approx pairs, ${exact.size} exact)")
     // This corpus's true top-10 neighbors sit at cosine ~0.3 (near-random
-    // vectors) — the hard regime for sign-LSH. 8 tables × 5 bits probes
-    // ~25% of the corpus; recall must clearly beat that random-probe floor.
-    assert(recall >= 0.35, s"LSH recall $recall below 0.35 (found ${approx.size} pairs)")
+    // vectors) — the hard regime for sign-LSH. 8 tables × 5 bits with 1-bit
+    // multiprobe on the query side measures ~0.94 here; 0.7 leaves margin
+    // for corpus regeneration without letting a probe regression slip by.
+    assert(recall >= 0.7, s"LSH recall $recall below 0.7 (found ${approx.size} pairs)")
   }
 
   test("lshTopK always finds an exact duplicate (identical buckets in every table)") {

@@ -40,6 +40,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamSyncDiff classifies a live crawl stream against the static index") {
+    implicit val sq = spark.sqlContext
+    val indexed = Seq(
+      (1L, ts(0), 0), // unchanged if re-crawled with same ts
+      (2L, ts(0), 0), // modified if re-crawled with newer ts
+      (3L, ts(0), 1) // had errors -> always modified
+    ).toDF("id", "modified", "error_cnt")
+    val src = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.streamSyncDiff(src.toDF().toDF("id", "modified"), indexed)
+      .writeStream.format("memory").queryName("ssd").outputMode("append").start()
+    try {
+      src.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(0)), (9L, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("ssd").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "unchanged", 2L -> "modified", 3L -> "modified", 9L -> "new"))
+    } finally q.stop()
+  }
+
   test("streaming results hand off to EsBulkSink via foreachBatch") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("streambulk").toString

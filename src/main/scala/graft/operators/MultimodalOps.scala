@@ -68,4 +68,59 @@ object MultimodalOps {
     extractMeta(syntheticMedia(s, d)).toDF()
       .select("doc_id", "format", "width", "height", "n_bytes", "ok")
       .orderBy("doc_id")
+
+  // ------------------------------------------------------------------ resize
+
+  /** Batched resize: payload in, payload out with the target dimensions.
+    * The codec is stubbed (header rewrite + body passthrough); the contract
+    * a real decoder slots into is the same batched, partition-preserving,
+    * total-function shape as `extractMeta`. Aspect ratio clamps to fit
+    * within (maxW, maxH) like a real thumbnailer.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int, batchSize: Int = 32): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val metas = decodeBatch(Seq(m))
+        metas.head match {
+          case meta if meta.ok =>
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+            val (w, h) = ((meta.width * scale).toInt.max(1), (meta.height * scale).toInt.max(1))
+            val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+            val body = s.split("\\|", 5)(4)
+            MediaRow(m.doc_id,
+              s"$Magic|${meta.format}|$w|$h|$body".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case _ => m // undecodable payloads pass through untouched
+        }
+      }))
+  }
+
+  // ------------------------------------------------------------ frame_sample
+
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** Frame sampling for "video" payloads: emit every `stride`-th fixed-size
+    * chunk of the body as a frame row. One input row fans out to ≤
+    * `maxFrames` rows — the schema/partitioning shape of real video
+    * sampling, with the chunker standing in for a demuxer.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int,
+      maxFrames: Int, batchSize: Int = 32): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
+        val body = m.payload
+        Iterator.from(0)
+          .map(i => i * stride * frameBytes)
+          .takeWhile(off => off + frameBytes <= body.length)
+          .take(maxFrames)
+          .zipWithIndex
+          .map { case (off, idx) =>
+            Frame(m.doc_id, idx, off.toLong, body.slice(off, off + frameBytes))
+          }
+      }))
+  }
 }

@@ -31,6 +31,36 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got(1).getAs[String]("format") === "unknown")
   }
 
+  test("resize clamps dimensions to fit, preserves aspect ratio, round-trips decode") {
+    val media = MultimodalOps.syntheticMedia(spark, sfDir)
+    val resized = MultimodalOps.resize(media, maxW = 100, maxH = 100).toDF()
+    val metas = MultimodalOps.extractMeta(resized).toDF()
+      .orderBy("doc_id").limit(200).collect()
+    metas.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("ok"), s"doc $id must stay decodable after resize")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w <= 100 && h <= 100, s"doc $id not clamped: ${w}x$h")
+      val (ow, oh) = ((id % 512 + 64).toInt, (id % 384 + 48).toInt)
+      if (ow <= 100 && oh <= 100) assert(w === ow && h === oh, "small images untouched")
+      else {
+        val scale = math.min(100.0 / ow, 100.0 / oh)
+        assert(w === (ow * scale).toInt.max(1) && h === (oh * scale).toInt.max(1))
+      }
+    }
+  }
+
+  test("frameSample fans one payload into bounded fixed-size frame rows") {
+    val body = Array.tabulate[Byte](100)(_.toByte)
+    val df = Seq((7L, body)).toDF("doc_id", "payload")
+    val frames = MultimodalOps.frameSample(df, frameBytes = 10, stride = 2, maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    // offsets 0, 20, 40 (stride 2 x 10 bytes), capped at 3 frames
+    assert(frames.map(_.offset).toSeq === Seq(0L, 20L, 40L))
+    assert(frames.forall(_.frame.length === 10))
+    assert(frames(1).frame.toSeq === body.slice(20, 30).toSeq)
+  }
+
   test("decode batches are bounded by batchSize, not partition size") {
     val media = MultimodalOps.syntheticMedia(spark, sfDir).repartition(1)
     // 500 docs in ONE partition, batch 32 — memory contract holds iff grouped

@@ -28,6 +28,7 @@ object SparkEntry {
     "q9_event_windows" -> (Relational.q9EventWindows _),
     "q10_sessionize" -> (Relational.q10Sessionize _),
     "q11_asof_join" -> (Relational.q11AsofJoin _),
+    "q12_part_type_revenue" -> (Relational.q12PartTypeRevenue _),
     // Crawl/sync pipeline semantics (SURVEY §2 #12-#16)
     "sync_diff" -> (SyncOps.qSyncDiff _),
     "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
@@ -154,6 +155,16 @@ object SparkEntry {
         |  FROM p JOIN v ON p.user_id=v.user_id AND v.ts <= p.ts)
         |SELECT event_id, user_id, prior_view_event_id FROM j WHERE rn=1
         |ORDER BY event_id""".stripMargin,
+    "q12_part_type_revenue" ->
+      """SELECT p_type, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN part ON l_partkey=p_partkey
+        | JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        |WHERE p_size <= 25
+        |GROUP BY p_type, n_name ORDER BY p_type, n_name""".stripMargin,
     "sync_diff" ->
       """WITH crawled AS (
         |  SELECT o_orderkey AS id,

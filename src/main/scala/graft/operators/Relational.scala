@@ -153,6 +153,26 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Revenue by part type and supplier nation: fact table joined to two
+    * broadcast dims (part, supplier) plus nation — the classic star-join
+    * shape where the fact side never shuffles for the dimension lookups
+    * (TPC-H Q9 flavor; ES nested terms agg twin).
+    */
+  def q12PartTypeRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val part = broadcast(Tables.part(s, d).filter(col("p_size") <= 25))
+    val supp = broadcast(Tables.supplier(s, d))
+    val nat = broadcast(Tables.nation(s, d))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_type", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_type", "n_name")
+  }
+
   /** As-of join: each purchase event joined to the user's latest prior
     * view/click event. Implemented with the scalable union+window trick —
     * one shuffle on the key, no point-in-time cross join. Ties at equal `ts`

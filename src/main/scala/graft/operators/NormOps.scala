@@ -326,7 +326,7 @@ object NormOps {
     */
   def flattenStructs(df: DataFrame): DataFrame = {
     def expand(prefix: String, schema: StructType): Seq[Column] =
-      schema.fields.flatMap { f =>
+      schema.fields.toSeq.flatMap { f =>
         val path = if (prefix.isEmpty) f.name else prefix + "." + f.name
         f.dataType match {
           case st: StructType => expand(path, st)

@@ -143,7 +143,7 @@ object SyncOps {
     val ruleDf = broadcast(rules.map(r => (r, globToRegex(r))).toDF("rule", "rx"))
     urls
       .join(ruleDf, col("path").startsWith(col("rule")) || rlike(col("path"), col("rx")))
-      .select(urls.columns.map(col): _*)
+      .select(urls.columns.toSeq.map(col): _*)
       .distinct()
   }
 

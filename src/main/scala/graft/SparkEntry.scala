@@ -29,6 +29,7 @@ object SparkEntry {
     "q10_sessionize" -> (Relational.q10Sessionize _),
     "q11_asof_join" -> (Relational.q11AsofJoin _),
     "q12_part_type_revenue" -> (Relational.q12PartTypeRevenue _),
+    "q13_session_window" -> (Relational.q13SessionWindow _),
     // Crawl/sync pipeline semantics (SURVEY §2 #12-#16)
     "sync_diff" -> (SyncOps.qSyncDiff _),
     "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
@@ -155,6 +156,23 @@ object SparkEntry {
         |  FROM p JOIN v ON p.user_id=v.user_id AND v.ts <= p.ts)
         |SELECT event_id, user_id, prior_view_event_id FROM j WHERE rn=1
         |ORDER BY event_id""".stripMargin,
+    "q13_session_window" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM marked)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q12_part_type_revenue" ->
       """SELECT p_type, n_name,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,

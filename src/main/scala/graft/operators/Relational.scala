@@ -153,6 +153,23 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's built-in `session_window` — the idiomatic
+    * formulation of q10's lag+cumsum sessions (both must agree; the oracle
+    * cross-checks them against the same DuckDB session derivation). The
+    * built-in merges per-key windows inside the aggregation, so the shuffle
+    * is the groupBy's only one and state never exceeds open sessions.
+    */
+  def q13SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"))
+      .select(
+        col("user_id"),
+        fmtTs(col("start_ts")).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** Revenue by part type and supplier nation: fact table joined to two
     * broadcast dims (part, supplier) plus nation — the classic star-join
     * shape where the fact side never shuffles for the dimension lookups

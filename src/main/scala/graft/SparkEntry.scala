@@ -64,6 +64,7 @@ object SparkEntry {
     "quality_score" -> (TextAnalysis.qQualityScore _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
+    "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
     "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 

@@ -124,6 +124,22 @@ object TextAnalysis {
       .drop("kg")
   }
 
+  // ------------------------------------------------------------ sample_bottomk
+
+  /** Deterministic per-group sampling via the bottom-k hash sketch
+    * (graft.functions.BottomKSample): O(k) memory per partial, merge-order
+    * independent, reproducible without seed plumbing — the sampling
+    * primitive for training-data splits.
+    */
+  def qSampleBottomK(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(graft.functions.BottomKSample.bottom_k_sample(col("doc_id"), 10).as("sample"))
+      .select(col("source"),
+        concat_ws(",", col("sample")).as("sample_ids"),
+        size(col("sample")).cast("long").as("n_sampled"))
+      .orderBy("source")
+
   def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     docFingerprints(Tables.documents(s, d), "text")
       .select(

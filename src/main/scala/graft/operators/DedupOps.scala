@@ -55,10 +55,12 @@ object DedupOps {
 
   // ------------------------------------------------------------ ngram_jaccard
 
-  /** Word-3-gram Jaccard pairs ≥ τ within (lang, source) blocks. The block
-    * key bounds the self-join: one shuffle on the block key, pairs verified
-    * inside each block. At 100 TB the block key would be an LSH bucket
-    * (see `minhashPairs`) — this operator is the exact-verification core.
+  /** Word-3-gram Jaccard pairs ≥ τ within (lang, source) blocks — the
+    * all-pairs self-join form. EXACT but quadratic per block: this is the
+    * small-SF cross-check used by the prefix-filter equivalence spec, NOT
+    * the registered query (`ngramJaccardPairsPrefix` below computes the
+    * identical result with a linear candidate plan and is what
+    * `qNgramJaccard` runs).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double, blockCols: Seq[String]): DataFrame = {
     val grams = docs
@@ -86,8 +88,67 @@ object DedupOps {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs ≥ τ via PREFIX FILTERING — the AllPairs /
+    * PPJoin candidate scheme (Bayardo et al., WWW'07; Xiao et al., ICDE'08).
+    * Same result set as `ngramJaccardPairs`, bit for bit, but the plan is
+    * linear: no all-pairs join anywhere.
+    *
+    * Principle: order every doc's gram set by a global total order
+    * (document-frequency ascending, rarest first; ties on the gram). If
+    * |s1 ∩ s2| ≥ α then the first |s_i| − α + 1 grams of each side must
+    * share a gram. Jaccard ≥ τ implies |s1 ∩ s2| ≥ ⌈τ·max(|s1|,|s2|)⌉ ≥
+    * ⌈τ·|s_i|⌉, so indexing each doc's first |s| − ⌈τ·|s|⌉ + 1 grams and
+    * equi-joining on the gram is a complete candidate generator. Common
+    * grams rank late in every doc's order, so posting lists for prefix
+    * grams stay short — candidates grow ~linearly with the corpus, and the
+    * size filter (Jaccard ≥ τ forces |s1|,|s2| within a 1/τ factor) prunes
+    * the rest. Exact verification then runs only on candidate docs (the
+    * same semi-join pattern as `minhashPairs`).
+    *
+    * Shuffle budget: one window on the gram (document frequency), one on
+    * doc_id (prefix ranks), one equi-join on (gram, block), one distinct —
+    * all linear in corpus size. Survives a 100× scale-up.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, tau: Double, blockCols: Seq[String]): DataFrame = {
+    val setRows = docs
+      .withColumn("w", spaceTokens(col("text")))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id") +: blockCols.map(col) :+ explode(wordNgrams(col("w"), n)).as("g"): _*)
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = setRows
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("g"))))
+    val prefix = ranked
+      .filter(col("r") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select((Seq("doc_id", "g", "sz") ++ blockCols).map(col): _*)
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.g") === col("b.g"))(_ && _) &&
+      col("a.doc_id") < col("b.doc_id") &&
+      least(col("a.sz"), col("b.sz")) >= greatest(col("a.sz"), col("b.sz")) * tau
+    val cand = prefix.as("a").join(prefix.as("b"), cond)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // Exact verify only for candidate docs — identical formula to the
+    // all-pairs form (distinct-gram sets on both sides).
+    val candIds = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2"))).distinct()
+    val gramSets = setRows
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("g")).as("grams"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
+    cand
+      .join(gramSets.select(col("doc_id").as("id1"), col("grams").as("g1")), "id1")
+      .join(gramSets.select(col("doc_id").as("id2"), col("grams").as("g2")), "id2")
+      .withColumn("jaccard", round(jac, 6))
+      .filter(col("jaccard") >= tau)
+      .select("id1", "id2", "jaccard")
+  }
+
   def qNgramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(plantedCorpus(s, d), n = 3, tau = 0.4, blockCols = Seq("lang", "source"))
+    ngramJaccardPairsPrefix(plantedCorpus(s, d), n = 3, tau = 0.4, blockCols = Seq("lang", "source"))
       .orderBy("id1", "id2")
 
   // ------------------------------------------------------------- dedup_minhash
@@ -280,11 +341,11 @@ object DedupOps {
   }
 
   /** Cosine near-dup pairs ≥ τ within `label` blocks (blocked cross join —
-    * the exact small-scale baseline; `AnnOps.lshTopK` is the 100 TB path
-    * where blocks come from random-hyperplane buckets instead of labels).
-    * Similarity runs through the codegen'd `CosineSim` expression — the
-    * interpreted `aggregate(zip_with(...))` formulation computes the same
-    * doubles ~5× slower.
+    * the exact small-SF cross-check used by the LSH equivalence spec, NOT
+    * the registered query; `embeddingPairsLsh` below is what
+    * `qDedupEmbedding` runs). Similarity runs through the codegen'd
+    * `CosineSim` expression — the interpreted `aggregate(zip_with(...))`
+    * formulation computes the same doubles ~5× slower.
     */
   def embeddingPairs(vecs: DataFrame, tau: Double): DataFrame = {
     val a = vecs.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
@@ -296,6 +357,42 @@ object DedupOps {
       .select("id1", "id2", "cos_sim")
   }
 
+  /** Cosine near-dup pairs ≥ τ with candidates from random-hyperplane LSH
+    * buckets (the `AnnOps` table/bucket machinery) — the scale path: the
+    * only shuffle over the corpus is the (table, bucket) equi-join, never a
+    * cross join. Each vector lands in one bucket per table; a pair at
+    * cos ≥ 0.95 (angle ≤ 18.2°, per-hyperplane split probability ≤ 0.102)
+    * collides in at least one of the 16 8-bit tables with probability
+    * ≥ 1 − (1 − 0.898^8)^16 ≈ 1 − 1.4e-4 — and planted exact-direction
+    * duplicates (cos = 1) collide in EVERY table deterministically. Exact
+    * cosine verification runs only on bucket-collision candidates; vectors
+    * stay out of the shuffle (ids bucket and pair first, arrays join back
+    * after the distinct).
+    */
+  def embeddingPairsLsh(
+      vecs: DataFrame,
+      tau: Double,
+      tables: Int = 16,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = AnnOps.hyperplanes(tables, bits, dim)
+    val bucketed = vecs.select(
+      col("vec_id"),
+      posexplode(array(planes.map(p => AnnOps.bucketOf(col("v"), p)): _*))
+        .as(Seq("table", "bucket")))
+    val cand = bucketed.as("x")
+      .join(bucketed.as("y"), Seq("table", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("cos_sim", round(graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
+      .filter(col("cos_sim") >= tau)
+      .select("id1", "id2", "cos_sim")
+  }
+
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    embeddingPairs(plantedEmbeddings(s, d), tau = 0.95).orderBy("id1", "id2")
+    embeddingPairsLsh(plantedEmbeddings(s, d), tau = 0.95).orderBy("id1", "id2")
 }

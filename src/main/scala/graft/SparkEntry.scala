@@ -432,7 +432,8 @@ object SparkEntry {
       """WITH base AS (SELECT vec_id,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
         |p AS (SELECT query_id, vec_id AS neighbor_id,
         |        list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) / (nrm * qn) AS cos_raw
         |      FROM n CROSS JOIN q WHERE vec_id <> query_id),

@@ -105,18 +105,25 @@ object DedupOps {
     * the rest. Exact verification then runs only on candidate docs (the
     * same semi-join pattern as `minhashPairs`).
     *
-    * Shuffle budget: one window on the gram (document frequency), one on
-    * doc_id (prefix ranks), one equi-join on (gram, block), one distinct —
-    * all linear in corpus size. Survives a 100× scale-up.
+    * Shuffle budget: one groupBy on the gram (document frequency — partial
+    * aggregation combines map-side, so a boilerplate gram that appears in
+    * millions of docs still costs one row per input partition on the wire;
+    * a window on the gram key would instead colocate every occurrence in a
+    * single unsplittable task), one join of the counts back onto the gram
+    * rows (sort-merge; AQE splits any residual skewed partition — something
+    * window partitions never get), one window on doc_id (prefix ranks), one
+    * equi-join on (gram, block), one distinct — all linear in corpus size.
+    * Survives a 100× scale-up.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, tau: Double, blockCols: Seq[String]): DataFrame = {
     val setRows = docs
       .withColumn("w", spaceTokens(col("text")))
       .filter(size(col("w")) >= n)
       .select(col("doc_id") +: blockCols.map(col) :+ explode(wordNgrams(col("w"), n)).as("g"): _*)
+    val dfCounts = setRows.groupBy("g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = setRows
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .join(dfCounts, Seq("g"))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("g"))))
     val prefix = ranked
@@ -298,22 +305,36 @@ object DedupOps {
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, candidates
     * via the 4×16-bit pigeonhole: distance ≤ 3 ⟹ at least one of the four
-    * 16-bit blocks is equal, so candidate generation is 4 narrow equi-joins
-    * (one shuffle on (block, value)) instead of all-pairs.
+    * 16-bit blocks is equal, so candidate generation is one shuffle on
+    * (block, value) instead of all-pairs.
+    *
+    * `maxBucket` is the degenerate-block guard (same pattern as
+    * `minhashPairs`): a block value shared by more than `maxBucket` docs
+    * (e.g. near-empty documents whose sparse token sums all land on the
+    * same sign pattern) would expand quadratically, so the bucket is
+    * dropped; true near-dups in it still pair through their other three
+    * blocks (Hamming ≤ 3 leaves at least one MORE block equal whenever two
+    * of the four differ — and a cluster degenerate in every block is
+    * exactly the boilerplate case the guard exists to shed).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhashTable(docs, "text")
     val blocked = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("block", "block_val")))
-    val cand = blocked.as("x")
-      .join(blocked.as("y"), Seq("block", "block_val"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+    val members = array_sort(col("members")) // struct sort: doc_id asc ⟹ id1 < id2
+    val cand = blocked
+      .groupBy("block", "block_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(flatten(transform(members, (x, i) =>
+        transform(slice(members, i + 2, size(members)), y =>
+          struct(
+            x.getField("doc_id").as("id1"), y.getField("doc_id").as("id2"),
+            x.getField("simhash").as("sh1"), y.getField("simhash").as("sh2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.sh1"), col("p.sh2"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
@@ -357,33 +378,63 @@ object DedupOps {
       .select("id1", "id2", "cos_sim")
   }
 
-  /** Cosine near-dup pairs ≥ τ with candidates from random-hyperplane LSH
-    * buckets (the `AnnOps` table/bucket machinery) — the scale path: the
-    * only shuffle over the corpus is the (table, bucket) equi-join, never a
-    * cross join. Each vector lands in one bucket per table; a pair at
-    * cos ≥ 0.95 (angle ≤ 18.2°, per-hyperplane split probability ≤ 0.102)
-    * collides in at least one of the 16 8-bit tables with probability
-    * ≥ 1 − (1 − 0.898^8)^16 ≈ 1 − 1.4e-4 — and planted exact-direction
-    * duplicates (cos = 1) collide in EVERY table deterministically. Exact
-    * cosine verification runs only on bucket-collision candidates; vectors
-    * stay out of the shuffle (ids bucket and pair first, arrays join back
-    * after the distinct).
+  /** Cosine near-dup pairs ≥ τ within `label` blocks with candidates from
+    * random-hyperplane LSH buckets — the scale path. Three properties make
+    * it a plan and not a disguised cross join:
+    *
+    *  - **Bucket width scales with the corpus.** `bits` defaults to
+    *    ⌈log₂(N / targetBucket)⌉ (clamped to [8, 20]), so the expected
+    *    bucket population stays ≈ `targetBucket` no matter how much data
+    *    arrives — candidate volume is ~tables · N · targetBucket / 2, i.e.
+    *    LINEAR in N, where a fixed bit width would be N²/2^bits.
+    *  - **`maxBucket` cap** (same guard as `minhashPairs`): a bucket that
+    *    still collects more than `maxBucket` vectors (a direction cluster —
+    *    real embeddings are not uniform) is dropped; genuine near-dups in it
+    *    survive through their other `tables − 1` tables.
+    *  - **`label` is part of the bucket key**, so candidates never cross
+    *    labels — identical semantics to the exact blocked form above (the
+    *    LSH equivalence spec asserts result equality at small SF).
+    *
+    * Recall: a pair at cos = 1 (planted duplicates) collides in EVERY table
+    * deterministically. At the τ = 0.95 boundary (per-hyperplane agreement
+    * 0.898) collision probability is 1 − (1 − 0.898^bits)^tables — e.g.
+    * 0.988 at bits = 8, tables = 8 — and rises steeply toward 1 as cos → 1
+    * (0.9995 at cos = 0.99): the dup-regime pairs this operator exists for
+    * are caught; boundary-grazing pairs degrade gracefully and can be
+    * bought back with more tables.
+    *
+    * The one corpus shuffle is the (table, bucket, label) groupBy; in-bucket
+    * pair expansion via collect_list runs on ≤ maxBucket ids; exact cosine
+    * verification touches candidates only, and vectors stay out of the
+    * shuffle (ids pair first, arrays join back after the distinct).
     */
   def embeddingPairsLsh(
       vecs: DataFrame,
       tau: Double,
-      tables: Int = 16,
-      bits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      tables: Int = 8,
+      bitsOverride: Option[Int] = None,
+      dim: Int = 64,
+      targetBucket: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val bits = bitsOverride.getOrElse {
+      val n = math.max(1L, vecs.count())
+      math.max(8, math.min(20,
+        math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+    }
     val planes = AnnOps.hyperplanes(tables, bits, dim)
     val bucketed = vecs.select(
-      col("vec_id"),
+      col("vec_id"), col("label"),
       posexplode(array(planes.map(p => AnnOps.bucketOf(col("v"), p)): _*))
         .as(Seq("table", "bucket")))
-    val cand = bucketed.as("x")
-      .join(bucketed.as("y"), Seq("table", "bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+    val ids = array_sort(col("ids"))
+    val cand = bucketed
+      .groupBy("table", "bucket", "label")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")

@@ -30,11 +30,18 @@ object StreamOps {
 
   /** Exactly-once id dedup within the watermark horizon (batch twin:
     * `DedupOps.dedupExact` keyed on event_id).
+    *
+    * `dropDuplicatesWithinWatermark` — NOT plain `dropDuplicates` — is the
+    * load-bearing choice: with the event-time column absent from the dedup
+    * keys, plain `dropDuplicates` never evicts its key state and a forever-
+    * running stream grows state without bound. The WithinWatermark variant
+    * expires each key once the watermark passes its event time, so state
+    * size tracks the watermark horizon (the documented contract above).
     */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming twin of `SyncOps.syncDiff`: a live stream of crawled docs
     * (id, modified) classified against the static index snapshot via a

@@ -58,4 +58,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("crawl_frontier").contains("BroadcastNestedLoopJoin") ||
       plan("crawl_frontier").contains("BroadcastExchange"))
   }
+
+  test("dedup/ANN candidate plans contain no cartesian or nested-loop join") {
+    // The 100 TB contract for the similarity family: candidates come from a
+    // blocking-key equi-join/groupBy, NEVER an all-pairs product. (ann_topk
+    // is exempt by design — it is the bounded-query-side exact baseline and
+    // broadcasts 8 vectors against one corpus scan.)
+    for (q <- Seq("ngram_jaccard", "dedup_embedding", "dedup_minhash",
+        "dedup_simhash", "ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
+    }
+  }
+
+  test("ngram_jaccard computes document frequency without a window on the gram key") {
+    // A window partitioned by the gram colocates every occurrence of a hot
+    // gram in one unsplittable task (no partial agg, no AQE skew split) —
+    // df must come from groupBy("g").count() instead. The only windows in
+    // the plan are the per-doc ones (size + prefix rank).
+    val windows = SparkEntry.queries("ngram_jaccard")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    val onGram = windows.filter(_.partitionSpec.exists(_.references.exists(_.name == "g")))
+    assert(onGram.isEmpty, "document frequency must not be a window on the gram key")
+    assert(windows.forall(_.partitionSpec.exists(_.references.exists(_.name == "doc_id"))),
+      "remaining windows must partition by doc_id")
+  }
 }

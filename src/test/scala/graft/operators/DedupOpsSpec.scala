@@ -89,4 +89,62 @@ class DedupOpsSpec extends SparkSpec {
     val got = DedupOps.simhashPairs(rows, maxHamming = 0).collect()
     assert(got.length === 1 && got(0).getAs[Long]("hamming") === 0L)
   }
+
+  test("simhash boilerplate guard drops oversized block buckets but keeps real dups") {
+    // 30 identical docs share every 16-bit block value (a degenerate bucket
+    // of 30 in all four blocks) — the guard must shed them; a genuine
+    // one-word mutation pair of a distinct doc must survive.
+    val boiler = (0 until 30).map(i => (100L + i, doc(99, 80)))
+    val base = doc(42, 80)
+    val mutated = { val w = base.split(" "); w(10) = "changedword"; w.mkString(" ") }
+    val rows = (boiler ++ Seq((1L, base), (2L, mutated))).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(rows, maxHamming = 12, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "genuine near-dup must survive the guard")
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "boilerplate bucket (30 > maxBucket) must be dropped")
+  }
+
+  test("prefix-filter equivalence: ngramJaccardPairsPrefix == all-pairs ngramJaccardPairs") {
+    // Real planted corpus (sf0.001) AND a generated corpus with rotations /
+    // deletions — the prefix-filtered linear plan must reproduce the exact
+    // quadratic result bit for bit.
+    val planted = DedupOps.plantedCorpus(spark, sfDir)
+    def result(df: org.apache.spark.sql.DataFrame, f: (org.apache.spark.sql.DataFrame, Int, Double, Seq[String]) => org.apache.spark.sql.DataFrame) =
+      f(df, 3, 0.4, Seq("lang", "source")).orderBy("id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(result(planted, DedupOps.ngramJaccardPairsPrefix) ===
+      result(planted, DedupOps.ngramJaccardPairs))
+
+    val gen = (0 until 20).map { i =>
+      val base = doc(i % 5, 60) // 4 docs per seed → guaranteed dup clusters
+      val text = if (i >= 15) base.split(" ").drop(i - 14).mkString(" ") else base
+      (i.toLong, "en", s"src${i % 2}", text)
+    }.toDF("doc_id", "lang", "source", "text")
+    assert(result(gen, DedupOps.ngramJaccardPairsPrefix) ===
+      result(gen, DedupOps.ngramJaccardPairs))
+  }
+
+  test("LSH equivalence: embeddingPairsLsh == exact blocked embeddingPairs") {
+    val planted = DedupOps.plantedEmbeddings(spark, sfDir)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = res(DedupOps.embeddingPairs(planted, tau = 0.95))
+    val lsh = res(DedupOps.embeddingPairsLsh(planted, tau = 0.95))
+    assert(exact.nonEmpty, "planted corpus must contain near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("embeddingPairsLsh never crosses labels (bucket key includes label)") {
+    // Two identical-direction vectors with DIFFERENT labels: cos = 1 but the
+    // exact blocked form excludes them, so the LSH form must too.
+    val v = (0 until 64).map(_.toDouble)
+    val rows = Seq(
+      (1L, "a", v), (2L, "b", v), (3L, "a", v.map(_ * 1.01)))
+      .toDF("vec_id", "label", "v")
+    val pairs = DedupOps.embeddingPairsLsh(rows, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L)), s"expected only the same-label pair, got $pairs")
+  }
 }

@@ -40,6 +40,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup: key state is evicted past the watermark (bounded state)") {
+    // The forever-running contract: an id whose event time has aged past the
+    // watermark must have its dedup state dropped — re-arrival is then
+    // emitted AGAIN. Plain dropDuplicates (no WithinWatermark) fails this:
+    // its state never evicts and the id would stay suppressed forever.
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.dedupEvents(src.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("ddev").outputMode("append").start()
+    try {
+      src.addData((1L, ts(0), "view"))
+      q.processAllAvailable()
+      src.addData((99L, ts(120), "view")) // watermark -> ts(60), past id 1's ts(0)
+      q.processAllAvailable()
+      src.addData((1L, ts(125), "view")) // state evicted -> NOT a duplicate
+      q.processAllAvailable()
+      val ones = spark.table("ddev").filter(col("event_id") === 1L).count()
+      assert(ones === 2L, "event id must re-emit after its dedup state ages out")
+    } finally q.stop()
+  }
+
   test("streamSyncDiff classifies a live crawl stream against the static index") {
     implicit val sq = spark.sqlContext
     val indexed = Seq(

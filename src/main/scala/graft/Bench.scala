@@ -24,17 +24,22 @@ object Bench {
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // min of 2 measured runs per query: JVM/IO noise on a busy host is
-    // several hundred ms; the min is the standard stable estimator.
+    // min of 3 measured runs per query: JVM/IO noise on a busy host is
+    // several hundred ms; the min is the standard stable estimator. The
+    // per-query spread (max − min) is reported alongside so a contended
+    // host shows up as variance in the record instead of masquerading as a
+    // code regression.
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        val runs = (1 to 2).map { _ =>
+        val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
         timings(name) = runs.min
+        spreads(name) = runs.max - runs.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -48,11 +53,13 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = "%.3f".format(timings.values.sum)
+    val totalSpread = "%.3f".format(spreads.values.sum)
     // One clean line; flush stderr first so log noise cannot interleave.
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"queries":$qs,"spread":$sp,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -47,6 +47,10 @@ object SparkEntry {
     "norm_themes" -> (NormOps.qNormThemes _),
     "norm_provenance" -> (NormOps.qNormProvenance _),
     "text_passages_sent" -> (NormOps.qTextPassagesSent _),
+    "norm_coverage" -> (NormOps.qNormCoverage _),
+    "norm_join_text" -> (NormOps.qNormJoinText _),
+    "norm_black_map" -> (NormOps.qNormBlackMap _),
+    "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bool" -> (SearchOps.qSearchBool _),
@@ -343,6 +347,89 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_provenances,
         |  array_to_string(list_sort(list_distinct(list(organisation))), '|') AS organisations
         |FROM dedup WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "norm_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    [CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 'geo' || (doc_id % 5) END,
+        |     CASE WHEN doc_id % 3 = 0 THEN 'region' || (doc_id % 7) ELSE NULL END] AS geo_labels,
+        |    CASE WHEN doc_id % 5 = 0 THEN [] ELSE ['range' || (doc_id % 9)] END AS temporal_labels,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS language,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'tok_' || lang END AS language_token,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'File' ELSE 'Article' END AS type_raw,
+        |    [CASE WHEN doc_id % 6 = 0 THEN 'Products.EEAContentTypes.content.interfaces.ICountryProfile'
+        |          ELSE 'eea.core.interfaces.IOther' END,
+        |     'plone.base.interfaces.IItem'] AS object_provides,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'File' ELSE 'Document' END AS opt,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'visible'
+        |         WHEN doc_id % 3 = 1 THEN 'archived' ELSE 'published' END AS ws,
+        |    CASE WHEN doc_id % 2 = 0 THEN '2030-01-01' END AS expires_raw
+        |  FROM documents),
+        |cov AS (
+        |  SELECT doc_id, language, language_token, type_raw, object_provides, opt, ws, expires_raw,
+        |    list_filter(geo_labels, x -> x IS NOT NULL) AS geo,
+        |    temporal_labels
+        |  FROM base),
+        |fix AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(geo) > 0 THEN geo END AS spatial,
+        |    CASE WHEN len(temporal_labels) > 0 THEN temporal_labels END AS time_coverage,
+        |    [type_raw] || list_filter(object_provides,
+        |      x -> x = 'Products.EEAContentTypes.content.interfaces.ICountryProfile') AS types,
+        |    coalesce(language, language_token, 'en') AS language,
+        |    CASE WHEN opt = 'File' AND ws = 'visible' THEN 'published' ELSE ws END AS ws2,
+        |    expires_raw
+        |  FROM cov)
+        |SELECT doc_id,
+        |  array_to_string(spatial, '|') AS spatial,
+        |  array_to_string(time_coverage, '|') AS time_coverage,
+        |  array_to_string(spatial, '|') AS places,
+        |  array_to_string(types, '|') AS types,
+        |  language,
+        |  ws2 AS workflow_state,
+        |  CASE WHEN ws2 = 'archived' AND (expires_raw IS NULL OR expires_raw = '')
+        |       THEN '2026-08-10' ELSE expires_raw END AS expires
+        |FROM fix ORDER BY doc_id""".stripMargin,
+    "norm_join_text" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN NULL
+        |         WHEN doc_id % 4 = 1 THEN ''
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE '<p>Summary for doc ' || doc_id || '</p>' END AS summary,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE 'Summary for doc ' || doc_id END AS abstract_txt
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT doc_id, summary, abstract_txt,
+        |    text || chr(10) || chr(10) ||
+        |    (CASE WHEN title IS NULL OR title = '' THEN 'no title' ELSE title END) ||
+        |    '.' || chr(10) || chr(10) AS t
+        |  FROM base),
+        |d1 AS (
+        |  SELECT doc_id, abstract_txt, t,
+        |    CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.') THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM (SELECT doc_id, abstract_txt, t,
+        |          trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1 FROM t0)),
+        |t1 AS (
+        |  SELECT doc_id, abstract_txt,
+        |    CASE WHEN length(x1) > 0 AND NOT contains(t, x1)
+        |         THEN t || x1 || chr(10) || chr(10) ELSE t END AS t
+        |  FROM d1),
+        |d2 AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN length(c2) > 0 AND NOT ends_with(c2, '.') THEN c2 || '.' ELSE c2 END AS x2
+        |  FROM (SELECT doc_id, t, trim(regexp_replace(abstract_txt, '<.*?>', '', 'g')) AS c2 FROM t1))
+        |SELECT doc_id,
+        |  CASE WHEN length(x2) > 0 AND NOT contains(t, x2)
+        |       THEN t || x2 || chr(10) || chr(10) ELSE t END AS fulltext
+        |FROM d2 ORDER BY doc_id""".stripMargin,
+    "norm_black_map" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(list_slice(string_split(trim(text), ' '), 1, 5),
+        |    x -> x NOT IN ('the','a','and','of','to','data')), '|') AS tags_clean,
+        |  CASE WHEN lang IN ('zh','ru') THEN NULL ELSE lang END AS lang_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "search_match_topk" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns.dot_product
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Passage→embedding attach plumbing — the Spark twin of the reference's NLP
+  * sidecar round-trip (dags/normalizers/lib/nlp.py:100
+  * `add_embeddings_to_doc`: POST the doc's passage texts to an embedding
+  * service, then match each returned (text, embedding) pair back onto the
+  * passages by TEXT EQUALITY).
+  *
+  * The encoder is a deterministic STUB (the real 768-d model lives behind an
+  * external service); the Spark-side plumbing is the production shape:
+  *  - encode DISTINCT texts only — a boilerplate passage repeated across
+  *    millions of docs is embedded once, which is where the money goes at
+  *    100 TB (the reference re-encodes per doc);
+  *  - attach is one equi-join on the text key, broadcast when the distinct
+  *    side is small. A real deployment swaps `stubEmbedding` for a batched
+  *    model call (mapInPandas / mapPartitions over the distinct texts) and
+  *    the surrounding plan is unchanged.
+  */
+object EmbedOps {
+
+  /** Deterministic stub embedding: component i is xxhash64(text, i) scaled
+    * into [-1, 1). A pure codegen'd expression tree — no UDF, no RNG.
+    */
+  def stubEmbedding(text: Column, dim: Int): Column =
+    array((0 until dim).map(i =>
+      (pmod(xxhash64(text, lit(i)), lit(2000000)).cast("double") / 1000000.0) - 1.0): _*)
+
+  /** Encode each distinct passage text once (the batched service call). */
+  def encodeDistinct(passages: DataFrame, textCol: String, dim: Int): DataFrame =
+    passages.select(col(textCol)).distinct()
+      .withColumn("embedding", stubEmbedding(col(textCol), dim))
+
+  /** nlp.py:114 semantics: each passage gets the embedding whose text equals
+    * the passage text (left join — a text the encoder failed to return
+    * leaves the passage embedding NULL rather than dropping the passage,
+    * matching the reference's no-match behavior).
+    */
+  def attachEmbeddings(passages: DataFrame, encoded: DataFrame, textCol: String): DataFrame =
+    passages.join(encoded, Seq(textCol), "left")
+
+  /** queries() wrapper: split documents into passages, encode distinct
+    * texts, attach. Emits per-passage stats (dims + rounded L2 norm via the
+    * codegen'd DotProduct expression) instead of raw float arrays so the
+    * result is hash-comparable.
+    */
+  def qEmbedAttach(s: SparkSession, d: String): DataFrame = {
+    val passages = NormOps.textPassages(
+      Tables.documents(s, d), "text", splitLength = 60, overlap = 15)
+    val encoded = encodeDistinct(passages, "passage", dim = 64)
+    attachEmbeddings(passages, encoded, "passage")
+      .select(
+        col("doc_id"), col("passage_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4).as("norm"))
+      .orderBy("doc_id", "passage_id")
+  }
+}

@@ -319,6 +319,175 @@ object NormOps {
       .orderBy("doc_id", "passage_id")
   }
 
+  // ------------------------------------------------------------ norm_coverage
+
+  /** The normalizer "coverage tail" — six reference functions applied in
+    * their `common_normalizer` order (file:line in normalizers.py):
+    *  - fetch_geo_coverage (:309): spatial = the non-null labels of
+    *    `geo_coverage.geolocation`, set only when at least one exists;
+    *  - fetch_temporal_coverage (:320): time_coverage = the labels of
+    *    `temporal_coverage.temporal`, set only when non-empty;
+    *  - add_places (:156): places mirrors spatial whenever spatial exists;
+    *  - merge_types (:329): the scalar `@type` promoted to a list and
+    *    extended with whitelisted `object_provides` interfaces;
+    *  - update_language (:348): language falls back to `language.token`,
+    *    then "en" (the dict-get fallback chain as coalesce — a NULL column
+    *    plays the missing-key role);
+    *  - fix_state (:353): a File in `visible` state inherits the parent
+    *    review state; `archived` without an expiry gets `archivedExpires`
+    *    (the reference stamps today−2d at run time — a parameter here so
+    *    results are deterministic; both rules apply sequentially, so a
+    *    parent state of "archived" feeds the expiry rule, like the
+    *    reference's in-place dict mutation).
+    *
+    * Expected input columns: doc_id, geo_labels: array<string> (nullable
+    * elements), temporal_labels: array<string>, language, language_token,
+    * type_raw, object_provides: array<string>, obj_provides_type,
+    * workflow_state, parent_review_state, expires.
+    *
+    * Every rule is a per-row projection — zero shuffle at any scale.
+    */
+  def normCoverage(docs: DataFrame, allowedProvides: Seq[String], archivedExpires: String): DataFrame = {
+    val geo = filter(col("geo_labels"), x => x.isNotNull)
+    val fixedState = when(
+      col("obj_provides_type") === "File" && col("workflow_state") === "visible",
+      col("parent_review_state")).otherwise(col("workflow_state"))
+    docs
+      .withColumn("spatial", when(size(geo) > 0, geo))
+      .withColumn("time_coverage",
+        when(size(col("temporal_labels")) > 0, col("temporal_labels")))
+      .withColumn("places", col("spatial"))
+      .withColumn("types", concat(array(col("type_raw")),
+        filter(col("object_provides"), x => x.isInCollection(allowedProvides))))
+      .withColumn("language", coalesce(col("language"), col("language_token"), lit("en")))
+      .withColumn("workflow_state", fixedState)
+      .withColumn("expires",
+        when(col("workflow_state") === "archived" &&
+          (col("expires").isNull || col("expires") === ""), lit(archivedExpires))
+          .otherwise(col("expires")))
+  }
+
+  /** queries() wrapper: synthesizes every reference branch deterministically —
+    * null geo labels (filtered), all-null geo rows (spatial stays NULL, so
+    * places stays NULL), empty temporal lists, missing language and token,
+    * File+visible state inheritance, archived docs with and without expiry.
+    */
+  def qNormCoverage(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      array(
+        when(id % 4 === 0, lit(null).cast("string")).otherwise(concat(lit("geo"), id % 5)),
+        when(id % 3 === 0, concat(lit("region"), id % 7)).otherwise(lit(null).cast("string")))
+        .as("geo_labels"),
+      when(id % 5 === 0, array().cast("array<string>"))
+        .otherwise(array(concat(lit("range"), id % 9))).as("temporal_labels"),
+      when(id % 5 === 0, lit(null).cast("string")).otherwise(col("lang")).as("language"),
+      when(id % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("tok_"), col("lang"))).as("language_token"),
+      when(id % 2 === 0, lit("File")).otherwise(lit("Article")).as("type_raw"),
+      array(
+        when(id % 6 === 0, lit("Products.EEAContentTypes.content.interfaces.ICountryProfile"))
+          .otherwise(lit("eea.core.interfaces.IOther")),
+        lit("plone.base.interfaces.IItem")).as("object_provides"),
+      when(id % 2 === 0, lit("File")).otherwise(lit("Document")).as("obj_provides_type"),
+      when(id % 3 === 0, lit("visible")).when(id % 3 === 1, lit("archived"))
+        .otherwise(lit("published")).as("workflow_state"),
+      lit("published").as("parent_review_state"),
+      when(id % 2 === 0, lit("2030-01-01")).otherwise(lit(null).cast("string")).as("expires"))
+    normCoverage(docs,
+      allowedProvides = Seq("Products.EEAContentTypes.content.interfaces.ICountryProfile"),
+      archivedExpires = "2026-08-10")
+      .select(id,
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("time_coverage"), "|").as("time_coverage"),
+        array_join(col("places"), "|").as("places"),
+        array_join(col("types"), "|").as("types"),
+        col("language"), col("workflow_state"), col("expires"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------- norm_join_text
+
+  /** join_text_fields (normalizers.py:162): fulltext assembly. The title goes
+    * first with the Python-falsy "no title" fallback (:169: `or "no title"`
+    * catches both missing and empty) and a forced dot; then each configured
+    * text/html prop is cleaned (`cleanhtml` :208), dot-terminated when it
+    * does not already end with one (:182), and appended only when non-empty
+    * AND not already contained in the accumulated text — the reference's
+    * redundancy guard (:185). The inherently sequential contains-fold
+    * becomes a nested expression over the fixed prop list: per-row, fully
+    * codegen'd, zero shuffle.
+    */
+  def joinTextFields(docs: DataFrame, baseCol: String, titleCol: String, propCols: Seq[String]): DataFrame = {
+    val title = when(col(titleCol).isNull || col(titleCol) === "", lit("no title"))
+      .otherwise(col(titleCol))
+    val start = concat(col(baseCol), lit("\n\n"), title, lit(".\n\n"))
+    val full = propCols.foldLeft(start) { (acc, p) =>
+      val cleaned = cleanHtml(col(p))
+      val dotted = when(length(cleaned) > 0 && !cleaned.endsWith("."), concat(cleaned, lit(".")))
+        .otherwise(cleaned)
+      when(length(dotted) > 0 && !contains(acc, dotted), concat(acc, dotted, lit("\n\n")))
+        .otherwise(acc)
+    }
+    docs.withColumn("fulltext", full)
+  }
+
+  /** queries() wrapper: title exercises null/empty/"no title" fallbacks; one
+    * HTML prop gets cleaned+appended; a second prop cleans to the SAME text
+    * and must be skipped by the redundancy guard; every third doc has both
+    * props empty (length guard).
+    */
+  def qNormJoinText(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id, col("text"),
+      when(id % 4 === 0, lit(null).cast("string"))
+        .when(id % 4 === 1, lit(""))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("<p>Summary for doc "), id, lit("</p>"))).as("summary"),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("Summary for doc "), id)).as("abstract_txt"))
+    joinTextFields(docs, "text", "title", Seq("summary", "abstract_txt"))
+      .select(id, col("fulltext"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- norm_black_map
+
+  /** apply_black_map (normalizers.py:14) — the DROP side of the black/white
+    * map family (`normMaps` carries the white side): blacklisted values are
+    * removed from list fields; a blacklisted scalar value becomes NULL.
+    * Tiny literal sets stay inside codegen — no join, no shuffle.
+    */
+  def applyBlackMap(
+      docs: DataFrame,
+      listBlack: Map[String, Seq[String]],
+      scalarBlack: Map[String, Seq[String]]): DataFrame = {
+    val afterLists = listBlack.foldLeft(docs) { case (df, (c, black)) =>
+      df.withColumn(c, filter(col(c), x => !x.isInCollection(black)))
+    }
+    scalarBlack.foldLeft(afterLists) { case (df, (c, black)) =>
+      df.withColumn(c, when(col(c).isInCollection(black), lit(null).cast("string"))
+        .otherwise(col(c)))
+    }
+  }
+
+  def qNormBlackMap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      slice(spaceTokens(col("text")), 1, 5).as("tags"),
+      col("lang"))
+    applyBlackMap(docs,
+      listBlack = Map("tags" -> Seq("the", "a", "and", "of", "to", "data")),
+      scalarBlack = Map("lang" -> Seq("zh", "ru")))
+      .select(col("doc_id"),
+        array_join(col("tags"), "|").as("tags_clean"),
+        col("lang").as("lang_clean"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- flatten_json
 
   /** simplify_elements (normalizers.py:219): nested structure → dotted-key

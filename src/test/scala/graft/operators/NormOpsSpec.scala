@@ -74,4 +74,73 @@ class NormOpsSpec extends SparkSpec {
     val r = flat.collect()(0)
     assert(r.getLong(0) === 1L && r.getString(1) === "x" && r.getLong(2) === 2L)
   }
+
+  test("normCoverage applies the six coverage-tail rules in reference order") {
+    val docs = Seq(
+      // geo labels with a null entry; File+visible inherits parent state
+      (1L, Seq[String]("Europe", null), Seq("2020-2030"), null.asInstanceOf[String],
+        "tok_de", "File", Seq("x.ICountry"), "File", "visible", "archived", null.asInstanceOf[String]),
+      // all-null geo → spatial AND places stay null; archived w/o expires stamps
+      (2L, Seq[String](null, null), Seq.empty[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], "Article", Seq("x.ICountry", "y.IOther"), "Doc", "archived",
+        "published", ""),
+      (3L, Seq[String]("Asia"), Seq("2021"), "fr", "tok_fr", "Article",
+        Seq("y.IOther"), "Doc", "published", "published", "2031-01-01"))
+      .toDF("doc_id", "geo_labels", "temporal_labels", "language", "language_token",
+        "type_raw", "object_provides", "obj_provides_type", "workflow_state",
+        "parent_review_state", "expires")
+    val got = NormOps.normCoverage(docs, allowedProvides = Seq("x.ICountry"),
+      archivedExpires = "2026-08-10")
+      .orderBy("doc_id")
+      .select("spatial", "places", "time_coverage", "types", "language",
+        "workflow_state", "expires")
+      .collect()
+    // doc 1: null geo label filtered; File+visible → parent "archived";
+    //        the inherited archived state + null expires → stamped (sequential rules)
+    assert(got(0).getSeq[String](0) === Seq("Europe"))
+    assert(got(0).getSeq[String](1) === Seq("Europe"), "places mirrors spatial")
+    assert(got(0).getSeq[String](3) === Seq("File", "x.ICountry"))
+    assert(got(0).getString(4) === "tok_de", "language falls back to the token")
+    assert(got(0).getString(5) === "archived" && got(0).getString(6) === "2026-08-10")
+    // doc 2: empty-after-filter geo → spatial/places null; empty temporal → null;
+    //        both language fields null → "en"; archived + empty-string expires → stamped
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(1).getString(4) === "en")
+    assert(got(1).getString(6) === "2026-08-10")
+    // doc 3: nothing to fix — values pass through
+    assert(got(2).getString(4) === "fr" && got(2).getString(5) === "published" &&
+      got(2).getString(6) === "2031-01-01")
+  }
+
+  test("joinTextFields assembles fulltext with dot/redundancy/empty guards") {
+    val docs = Seq(
+      // html prop cleaned+dotted+appended; duplicate-text prop skipped
+      (1L, "base text", "My Title", "<p>extra info</p>", "extra info"),
+      // null title → "no title"; empty props skipped entirely
+      (2L, "base text", null.asInstanceOf[String], "", null.asInstanceOf[String]),
+      // prop already ends with '.' → no second dot
+      (3L, "base text", "", "Already dotted.", "fresh bit"))
+      .toDF("doc_id", "text", "title", "p1", "p2")
+    val got = NormOps.joinTextFields(docs, "text", "title", Seq("p1", "p2"))
+      .orderBy("doc_id").select("fulltext").collect().map(_.getString(0))
+    assert(got(0) === "base text\n\nMy Title.\n\nextra info.\n\n",
+      s"redundant p2 must be skipped, got: ${got(0)}")
+    assert(got(1) === "base text\n\nno title.\n\n")
+    assert(got(2) === "base text\n\nno title.\n\nAlready dotted.\n\nfresh bit.\n\n")
+  }
+
+  test("applyBlackMap drops blacklisted list values and nulls blacklisted scalars") {
+    val docs = Seq(
+      (1L, Seq("keep", "drop", "keep2"), "zh"),
+      (2L, Seq("drop", "drop"), "en"))
+      .toDF("doc_id", "tags", "lang")
+    val got = NormOps.applyBlackMap(docs,
+      listBlack = Map("tags" -> Seq("drop")),
+      scalarBlack = Map("lang" -> Seq("zh")))
+      .orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](1) === Seq("keep", "keep2"))
+    assert(got(0).isNullAt(2), "blacklisted scalar becomes NULL")
+    assert(got(1).getSeq[String](1) === Seq.empty)
+    assert(got(1).getString(2) === "en")
+  }
 }

@@ -25,9 +25,15 @@ object TextFns {
   /** HTML → text: strip tags, then trim (normalizers.py:208-213). */
   def cleanHtml(c: Column): Column = trim(regexp_replace(c, HtmlTagRe, ""))
 
-  /** `\w+` match count — the reference's word counter (normalizers.py:265). */
+  /** `\w+` match count — the reference's word counter (normalizers.py:265).
+    * `(?U)` gives Java regex the Unicode word semantics Python's `re` has by
+    * default, so accented/non-Latin words count as the reference counts
+    * them. (The DuckDB oracle's RE2 `\w` is ASCII-only; the two agree on
+    * ASCII corpora — the deviation exists only for non-ASCII input, where
+    * THIS side is the reference-faithful one.)
+    */
   def wordCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\w+"), lit(0))).cast("long")
+    size(regexp_extract_all(c, lit("(?U)\\w+"), lit(0))).cast("long")
 
   /** Words-per-minute reading time (normalizers.py:287); callers apply the
     * type-blacklist→-1 rule (normalizers.py:483) since it needs doc context.

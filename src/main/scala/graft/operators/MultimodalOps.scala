@@ -47,10 +47,19 @@ object MultimodalOps {
     batch.map { m =>
       val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
       val parts = s.split("\\|", 5)
-      if (parts.length == 5 && parts(0) == Magic && Formats.contains(parts(1)))
-        MediaMeta(m.doc_id, parts(1), parts(2).toInt, parts(3).toInt, m.payload.length.toLong, ok = true)
-      else
-        MediaMeta(m.doc_id, "unknown", -1, -1, m.payload.length.toLong, ok = false)
+      // toIntOption, not toInt: a payload with a well-formed header but
+      // garbage dimensions must yield ok=false, never throw — the totality
+      // contract above is what lets a 100 TB scan survive adversarial blobs.
+      val dims =
+        if (parts.length == 5 && parts(0) == Magic && Formats.contains(parts(1)))
+          for (w <- parts(2).toIntOption; h <- parts(3).toIntOption) yield (w, h)
+        else None
+      dims match {
+        case Some((w, h)) =>
+          MediaMeta(m.doc_id, parts(1), w, h, m.payload.length.toLong, ok = true)
+        case None =>
+          MediaMeta(m.doc_id, "unknown", -1, -1, m.payload.length.toLong, ok = false)
+      }
     }
 
   /** Batched partition-wise decode: groups each partition's iterator into

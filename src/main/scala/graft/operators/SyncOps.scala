@@ -119,23 +119,44 @@ object SyncOps {
   }
 
   /** Robots rule matching with the reference's full semantics
-    * (dags/lib/robots_txt.py:22 `applies_to`): a path is disallowed when it
-    * starts with the rule, or — for wildcard rules — when it glob-matches
-    * (`*` any run, `?` one char; trailing `$` forces an exact match,
-    * otherwise a trailing `*` is implied). Rules are a tiny broadcast table;
-    * the url side is matched with one codegen'd rlike per row, no shuffle.
+    * (dags/lib/robots_txt.py:22 `applies_to`, which delegates to Python
+    * `fnmatch.fnmatchcase`): a path is disallowed when it starts with the
+    * rule, or when it glob-matches — `*` any run, `?` one char, `[seq]` /
+    * `[!seq]` character classes (fnmatch honors these, so we must too);
+    * trailing `$` forces an exact match, otherwise a trailing `*` is
+    * implied. Rules are a tiny broadcast table; the url side is matched
+    * with one codegen'd rlike per row, no shuffle.
     */
   def robotsDisallowed(urls: DataFrame, rules: Seq[String]): DataFrame = {
     def globToRegex(rule: String): String = {
       val (core, exact) =
         if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
-      val quoted = core
-        .flatMap {
-          case '*' => ".*"
-          case '?' => "."
-          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-          case c => c.toString
+      val sb = new StringBuilder
+      var i = 0
+      while (i < core.length) {
+        core(i) match {
+          case '*' => sb.append(".*")
+          case '?' => sb.append('.')
+          case '[' =>
+            // fnmatch class: leading ! negates; a ] in first position is
+            // literal; an unterminated [ is a literal bracket.
+            var j = i + 1
+            if (j < core.length && (core(j) == '!' || core(j) == '^')) j += 1
+            if (j < core.length && core(j) == ']') j += 1
+            while (j < core.length && core(j) != ']') j += 1
+            if (j >= core.length) sb.append("\\[")
+            else {
+              val inner0 = core.substring(i + 1, j)
+              val inner = if (inner0.startsWith("!")) "^" + inner0.drop(1) else inner0
+              sb.append('[').append(inner.replace("\\", "\\\\")).append(']')
+              i = j
+            }
+          case c if "\\.{}()+-^$|]".contains(c) => sb.append('\\').append(c)
+          case c => sb.append(c)
         }
+        i += 1
+      }
+      val quoted = sb.toString
       if (exact || core.endsWith("*")) s"^$quoted$$" else s"^$quoted.*"
     }
     val spark = urls.sparkSession

@@ -106,9 +106,14 @@ object TextAnalysis {
     * minimum, dedupe. Guarantees any shared substring of length ≥ w+k-1
     * yields a shared fingerprint — the standard near-dup/plagiarism sketch.
     *
-    * Hashing uses Spark's codegen'd murmur3 `hash` — per-doc expression tree,
-    * no shuffle; selectivity (fingerprints ≪ k-grams) keeps the output small
-    * enough to join at 100 TB.
+    * The k-gram hash is Spark's murmur3 `hash`, but the k-gram/window loops
+    * are higher-order array functions, which Spark evaluates INTERPRETED —
+    * this operator trades peak throughput for a compact expression form
+    * (measured ~0.15 s of a ~18 s sf0.1 bench; an explode+window rewrite
+    * like `ngramRows` is the known escape hatch if fingerprinting ever
+    * becomes the bottleneck). Per-doc, no shuffle; selectivity
+    * (fingerprints ≪ k-grams) keeps the output small enough to join at
+    * 100 TB.
     */
   def docFingerprints(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 4): DataFrame = {
     val t = col(textCol)

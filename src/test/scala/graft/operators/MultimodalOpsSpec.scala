@@ -31,6 +31,18 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got(1).getAs[String]("format") === "unknown")
   }
 
+  test("well-formed header with garbage dimensions yields ok=false, never throws") {
+    // The totality contract under adversarial payloads: a known magic +
+    // format but unparseable or overflowing dimensions must degrade to
+    // ok=false like any other bad blob.
+    val rows = Seq(
+      MultimodalOps.MediaRow(7L, "GFT1|png|notanum|48|body".getBytes("UTF-8")),
+      MultimodalOps.MediaRow(8L, "GFT1|png|99999999999999|48|body".getBytes("UTF-8")),
+      MultimodalOps.MediaRow(9L, "GFT1|png|64|#|body".getBytes("UTF-8")))
+    val out = MultimodalOps.decodeBatch(rows)
+    assert(out.forall(m => !m.ok && m.format === "unknown" && m.width === -1))
+  }
+
   test("resize clamps dimensions to fit, preserves aspect ratio, round-trips decode") {
     val media = MultimodalOps.syntheticMedia(spark, sfDir)
     val resized = MultimodalOps.resize(media, maxW = 100, maxH = 100).toDF()

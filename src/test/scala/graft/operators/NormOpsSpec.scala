@@ -75,6 +75,15 @@ class NormOpsSpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.getString(1) === "x" && r.getLong(2) === 2L)
   }
 
+  test("wordCount uses Unicode word semantics like the reference's Python \\w") {
+    val df = Seq((1L, "héllo wörld déjà"), (2L, "plain ascii")).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(graft.functions.TextFns.wordCount(col("text")))
+      .collect().map(_.getLong(0))
+    // ASCII-only \w would split each accented word at the accent (3 → 6)
+    assert(got.toSeq === Seq(3L, 2L), "accented words must count as single words")
+  }
+
   test("normCoverage applies the six coverage-tail rules in reference order") {
     val docs = Seq(
       // geo labels with a null entry; File+visible inherits parent state

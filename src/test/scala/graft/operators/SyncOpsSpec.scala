@@ -98,4 +98,16 @@ class SyncOpsSpec extends SparkSpec {
       .select("path").collect().map(_.getString(0)).toSet
     assert(got === Set("/private/a.html", "/tmp/x/cache.bin", "/exact"))
   }
+
+  test("robotsDisallowed honors fnmatch [seq] and [!seq] character classes") {
+    import spark.implicits._
+    val urls = Seq(
+      "/docs/1a", "/docs/2a", "/docs/xa", // [0-9] class: digits hit, letter doesn't
+      "/cache/a1", "/cache/b1" // [!a] negation: everything but 'a'
+    ).zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "path")
+    val rules = Seq("/docs/[0-9]a$", "/cache/[!a]*")
+    val got = SyncOps.robotsDisallowed(urls, rules)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(got === Set("/docs/1a", "/docs/2a", "/cache/b1"))
+  }
 }

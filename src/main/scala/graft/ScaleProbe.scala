@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe for the dedup/ANN family: replicates the sf0.1 planted
+  * corpus K× (K = 1, 2, 4) and times each bucketed plan. Replicas are made
+  * mutually disjoint — every word gets a per-replica suffix, embeddings are
+  * rotated per replica — so the duplicate structure grows LINEARLY with K
+  * (each replica contains its own planted dups; no cross-replica pairs).
+  * A sub-quadratic plan shows t(4K)/t(K) ≈ 4 and output rows ≈ K × base;
+  * an all-pairs plan would show ≈ 16×.
+  *
+  * Prints one JSON line per (op, K) with seconds and result rows.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.get("graft-scale-probe")
+
+    def corpusK(k: Int): DataFrame =
+      (0 until k).map { r =>
+        DedupOps.plantedCorpus(spark, sfDir).select(
+          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("lang"), col("source"),
+          // suffix every word: replicas share zero n-grams
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"))
+      }.reduce(_.unionByName(_))
+
+    def embeddingsK(k: Int): DataFrame =
+      (0 until k).map { r =>
+        val v = col("v")
+        val rot = r % 16 + (if (r > 0) 1 else 0)
+        DedupOps.plantedEmbeddings(spark, sfDir).select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          col("label"),
+          // rotate components per replica: iid random vectors decorrelate
+          // across replicas while within-replica planted dups stay cos = 1
+          (if (rot == 0) v
+           else concat(slice(v, rot + 1, 64 - rot), slice(v, 1, rot))).as("v"))
+      }.reduce(_.unionByName(_))
+
+    def probe(op: String, k: Int, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","k":$k,"sec":$sec%.2f,"rows":$rows}""")
+    }
+
+    // warmup at k=1 so codegen/scan setup is not attributed to the first op
+    DedupOps.minhashPairs(corpusK(1)).count()
+
+    for (k <- Seq(1, 2, 4)) {
+      probe("dedup_minhash", k, DedupOps.minhashPairs(corpusK(k)))
+      probe("dedup_simhash", k, DedupOps.simhashPairs(corpusK(k)))
+      probe("ngram_prefix", k,
+        DedupOps.ngramJaccardPairsPrefix(corpusK(k), 3, 0.4, Seq("lang", "source")))
+      probe("embedding_lsh", k, DedupOps.embeddingPairsLsh(embeddingsK(k), 0.95))
+    }
+    spark.stop()
+  }
+}

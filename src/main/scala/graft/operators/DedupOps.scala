@@ -324,17 +324,21 @@ object DedupOps {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("block", "block_val")))
-    val members = array_sort(col("members")) // struct sort: doc_id asc ⟹ id1 < id2
-    val cand = blocked
-      .groupBy("block", "block_val")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-      .select(explode(flatten(transform(members, (x, i) =>
-        transform(slice(members, i + 2, size(members)), y =>
-          struct(
-            x.getField("doc_id").as("id1"), y.getField("doc_id").as("id2"),
-            x.getField("simhash").as("sh1"), y.getField("simhash").as("sh2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.sh1"), col("p.sh2"))
+    // Degenerate buckets are identified with a partial-aggregating count
+    // (tiny result — only values shared by >maxBucket docs) broadcast into
+    // an anti-join; the candidate join itself stays the codegen'd equi-join
+    // with both sides sharing one exchange of the blocked table.
+    val big = blocked
+      .groupBy("block", "block_val").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select("block", "block_val")
+    val pruned = blocked.join(broadcast(big), Seq("block", "block_val"), "left_anti")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"), Seq("block", "block_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))

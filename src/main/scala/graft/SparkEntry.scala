@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
+    "ann_ivf" -> (AnnOps.qAnnIvf _),
     "lang_id" -> (TextAnalysis.qLangId _),
     "quality_score" -> (TextAnalysis.qQualityScore _),
     "token_count" -> (TextAnalysis.qTokenCount _),

@@ -11,6 +11,15 @@ import org.apache.spark.sql.types.StructType
   *    (predicate + projection pushdown, column statistics).
   *  - Writes partition by the query-time filter columns so downstream scans
   *    prune whole directories (partition pruning beats row-group skipping).
+  *
+  * Scroll-export mapping (the reference's `get_docs`, dags/lib/elastic.py
+  * :122): an ES scroll with a `_source` projection and a query filter is,
+  * in Spark terms, `spark.read.parquet(...).select(cols).filter(pred)` —
+  * the `_source` list becomes the pruned ReadSchema, the query becomes
+  * PushedFilters, and scroll pagination disappears because partitions ARE
+  * the pagination (each task streams its split; no server-side cursor
+  * state). `PlanAuditSpec` asserts both pushdowns reach the scan, which is
+  * why no dedicated operator exists for the export path.
   */
 object Sources {
 

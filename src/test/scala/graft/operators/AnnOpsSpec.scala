@@ -43,6 +43,42 @@ class AnnOpsSpec extends SparkSpec {
     assert(exact(0).getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("ivfTopK recall vs brute force at half-corpus probe width") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val exact = AnnOps.bruteTopK(vecs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnOps.ivfTopK(vecs, queries, k = 10, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // Near-random vectors are the hard regime for a coarse quantizer too:
+    // measured 0.80 here with half the cells probed; 0.6 leaves margin for
+    // corpus regeneration without letting a probe regression slip by.
+    info(f"IVF recall@10 = $recall%.3f (${approx.size} approx pairs, ${exact.size} exact)")
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+  }
+
+  test("ivfTopK always finds an exact duplicate (identical cell assignment)") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val clone = vecs.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
+    val got = AnnOps.ivfTopK(vecs.unionByName(clone), clone, k = 1, nlist = 8, nprobe = 1)
+    val rows = got.collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("neighbor_id") === 0L,
+      "identical vector shares the query's own nearest cell even at nprobe=1")
+    assert(rows(0).getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("ivfCentroids are deterministic and complete (every vector assignable)") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val a = AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2).orderBy("cid").collect()
+    val b = AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2).orderBy("cid").collect()
+    def cvs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getSeq[Double](r.fieldIndex("cv")).toList).toSeq
+    assert(cvs(a) === cvs(b), "two builds must produce identical centroids")
+    assert(a.length <= 8 && a.nonEmpty)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = AnnOps.hyperplanes(2, 4, 8)
     val b = AnnOps.hyperplanes(2, 4, 8)

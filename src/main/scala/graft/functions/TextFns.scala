@@ -55,8 +55,19 @@ object TextFns {
 
   /** Distinct word n-grams as joined strings — the unit of the Jaccard /
     * MinHash dedup family. Requires at least `n` tokens (callers filter).
+    * Backed by the native codegen'd `WordNgrams` expression (the
+    * interpreted HOF formulation it replaces is its spec cross-check).
     */
   def wordNgrams(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(tokens), n))
+  }
+
+  /** The interpreted higher-order formulation of `wordNgrams` — kept as the
+    * reference implementation for the parity spec (identical output order
+    * and content; ~4× slower per gram).
+    */
+  def wordNgramsHof(tokens: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(tokens) - (n - 1))
     array_distinct(transform(idx, i =>
       concat_ws("_", (0 until n).map(o => element_at(tokens, i + o)): _*)))

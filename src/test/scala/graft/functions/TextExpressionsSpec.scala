@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFns._
+import org.apache.spark.sql.functions._
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native WordNgrams matches the interpreted HOF formulation exactly") {
+    // Real document texts + hand-made edge cases: duplicate grams (order and
+    // dedup must match array_distinct), exactly-n tokens, fewer-than-n.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), spaceTokens(col("text")).as("w"))
+      .unionByName(Seq(
+        (900001L, Seq("a", "b", "a", "b", "a", "b")), // every gram duplicated
+        (900002L, Seq("x", "y", "z")), // exactly n tokens -> one gram
+        (900003L, Seq("x", "y")) // fewer than n -> empty
+      ).toDF("doc_id", "w"))
+    // The HOF form is only defined for size >= n (callers filter first; its
+    // sequence() underflows otherwise) — parity is asserted on that domain.
+    val both = docs.filter(size(col("w")) >= 3).select(
+      col("doc_id"),
+      wordNgrams(col("w"), 3).as("native"),
+      wordNgramsHof(col("w"), 3).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L,
+      "native and HOF n-grams must agree element-for-element, order included")
+    val edge = docs.filter(col("doc_id") >= 900001L).orderBy("doc_id")
+      .select(wordNgrams(col("w"), 3).as("native")).collect().map(_.getSeq[String](0))
+    assert(edge(0) === Seq("a_b_a", "b_a_b"))
+    assert(edge(1) === Seq("x_y_z"))
+    // the native form is total: fewer than n tokens yields an empty array
+    assert(edge(2) === Seq.empty)
+  }
+
+  test("WordNgrams survives both codegen and interpreted evaluation") {
+    // Force the interpreted path by evaluating the expression directly.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      Array[Any]("a", "b", "c", "d").map(s => UTF8String.fromString(s.toString)))
+    val got = WordNgrams.build(arr, 2).array.map(_.toString).toSeq
+    assert(got === Seq("a_b", "b_c", "c_d"))
+  }
+}

@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works the
@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - distinct '_'-joined word n-grams of an array<string>"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(n: Int, _) => WordNgrams(args(0), n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams: n must be an integer literal (the gram width is part of the plan)")
+      }))
   }
 }

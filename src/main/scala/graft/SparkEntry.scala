@@ -50,6 +50,7 @@ object SparkEntry {
     "norm_coverage" -> (NormOps.qNormCoverage _),
     "norm_join_text" -> (NormOps.qNormJoinText _),
     "norm_black_map" -> (NormOps.qNormBlackMap _),
+    "norm_add_format" -> (NormOps.qNormAddFormat _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
@@ -307,12 +308,32 @@ object SparkEntry {
         |  coalesce(m.v, d.lang) AS lang_norm,
         |  CASE WHEN d.source IN ('src0','src1','src2') THEN d.source END AS source_white,
         |  d.n_chars, d.n_chars AS size_chars,
-        |  'CC-BY-4.0' AS rights
+        |  'CC-BY-4.0' AS rights,
+        |  coalesce(CASE WHEN d.doc_id % 4 <> 0 THEN 'pub_' || d.source END, d.source) AS publisher,
+        |  d.source AS creator
         |FROM documents d
         |LEFT JOIN (VALUES ('en','English'),('de','German'),('fr','French'),
         |                  ('es','Spanish'),('it','Italian')) m(k, v)
         |  ON d.lang = m.k
         |ORDER BY doc_id""".stripMargin,
+    "norm_add_format" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+        |         WHEN doc_id % 3 = 1 THEN 'application/pdf' END AS format,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'pdf text of doc ' || doc_id ELSE '' END AS pdf_text
+        |  FROM documents),
+        |f AS (SELECT doc_id, [coalesce(format, 'unknown')] AS fmts, pdf_text FROM base)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    CASE WHEN pdf_text IS NOT NULL AND pdf_text <> ''
+        |         AND NOT list_has_any(fmts,
+        |           ['application/msword',
+        |            'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+        |            'application/vnd.ms-word.document.macroEnabled.12',
+        |            'application/pdf'])
+        |    THEN fmts || ['application/pdf'] ELSE fmts END, '|') AS formats
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_passages" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |e AS (SELECT doc_id, w, unnest(range(0, len(w), 45)) AS start FROM w)

@@ -140,7 +140,10 @@ object NormOps {
       whitelistCol: String,
       whitelist: Seq[String],
       fanOut: (String, Seq[String]),
-      missingDefaults: Map[String, String]): DataFrame = {
+      missingDefaults: Map[String, String],
+      // apply_norm_missing's `field:<name>` form (normalizers.py:96): a
+      // missing/NULL field fills from ANOTHER field's value, not a constant.
+      missingFieldRefs: Map[String, String] = Map.empty): DataFrame = {
     val mapped = docs
       .join(broadcast(valueMap), docs(valueCol) === valueMap("k"), "left")
       .withColumn(s"${valueCol}_norm", coalesce(col("v"), col(valueCol)))
@@ -149,9 +152,13 @@ object NormOps {
       s"${whitelistCol}_white",
       when(col(whitelistCol).isInCollection(whitelist), col(whitelistCol)))
     val fanned = fanOut._2.foldLeft(whitelisted)((df, n) => df.withColumn(n, col(fanOut._1)))
-    missingDefaults.foldLeft(fanned) { case (df, (c, dflt)) =>
+    val defaulted = missingDefaults.foldLeft(fanned) { case (df, (c, dflt)) =>
       if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(dflt)))
       else df.withColumn(c, lit(dflt))
+    }
+    missingFieldRefs.foldLeft(defaulted) { case (df, (c, ref)) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), col(ref)))
+      else df.withColumn(c, col(ref))
     }
   }
 
@@ -161,13 +168,56 @@ object NormOps {
     val langMap = Seq(
       "en" -> "English", "de" -> "German", "fr" -> "French",
       "es" -> "Spanish", "it" -> "Italian").toDF("k", "v")
+    // publisher exercises the field-ref fill: NULL for every 4th doc, and
+    // the missing `creator` column materializes entirely from `source`.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 4 =!= 0, concat(lit("pub_"), col("source"))).as("publisher"))
     normMaps(
-      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+      docs,
       valueCol = "lang", valueMap = langMap,
       whitelistCol = "source", whitelist = Seq("src0", "src1", "src2"),
       fanOut = ("n_chars", Seq("size_chars")),
-      missingDefaults = Map("rights" -> "CC-BY-4.0"))
-      .select("doc_id", "lang_norm", "source_white", "n_chars", "size_chars", "rights")
+      missingDefaults = Map("rights" -> "CC-BY-4.0"),
+      missingFieldRefs = Map("publisher" -> "source", "creator" -> "source"))
+      .select("doc_id", "lang_norm", "source_white", "n_chars", "size_chars",
+        "rights", "publisher", "creator")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- norm_add_format
+
+  /** addFormat (normalizers.py:391): a doc that carries extracted pdf text
+    * advertises "application/pdf" in its `formats` list — unless it already
+    * carries one of the allowed word/pdf content types. The scalar format
+    * column is promoted to a list first (the reference wraps non-list
+    * values), missing formats become "unknown".
+    */
+  def addPdfFormat(docs: DataFrame, formatCol: String, pdfTextCol: String,
+      allowedTypes: Seq[String]): DataFrame = {
+    val fmts = array(coalesce(col(formatCol), lit("unknown")))
+    val hasAllowed = exists(fmts, f => f.isInCollection(allowedTypes))
+    val hasPdfText = col(pdfTextCol).isNotNull && col(pdfTextCol) =!= ""
+    docs.withColumn(
+      "formats",
+      when(hasPdfText && !hasAllowed, concat(fmts, array(lit("application/pdf"))))
+        .otherwise(fmts))
+  }
+
+  def qNormAddFormat(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      when(id % 3 === 0, lit("text/html"))
+        .when(id % 3 === 1, lit("application/pdf")).as("format"),
+      when(id % 2 === 0, concat(lit("pdf text of doc "), id)).otherwise(lit("")).as("pdf_text"))
+    addPdfFormat(docs, "format", "pdf_text",
+      allowedTypes = Seq(
+        "application/msword",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "application/vnd.ms-word.document.macroEnabled.12",
+        "application/pdf"))
+      .select(id, array_join(col("formats"), "|").as("formats"))
       .orderBy("doc_id")
   }
 

@@ -120,10 +120,17 @@ object DedupOps {
       .withColumn("w", spaceTokens(col("text")))
       .filter(size(col("w")) >= n)
       .select(col("doc_id") +: blockCols.map(col) :+ explode(wordNgrams(col("w"), n)).as("g"): _*)
+    // Every join that carries a DERIVED table (gram counts, prefix rows,
+    // collect_set arrays) is pinned to shuffle_hash: size stats undercount
+    // generated rows/arrays, so the planner's broadcast choice flips
+    // run-to-run — and an accidental broadcast of a corpus-sized side
+    // serializes it through the driver (the r2 lesson, now applied to all
+    // four candidate/verify joins, which removes the bench variance).
+    // Only candIds (small by construction) is left eligible to broadcast.
     val dfCounts = setRows.groupBy("g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = setRows
-      .join(dfCounts, Seq("g"))
+      .join(dfCounts.hint("shuffle_hash"), Seq("g"))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("g"))))
     val prefix = ranked
@@ -133,7 +140,8 @@ object DedupOps {
       .foldLeft(col("a.g") === col("b.g"))(_ && _) &&
       col("a.doc_id") < col("b.doc_id") &&
       least(col("a.sz"), col("b.sz")) >= greatest(col("a.sz"), col("b.sz")) * tau
-    val cand = prefix.as("a").join(prefix.as("b"), cond)
+    val cand = prefix.hint("shuffle_hash").as("a")
+      .join(prefix.hint("shuffle_hash").as("b"), cond)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // Exact verify only for candidate docs — identical formula to the
@@ -147,8 +155,8 @@ object DedupOps {
     val inter = size(array_intersect(col("g1"), col("g2")))
     val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
     cand
-      .join(gramSets.select(col("doc_id").as("id1"), col("grams").as("g1")), "id1")
-      .join(gramSets.select(col("doc_id").as("id2"), col("grams").as("g2")), "id2")
+      .join(gramSets.select(col("doc_id").as("id1"), col("grams").as("g1")).hint("shuffle_hash"), "id1")
+      .join(gramSets.select(col("doc_id").as("id2"), col("grams").as("g2")).hint("shuffle_hash"), "id2")
       .withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")

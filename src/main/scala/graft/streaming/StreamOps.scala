@@ -64,6 +64,71 @@ object StreamOps {
           .as("status"))
   }
 
+  case class ErrorEvent(id: Long, ts: Timestamp)
+  case class RetryState(error_cnt: Long, skip_cnt: Long, last_ms: Long)
+  case class RetryAction(id: Long, action: String,
+      error_cnt: Option[Long], skip_cnt: Option[Long])
+
+  /** Always-on twin of `SyncOps.errorRetry` (d1_sync.py:83 `test_errors`):
+    * per-doc error/skip counters live in keyed state instead of a persisted
+    * table, advanced by each error event —
+    *  - first error / under the error threshold → "retry" (cnt+1)
+    *  - error budget exhausted, under the skip threshold → "skip" (skip+1)
+    *  - both budgets exhausted → "reset" (state deleted, crawl from scratch)
+    *  - no errors for `quietMinutes` past the watermark → "dropped" via
+    *    event-time timeout (the batch op's dropped-because-absent
+    *    classification — absence is not an event, so the streaming form
+    *    expresses it as a timeout, same pattern as `sessionize`; an
+    *    event-time timeout keeps `processAllAvailable` semantics exact in
+    *    tests, where processing-time timeouts would spin batches).
+    * State is bounded by live erroring docs: every terminal action removes
+    * the key, and quiet keys age out on the timeout.
+    */
+  def errorRetryState(
+      errors: Dataset[ErrorEvent],
+      allowedErrorsForDoc: Int = 3,
+      skipDocCnt: Int = 2,
+      quietMinutes: Int = 60): Dataset[RetryAction] = {
+    val quietMs = quietMinutes * 60 * 1000L
+    val spark = errors.sparkSession
+    import spark.implicits._
+
+    def update(id: Long, evts: Iterator[ErrorEvent],
+        state: GroupState[RetryState]): Iterator[RetryAction] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator(RetryAction(id, "dropped", None, None))
+      } else {
+        val out = Seq.newBuilder[RetryAction]
+        var lastMs = state.getOption.map(_.last_ms).getOrElse(0L)
+        evts.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          lastMs = math.max(lastMs, e.ts.getTime)
+          state.getOption match {
+            case None =>
+              state.update(RetryState(1, 0, lastMs))
+              out += RetryAction(id, "retry", Some(1), Some(0))
+            case Some(s) if s.error_cnt < allowedErrorsForDoc =>
+              state.update(RetryState(s.error_cnt + 1, s.skip_cnt, lastMs))
+              out += RetryAction(id, "retry", Some(s.error_cnt + 1), Some(s.skip_cnt))
+            case Some(s) if s.skip_cnt < skipDocCnt =>
+              state.update(RetryState(s.error_cnt, s.skip_cnt + 1, lastMs))
+              out += RetryAction(id, "skip", Some(s.error_cnt), Some(s.skip_cnt + 1))
+            case Some(_) =>
+              state.remove() // budgets exhausted: forget and recrawl fresh
+              out += RetryAction(id, "reset", None, None)
+          }
+        }
+        if (state.exists) state.setTimeoutTimestamp(lastMs + quietMs)
+        out.result().iterator
+      }
+    }
+
+    errors
+      .withWatermark("ts", s"$quietMinutes minutes")
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)

@@ -104,6 +104,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_error_retry walks the reference threshold state machine per key") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[StreamOps.ErrorEvent]
+    val q = StreamOps.errorRetryState(src.toDS(), allowedErrorsForDoc = 2, skipDocCnt = 1)
+      .writeStream.format("memory").queryName("err").outputMode("append").start()
+    try {
+      // five consecutive errors for doc 1: retry(1,0), retry(2,0) — error
+      // budget spent — skip(2,1) — skip budget spent — reset (state gone) —
+      // then the cycle restarts at retry(1,0).
+      (1 to 5).foreach { i =>
+        src.addData(StreamOps.ErrorEvent(1L, ts(i)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("err").filter(col("id") === 1L)
+        .select("action", "error_cnt", "skip_cnt").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      assert(got.toSeq === Seq(
+        ("retry", Some(1L), Some(0L)),
+        ("retry", Some(2L), Some(0L)),
+        ("skip", Some(2L), Some(1L)),
+        ("reset", None, None),
+        ("retry", Some(1L), Some(0L))))
+      // a far-future event on another key pushes the watermark past doc 1's
+      // quiet horizon -> its state ages out as a "dropped" emission
+      src.addData(StreamOps.ErrorEvent(99L, ts(3000)))
+      q.processAllAvailable()
+      src.addData(StreamOps.ErrorEvent(99L, ts(3001)))
+      q.processAllAvailable()
+      val dropped = spark.table("err")
+        .filter(col("id") === 1L && col("action") === "dropped").count()
+      assert(dropped === 1L, "quiet key must age out as dropped")
+    } finally q.stop()
+  }
+
   test("stream_sessionize: gap timeout closes sessions and emits them") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[StreamOps.SessionEvent]

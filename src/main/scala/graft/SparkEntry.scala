@@ -51,6 +51,7 @@ object SparkEntry {
     "norm_join_text" -> (NormOps.qNormJoinText _),
     "norm_black_map" -> (NormOps.qNormBlackMap _),
     "norm_add_format" -> (NormOps.qNormAddFormat _),
+    "norm_content_type" -> (NormOps.qNormContentType _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
@@ -411,6 +412,38 @@ object SparkEntry {
         |  CASE WHEN ws2 = 'archived' AND (expires_raw IS NULL OR expires_raw = '')
         |       THEN '2026-08-10' ELSE expires_raw END AS expires
         |FROM fix ORDER BY doc_id""".stripMargin,
+    "norm_content_type" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/articles/a' || (doc_id % 7)
+        |         WHEN doc_id % 4 = 1 THEN '/data/maps/3/'
+        |         WHEN doc_id % 4 = 2 THEN '///data/maps/' || (doc_id % 5)
+        |         ELSE '/other/' || (doc_id % 3) END AS loc,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Article'
+        |         WHEN doc_id % 3 = 1 THEN 'News' ELSE 'Dataset' END AS type_raw,
+        |    list_slice(string_split(trim(text), ' '), 1, 4) AS attrs
+        |  FROM documents),
+        |s AS (SELECT doc_id, loc, type_raw, attrs,
+        |        regexp_replace(regexp_replace(loc, '^/+', ''), '/+$', '') AS dl FROM base),
+        |ct0 AS (SELECT *,
+        |        CASE WHEN dl = 'data/maps/3' THEN ['Map']
+        |             WHEN starts_with(dl, 'data') THEN ['Webpage','Data']
+        |             WHEN starts_with(dl, 'articles') THEN ['Article','Webpage']
+        |             ELSE ['Webpage'] END AS ct FROM s),
+        |ct1 AS (SELECT *, CASE WHEN list_contains(ct, 'Webpage') AND len(ct) > 1
+        |             THEN list_filter(ct, x -> x <> 'Webpage') ELSE ct END AS ctw FROM ct0),
+        |ct2 AS (SELECT *, CASE WHEN len(list_filter(attrs, x -> lower(x) = 'data')) > 0
+        |             THEN CASE WHEN list_contains(ctw, 'Dataset') THEN ctw
+        |                       ELSE ctw || ['Dataset'] END
+        |             ELSE ctw END AS ctd FROM ct1),
+        |ct3 AS (SELECT *, CASE WHEN len(list_filter(attrs, x -> lower(x) = 'report')) > 0
+        |             THEN CASE WHEN list_contains(ctd, 'Report') THEN ctd
+        |                       ELSE ctd || ['Report'] END
+        |             ELSE ctd END AS ctf FROM ct2)
+        |SELECT doc_id, loc,
+        |  array_to_string(ctf, '|') AS object_provides,
+        |  (type_raw = 'Article') OR (type_raw <> 'News') AS admitted
+        |FROM ct3 ORDER BY doc_id""".stripMargin,
     "norm_join_text" ->
       """WITH base AS (
         |  SELECT doc_id, text,

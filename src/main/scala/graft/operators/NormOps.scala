@@ -538,6 +538,86 @@ object NormOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- norm_content_type
+
+  /** Content-type resolution family (normalizers.py):
+    *  - find_ct_by_rules (:638): ordered path rules — a rule path ending in
+    *    `*` matches any doc whose /-stripped location STARTS WITH the
+    *    stripped rule (is_doc_on_path :622), otherwise the locations must be
+    *    equal after stripping (:634); the LAST matching rule wins (the
+    *    reference loop overwrites); no match → fallback type;
+    *  - remove_extra_webpages (:118): "Webpage" is dropped whenever more
+    *    specific types are present;
+    *  - update_ct_by_attr (:662): a case-insensitive attribute-value mapping
+    *    appends extra types not already present;
+    *  - check_blacklist_whitelist (:610): admission — whitelisted type, or
+    *    non-blacklisted when a blacklist exists, or everything when neither.
+    *
+    * Rules/mappings are tiny config literals, folded into codegen'd
+    * expressions — per-row, zero shuffle, no rule table to join.
+    */
+  def contentTypeRules(
+      docs: DataFrame, // (.., loc, type_raw, attrs: array<string>)
+      rules: Seq[(String, Seq[String])],
+      fallback: String,
+      attrMapping: Map[String, Seq[String]],
+      whitelist: Seq[String],
+      blacklist: Seq[String]): DataFrame = {
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(col("loc"), "^/+|/+$", "")
+    // last-wins fold: later rules overwrite earlier matches
+    val byRules = rules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*"))
+            docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    val withFallback = coalesce(byRules, array(lit(fallback)))
+    val noExtraWebpage = when(
+      array_contains(withFallback, "Webpage") && size(withFallback) > 1,
+      array_remove(withFallback, "Webpage")).otherwise(withFallback)
+    val mapped = attrMapping.foldLeft(noExtraWebpage) { case (acc, (key, newOps)) =>
+      when(exists(col("attrs"), v => lower(v) === key.toLowerCase),
+        array_union(acc, array(newOps.map(lit): _*))).otherwise(acc)
+    }
+    val keep =
+      (if (whitelist.nonEmpty) col("type_raw").isInCollection(whitelist) else lit(false)) ||
+      (if (blacklist.nonEmpty) !col("type_raw").isInCollection(blacklist) else lit(false)) ||
+      lit(whitelist.isEmpty && blacklist.isEmpty)
+    docs
+      .withColumn("object_provides", mapped)
+      .withColumn("admitted", keep)
+  }
+
+  def qNormContentType(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      when(id % 4 === 0, concat(lit("/articles/a"), id % 7))
+        .when(id % 4 === 1, lit("/data/maps/3/"))
+        .when(id % 4 === 2, concat(lit("///data/maps/"), id % 5))
+        .otherwise(concat(lit("/other/"), id % 3)).as("loc"),
+      when(id % 3 === 0, lit("Article")).when(id % 3 === 1, lit("News"))
+        .otherwise(lit("Dataset")).as("type_raw"),
+      slice(spaceTokens(col("text")), 1, 4).as("attrs"))
+    contentTypeRules(
+      docs,
+      rules = Seq(
+        "/articles/*" -> Seq("Article", "Webpage"),
+        "/data/*" -> Seq("Webpage", "Data"),
+        "/data/maps/3" -> Seq("Map")),
+      fallback = "Webpage",
+      attrMapping = Map("data" -> Seq("Dataset"), "Report" -> Seq("Report")),
+      whitelist = Seq("Article"),
+      blacklist = Seq("News"))
+      .select(id, col("loc"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        col("admitted"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- flatten_json
 
   /** simplify_elements (normalizers.py:219): nested structure → dotted-key

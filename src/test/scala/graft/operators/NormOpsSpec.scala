@@ -138,6 +138,27 @@ class NormOpsSpec extends SparkSpec {
     assert(got(2) === "base text\n\nno title.\n\nAlready dotted.\n\nfresh bit.\n\n")
   }
 
+  test("contentTypeRules: last rule wins, Webpage pruned, attrs append, admission") {
+    val docs = Seq(
+      (1L, "/data/maps/3/", "Article", Seq("x")), // exact rule AFTER glob rule wins
+      (2L, "//data/other", "News", Seq("DATA")), // glob match + case-insensitive attr map
+      (3L, "/nowhere", "Dataset", Seq("x"))) // fallback, single Webpage survives
+      .toDF("doc_id", "loc", "type_raw", "attrs")
+    val got = NormOps.contentTypeRules(docs,
+      rules = Seq("/data/*" -> Seq("Webpage", "Data"), "/data/maps/3" -> Seq("Map")),
+      fallback = "Webpage",
+      attrMapping = Map("data" -> Seq("Dataset")),
+      whitelist = Seq("Article"), blacklist = Seq("News"))
+      .orderBy("doc_id")
+      .select("object_provides", "admitted").collect()
+    assert(got(0).getSeq[String](0) === Seq("Map") && got(0).getBoolean(1),
+      "the later exact rule must overwrite the earlier glob match")
+    assert(got(1).getSeq[String](0) === Seq("Data", "Dataset") && !got(1).getBoolean(1),
+      "Webpage pruned, attr mapping appended case-insensitively, blacklisted type rejected")
+    assert(got(2).getSeq[String](0) === Seq("Webpage") && got(2).getBoolean(1),
+      "fallback Webpage survives when it is the only type")
+  }
+
   test("applyBlackMap drops blacklisted list values and nulls blacklisted scalars") {
     val docs = Seq(
       (1L, Seq("keep", "drop", "keep2"), "zh"),

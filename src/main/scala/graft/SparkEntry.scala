@@ -52,6 +52,7 @@ object SparkEntry {
     "norm_black_map" -> (NormOps.qNormBlackMap _),
     "norm_add_format" -> (NormOps.qNormAddFormat _),
     "norm_content_type" -> (NormOps.qNormContentType _),
+    "graph_obligations" -> (GraphOps.qGraphObligations _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
@@ -412,6 +413,23 @@ object SparkEntry {
         |  CASE WHEN ws2 = 'archived' AND (expires_raw IS NULL OR expires_raw = '')
         |       THEN '2026-08-10' ELSE expires_raw END AS expires
         |FROM fix ORDER BY doc_id""".stripMargin,
+    "graph_obligations" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |links AS (SELECT 'obl' || doc_id AS obligation,
+        |                 'instr' || (doc_id % 20) AS instrument FROM ids),
+        |instr AS (SELECT 'instr' || doc_id AS instrument FROM ids WHERE doc_id < 20),
+        |labels AS (SELECT 'instr' || doc_id AS instrument,
+        |                  'Instrument ' || doc_id AS label
+        |           FROM ids WHERE doc_id < 20 AND doc_id % 3 <> 0),
+        |idents AS (SELECT 'instr' || doc_id AS instrument,
+        |                  'ID-' || doc_id AS identifier
+        |           FROM ids WHERE doc_id < 20 AND doc_id % 2 = 0)
+        |SELECT l.obligation, l.instrument, lb.label, idf.identifier
+        |FROM links l
+        |JOIN instr i USING (instrument)
+        |LEFT JOIN labels lb USING (instrument)
+        |LEFT JOIN idents idf USING (instrument)
+        |ORDER BY obligation, instrument""".stripMargin,
     "norm_content_type" ->
       """WITH base AS (
         |  SELECT doc_id,

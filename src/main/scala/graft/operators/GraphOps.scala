@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped lookups over an (s, p, o) triples table — the Spark twin of
+  * the reference's RDF taxonomy/obligation refresh DAGs
+  * (dags/d0_update_obligations.py:15 `updateNormObj`: parse the obligations
+  * + instruments RDF, run a SPARQL join, store the obligation → instrument
+  * lookup used by the normalizers' value maps).
+  *
+  * SPARQL basic graph patterns map mechanically onto triples-table joins:
+  * a `?s a <Class>` pattern is a semi-join against (p = rdf:type,
+  * o = Class) rows, a link pattern is an equi-join on the subject/object,
+  * and OPTIONAL clauses are left joins. Each pattern touches only its
+  * predicate's slice of the table (predicate pushdown prunes the scan), and
+  * the result is the tiny lookup side a later `normMaps` broadcast join
+  * consumes — the graph never materializes as driver state.
+  */
+object GraphOps {
+
+  val TypePred = "a"
+
+  /** The obligation→instrument lookup join (d0_update_obligations.py:20):
+    * subjects typed Obligation, linked by `instrument` to subjects typed
+    * Instrument, with OPTIONAL instrument label and identifier.
+    * Output: (obligation, instrument, label, identifier) — label/identifier
+    * NULL when absent, like SPARQL OPTIONAL.
+    */
+  def obligationLookup(triples: DataFrame): DataFrame = {
+    def typed(cls: String) = triples
+      .filter(col("p") === TypePred && col("o") === cls)
+      .select(col("s"))
+    val links = triples.filter(col("p") === "instrument")
+      .select(col("s").as("obligation"), col("o").as("instrument"))
+    val labels = triples.filter(col("p") === "label")
+      .select(col("s").as("instrument"), col("o").as("label"))
+    val idents = triples.filter(col("p") === "identifier")
+      .select(col("s").as("instrument"), col("o").as("identifier"))
+    links
+      .join(typed("Obligation").withColumnRenamed("s", "obligation"), Seq("obligation"), "left_semi")
+      .join(typed("Instrument").withColumnRenamed("s", "instrument"), Seq("instrument"), "left_semi")
+      .join(labels, Seq("instrument"), "left")
+      .join(idents, Seq("instrument"), "left")
+      .select("obligation", "instrument", "label", "identifier")
+  }
+
+  /** queries() wrapper: synthesizes a deterministic triples graph from the
+    * documents table — one Obligation per doc linked to one of 20
+    * Instruments; labels exist for 2/3 of instruments and identifiers for
+    * 1/2 (both OPTIONAL paths exercised), plus noise triples that the type
+    * semi-joins must ignore.
+    */
+  def qGraphObligations(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(id)
+    val instr = concat(lit("instr"), id % 20)
+    val obligations = docs.select(concat(lit("obl"), id).as("s"), lit(TypePred).as("p"), lit("Obligation").as("o"))
+    val links = docs.select(concat(lit("obl"), id).as("s"), lit("instrument").as("p"), instr.as("o"))
+    val instruments = docs.filter(id < 20)
+      .select(concat(lit("instr"), id).as("s"), lit(TypePred).as("p"), lit("Instrument").as("o"))
+    val labels = docs.filter(id < 20 && id % 3 =!= 0)
+      .select(concat(lit("instr"), id).as("s"), lit("label").as("p"),
+        concat(lit("Instrument "), id).as("o"))
+    val idents = docs.filter(id < 20 && id % 2 === 0)
+      .select(concat(lit("instr"), id).as("s"), lit("identifier").as("p"),
+        concat(lit("ID-"), id).as("o"))
+    // noise: untyped subjects with instrument links must not appear
+    val noise = docs.select(concat(lit("noise"), id).as("s"), lit("instrument").as("p"), instr.as("o"))
+    val triples = obligations.unionByName(links).unionByName(instruments)
+      .unionByName(labels).unionByName(idents).unionByName(noise)
+    obligationLookup(triples).orderBy("obligation", "instrument")
+  }
+}

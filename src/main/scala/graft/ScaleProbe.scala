@@ -57,6 +57,13 @@ object ScaleProbe {
       probe("ngram_prefix", k,
         DedupOps.ngramJaccardPairsPrefix(corpusK(k), 3, 0.4, Seq("lang", "source")))
       probe("embedding_lsh", k, DedupOps.embeddingPairsLsh(embeddingsK(k), 0.95))
+      // ANN: the query side stays FIXED while the corpus grows — per-query
+      // cost must track corpus size linearly (bucket/cell membership), so
+      // total wall should grow ~K, not K².
+      val annCorpus = embeddingsK(k)
+      val queries = annCorpus.filter(col("vec_id") < 1000 && col("vec_id") % 100 === 0)
+      probe("ann_lsh", k, graft.operators.AnnOps.lshTopK(annCorpus, queries, k = 10))
+      probe("ann_ivf", k, graft.operators.AnnOps.ivfTopK(annCorpus, queries, k = 10))
     }
     spark.stop()
   }

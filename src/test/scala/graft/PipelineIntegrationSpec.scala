@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end composition check: the reference's DAG chain (d2 frontier →
+  * d1 sync diff → d4/d5 normalize + passage split → Logstash/ES bulk
+  * hand-off) runs as ONE lazy Spark plan from the operator library, each
+  * stage consuming the previous stage's DataFrame. What the reference
+  * spreads over Airflow tasks and two ES indices is a single composable
+  * pipeline here — the "a user of the reference could switch" claim,
+  * executed.
+  */
+class PipelineIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frontier → sync diff → normalize → passages → bulk NDJSON composes end-to-end") {
+    val docs = Tables.documents(spark, sfDir)
+
+    // d2: URL frontier over synthesized urls (same shape as qCrawlFrontier)
+    val ext = element_at(
+      array(Seq(".html", "", ".pdf", ".php", ".aspx", "", ".gif", ".jpg", ".png", ".svg").map(lit): _*),
+      (col("doc_id") % 10 + 1).cast("int"))
+    val urls = docs.select(
+      col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.eu/docs/"),
+        (col("doc_id") % 37).cast("string"), ext).as("url"))
+    val frontier = SyncOps.crawlFrontier(urls, Seq("/docs/5"), Seq("/docs/1"))
+    val nFrontier = frontier.count()
+    assert(nFrontier > 0, "frontier keeps crawlable urls")
+
+    // d1: diff the crawled set against a synthetic index snapshot
+    val crawled = frontier.select(col("id"),
+      (col("id") % 1000).cast("timestamp").as("modified"))
+    val indexed = crawled.filter(col("id") % 3 =!= 0)
+      .select(col("id"), col("modified"), lit(0).as("error_cnt"))
+    val diff = SyncOps.syncDiff(crawled, indexed)
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("new", 0L) > 0, "docs absent from the index are new")
+    assert(byStatus.getOrElse("unchanged", 0L) > 0)
+    assert(byStatus.values.sum === nFrontier, "diff partitions the frontier exactly")
+
+    // d4/d5: normalize only the docs that need (re)indexing, then split
+    val toIndex = diff.filter(col("status").isin("new", "modified"))
+      .join(docs.withColumnRenamed("doc_id", "id"), Seq("id"))
+    val normalized = NormOps.fillDescription(
+      NormOps.addReadingTime(toIndex, "text", blacklisted = lit(false))
+        .withColumn("missing_desc", lit(null).cast("string")),
+      "missing_desc", "text")
+    val passages = NormOps.textPassages(
+      normalized.withColumnRenamed("id", "doc_id"), "text", splitLength = 60, overlap = 15)
+    assert(passages.count() >= toIndex.count(), "every indexable doc yields passages")
+    assert(passages.filter(col("passage").isNull || col("passage") === "").count() === 0L)
+
+    // Logstash hand-off: bulk NDJSON pairs written one file per partition
+    val bulkDocs = passages.select(
+      concat(col("doc_id"), lit("_"), col("passage_id")).as("pid"),
+      to_json(struct(col("doc_id"), col("passage_id"), col("n_words"))).as("doc_json"))
+    val bulk = SearchOps.esBulkFormat(bulkDocs, "passages", "pid", updateOnly = lit(false))
+    val out = java.nio.file.Files.createTempDirectory("pipeline").toString
+    graft.sources.EsBulkSink.write(bulk, out)
+    val lines = spark.read.text(out).count()
+    assert(lines === passages.count() * 2,
+      "bulk output carries exactly one action + one source line per passage")
+  }
+}

@@ -7,8 +7,9 @@ package graft
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-dump")
-    println(SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-      .queryExecution.optimizedPlan.treeString)
+    val qe = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001").queryExecution
+    if (args.length > 1 && args(1) == "physical") println(qe.executedPlan.treeString)
+    else println(qe.optimizedPlan.treeString)
     spark.stop()
   }
 }

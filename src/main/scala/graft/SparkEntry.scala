@@ -66,6 +66,8 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
+    "dedup_fingerprint" -> (DedupOps.qDedupFingerprint _),
+    "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
@@ -581,6 +583,25 @@ object SparkEntry {
         |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "contamination_check" ->
+      """WITH bench AS (
+        |  SELECT array_to_string(list_slice(string_split(trim(text), ' '), 1, 12), ' ') AS phrase
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))) AS g
+        |  FROM (SELECT string_split(trim(phrase), ' ') AS w FROM bench)
+        |  WHERE len(w) >= 3),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))) AS g
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |hits AS (SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

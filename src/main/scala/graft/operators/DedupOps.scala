@@ -458,4 +458,53 @@ object DedupOps {
 
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
     embeddingPairsLsh(plantedEmbeddings(s, d), tau = 0.95).orderBy("id1", "id2")
+
+  // -------------------------------------------------------- dedup_fingerprint
+
+  /** Substring-level near-dup pairs: documents sharing ≥ `minShared`
+    * winnowing fingerprints (`TextAnalysis.docFingerprints`) — the scalable
+    * stand-in for suffix-array substring dedup: any shared run of
+    * ≥ w+k−1 characters guarantees a shared fingerprint, so a long quoted
+    * or boilerplate passage pairs two documents even when their WHOLE-doc
+    * similarity is far below any Jaccard threshold (the case `ngram_jaccard`
+    * and `minhashPairs` deliberately ignore).
+    *
+    * Same plan contract as the rest of the family: one shuffle on the
+    * fingerprint value, `maxBucket` drops degenerate fingerprints (a hash
+    * shared by half the web is boilerplate, not quotation), in-bucket pair
+    * expansion, and the per-pair shared-fingerprint count IS the
+    * verification — no second pass over text.
+    *
+    * Parameter scale matters: k is CHARACTERS of shared run per k-gram, and
+    * the shared-substring guarantee is k+w−1 chars. Short k (7) makes every
+    * common English 7-char run a bucket and candidate volume explodes on
+    * real text; the defaults (k=30, w=10 → 39-char guaranteed runs,
+    * ~6 word spans) sit near the span lengths published training-data
+    * substring-dedup uses, where cross-document collisions mean actual
+    * shared text.
+    */
+  def fingerprintPairs(
+      docs: DataFrame,
+      k: Int = 30,
+      w: Int = 10,
+      minShared: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    val fps = TextAnalysis.docFingerprints(docs, "text", k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val ids = array_sort(col("ids"))
+    fps
+      .groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("shared_fps")) // fingerprints are distinct per doc
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  def qDedupFingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintPairs(plantedCorpus(s, d)).orderBy("id1", "id2")
 }

@@ -116,17 +116,79 @@ object TextAnalysis {
     * 100 TB.
     */
   def docFingerprints(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val t = col(textCol)
-    val kgrams = transform(sequence(lit(1), length(t) - (k - 1)), i => hash(t.substr(i, lit(k))))
+    docs
+      .filter(length(t) >= k + w - 1) // need at least one full window
+      .withColumn("fingerprints", GraftSqlBridge.column(
+        graft.functions.WinnowFingerprints(GraftSqlBridge.expression(t), k, w)))
+  }
+
+  /** The interpreted higher-order formulation of `docFingerprints` — kept as
+    * the parity reference for the native `WinnowFingerprints` expression.
+    * Bounds are clamped to ≥ 1 so the expression is TOTAL on any row: the
+    * length filter removes short docs semantically, but Catalyst may still
+    * EVALUATE the expression on them (an inferred generator predicate
+    * shares the subexpression and subexpression elimination runs it before
+    * conjunct short-circuiting; unclamped, sequence(1, negative) descends
+    * through 0 into slice's illegal-start error).
+    */
+  def docFingerprintsHof(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val kgrams = transform(sequence(lit(1), greatest(lit(1), length(t) - (k - 1))),
+      i => hash(t.substr(i, lit(k))))
     docs
       .filter(length(t) >= k + w - 1) // need at least one full window
       .withColumn("kg", kgrams)
       .withColumn(
         "fingerprints",
         array_distinct(
-          transform(sequence(lit(1), size(col("kg")) - (w - 1)), j =>
+          transform(sequence(lit(1), greatest(lit(1), size(col("kg")) - (w - 1))), j =>
             array_min(slice(col("kg"), j, lit(w))))))
       .drop("kg")
+  }
+
+  // ------------------------------------------------------- contamination_check
+
+  /** Benchmark decontamination — the pre-training pass that flags documents
+    * overlapping an evaluation set (the n-gram–overlap method most published
+    * training-data pipelines use). Benchmark phrases shingle into word
+    * n-grams ONCE (tiny — broadcast); the corpus shingles per row and
+    * equi-joins the broadcast gram set, so the corpus is touched in one
+    * codegen'd pass with no shuffle before the per-doc count. A doc with
+    * ANY benchmark n-gram is contaminated; the hit count supports
+    * threshold policies downstream.
+    */
+  def contamination(docs: DataFrame, benchPhrases: DataFrame, n: Int): DataFrame = {
+    val docGrams = docs
+      .withColumn("w", spaceTokens(col("text")))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(wordNgrams(col("w"), n)).as("g"))
+    val benchGrams = benchPhrases
+      .withColumn("w", spaceTokens(col("phrase")))
+      .filter(size(col("w")) >= n)
+      .select(explode(wordNgrams(col("w"), n)).as("g"))
+      .distinct()
+    val hits = docGrams
+      .join(broadcast(benchGrams), Seq("g")) // doc grams are distinct per doc
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** queries() wrapper: the "benchmark" is the first 12 words of every 50th
+    * document — those docs (and any doc quoting the same opening) must flag.
+    */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(firstWords(col("text"), 12).as("phrase"))
+    contamination(docs, bench, n = 3).orderBy("doc_id")
   }
 
   // ------------------------------------------------------------ sample_bottomk

@@ -33,6 +33,23 @@ class TextExpressionsSpec extends SparkSpec {
     assert(edge(2) === Seq.empty)
   }
 
+  test("native WinnowFingerprints matches the interpreted HOF formulation exactly") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, "exactly39chars_0123456789012345678901234"), // one window only
+        (900002L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") // degenerate repeats
+      ).toDF("doc_id", "text"))
+    for ((k, w) <- Seq((7, 4), (30, 10))) {
+      def fps(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").select("doc_id", "fingerprints")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toSeq
+      val native = fps(TextAnalysis.docFingerprints(docs, "text", k, w))
+      val hof = fps(TextAnalysis.docFingerprintsHof(docs, "text", k, w))
+      assert(native === hof, s"winnowing parity failed for k=$k w=$w")
+    }
+  }
+
   test("WordNgrams survives both codegen and interpreted evaluation") {
     // Force the interpreted path by evaluating the expression directly.
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -105,6 +105,25 @@ class DedupOpsSpec extends SparkSpec {
       "boilerplate bucket (30 > maxBucket) must be dropped")
   }
 
+  test("fingerprintPairs finds docs sharing a long substring amid unrelated text") {
+    // doc 1 and doc 2 share one long quoted passage inside otherwise
+    // different documents — whole-doc Jaccard is low, but the shared run
+    // guarantees shared winnowing fingerprints. doc 3 is unrelated. Words
+    // are per-stream unique (the shared `vocab` of `doc()` would collide at
+    // the character-k-gram level across every document).
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val quote = words("quoted", 40)
+    val rows = Seq(
+      (1L, words("one", 60) + " " + quote + " " + words("uno", 60)),
+      (2L, words("two", 60) + " " + quote + " " + words("dos", 60)),
+      (3L, words("three", 160)))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.fingerprintPairs(rows, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the quoted passage must pair the two docs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
   test("prefix-filter equivalence: ngramJaccardPairsPrefix == all-pairs ngramJaccardPairs") {
     // Real planted corpus (sf0.001) AND a generated corpus with rotations /
     // deletions — the prefix-filtered linear plan must reproduce the exact

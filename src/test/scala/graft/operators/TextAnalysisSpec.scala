@@ -54,4 +54,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).intersect(fps(1)).nonEmpty, "shared substring must share a fingerprint")
     assert(fps(0).intersect(fps(2)).isEmpty, "disjoint docs should not collide")
   }
+
+  test("contamination flags exactly the docs overlapping the benchmark phrases") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta"), // the benchmark doc itself
+      (2L, "prefix words then alpha beta gamma quoted inside other text"), // quotes 3 words
+      (3L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta")).toDF("phrase")
+    val got = TextAnalysis.contamination(docs, bench, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got(0) === ((1L, 2L, true)), "benchmark doc shares both 3-grams")
+    assert(got(1) === ((2L, 1L, true)), "a quoted 3-gram is enough to flag")
+    assert(got(2) === ((3L, 0L, false)), "clean doc stays clean with an explicit zero")
+  }
 }

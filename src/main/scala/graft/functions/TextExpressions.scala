@@ -77,16 +77,35 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
 }
 
 object WinnowFingerprints {
-  /** Shared primitive kernel for interpreted eval and codegen. */
+  /** Shared primitive kernel for interpreted eval and codegen. Hashes each
+    * k-gram's bytes IN PLACE via a char→byte offset index (one pass over
+    * the UTF-8 bytes), so the hot loop performs zero allocations — a
+    * 6000-char doc costs 6000 murmur calls over the original buffer, not
+    * 6000 substring copies. Byte-identical to hashing
+    * `substringSQL(i+1, k)` because both hash exactly the bytes of chars
+    * [i, i+k).
+    */
   def compute(t: UTF8String, k: Int, w: Int): GenericArrayData = {
     val n = t.numChars()
+    val base = t.getBaseObject
+    val baseOff = t.getBaseOffset
+    // char -> byte offset index (UTF-8 chars are variable width)
+    val offs = new Array[Int](n + 1)
+    var bi = 0
+    var ci = 0
+    while (ci < n) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(t.getByte(bi))
+      ci += 1
+    }
+    offs(n) = t.numBytes
     val numK = math.max(1, n - k + 1) // clamped: total on short input
     val hashes = new Array[Int](numK)
     var i = 0
     while (i < numK) {
-      val g = t.substringSQL(i + 1, k)
+      val endChar = math.min(n, i + k)
       hashes(i) = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42)
+        .hashUnsafeBytes(base, baseOff + offs(i), offs(endChar) - offs(i), 42)
       i += 1
     }
     val numW = math.max(1, numK - w + 1)

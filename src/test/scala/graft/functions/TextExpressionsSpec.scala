@@ -50,6 +50,33 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native expressions match HOF forms on randomized multibyte inputs") {
+    import graft.operators.TextAnalysis
+    // Winnowing hashes bytes in place through a char→byte index — multibyte
+    // text is exactly where that could diverge from the HOF's
+    // code-point substr, so the randomized sweep mixes 1-, 2-, and 3-byte
+    // characters freely.
+    val alphabet = "ab déü 漢字 xyz€ "
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").select("doc_id", "fingerprints")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toSeq
+    assert(fps(TextAnalysis.docFingerprints(docs, "text")) ===
+      fps(TextAnalysis.docFingerprintsHof(docs, "text")),
+      "winnowing parity must hold on multibyte text")
+
+    val toks = docs.select(col("doc_id"), spaceTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    assert(toks
+      .filter(wordNgrams(col("w"), 3) =!= wordNgramsHof(col("w"), 3))
+      .count() === 0L, "n-gram parity must hold on multibyte tokens")
+  }
+
   test("WordNgrams survives both codegen and interpreted evaluation") {
     // Force the interpreted path by evaluating the expression directly.
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -647,15 +647,22 @@ object SparkEntry {
         |       ELSE 'it' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
     "quality_score" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(w) AS BIGINT) AS n_words,
         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS stop_hits
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS stop_hits,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
         |  FROM t)
         |SELECT doc_id, n_words,
         |  round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
         |  round(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        |  round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        |  CASE WHEN n_letters > 0
+        |       THEN round(n_upper / CAST(n_letters AS DOUBLE), 6) END AS upper_ratio,
         |  round(least(n_words / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)) * 0.4
         |      + (n_distinct / CAST(n_words AS DOUBLE)) * 0.3
         |      + least(stop_hits / CAST(n_words AS DOUBLE) * 5.0, CAST(1 AS DOUBLE)) * 0.3, 4) AS quality

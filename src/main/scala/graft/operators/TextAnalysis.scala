@@ -51,18 +51,28 @@ object TextAnalysis {
 
   /** Document quality: length score (capped), vocabulary diversity
     * (distinct/total tokens — the dup-line ratio analogue for one-line docs),
-    * stopword presence (capped ×5 — well-formed prose sits near 0.2+).
+    * stopword presence (capped ×5 — well-formed prose sits near 0.2+),
+    * plus the punctuation and uppercase diagnostics filter policies key on
+    * (machine-generated junk skews punct-heavy; SHOUTING skews upper-heavy).
     * quality = 0.4·len + 0.3·diversity + 0.3·stopword, rounded to 4.
     */
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = spaceTokens(col(textCol))
+    val t = col(textCol)
+    val toks = spaceTokens(t)
     val nWords = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val stopHits = tokensIn(toks, Stopwords.head._2)
+    val nChars = length(t)
+    val nPunct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val nLetters = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nUpper = length(regexp_replace(t, "[^A-Z]", ""))
     docs
       .withColumn("n_words", nWords)
       .withColumn("distinct_ratio", round(nDistinct / nWords.cast("double"), 6))
       .withColumn("stop_ratio", round(stopHits / nWords.cast("double"), 6))
+      .withColumn("punct_ratio", round(nPunct / nChars.cast("double"), 6))
+      .withColumn("upper_ratio",
+        when(nLetters > 0, round(nUpper / nLetters.cast("double"), 6)))
       .withColumn(
         "quality",
         round(
@@ -74,7 +84,8 @@ object TextAnalysis {
 
   def qQualityScore(s: SparkSession, d: String): DataFrame =
     qualityScore(Tables.documents(s, d), "text")
-      .select("doc_id", "n_words", "distinct_ratio", "stop_ratio", "quality")
+      .select("doc_id", "n_words", "distinct_ratio", "stop_ratio",
+        "punct_ratio", "upper_ratio", "quality")
       .orderBy("doc_id")
 
   // -------------------------------------------------------------- token_count

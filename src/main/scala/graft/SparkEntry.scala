@@ -660,7 +660,8 @@ object SparkEntry {
         |SELECT doc_id, n_words,
         |  round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
         |  round(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
-        |  round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        |  CASE WHEN n_chars > 0
+        |       THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
         |  CASE WHEN n_letters > 0
         |       THEN round(n_upper / CAST(n_letters AS DOUBLE), 6) END AS upper_ratio,
         |  round(least(n_words / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)) * 0.4

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** In-bucket ordered pair expansion shared by the collect_list-based
+    * candidate generators (minhash bands, embedding LSH buckets, shared
+    * fingerprints): all (id1 < id2) pairs of a sorted id array as structs.
+    * Runs interpreted (HOF) — acceptable because buckets are capped at
+    * `maxBucket` members; a codegen'd kernel is the known upgrade path and
+    * now has exactly one place to land.
+    */
+  private def bucketPairs(sortedIds: Column): Column =
+    explode(flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)), y =>
+        struct(x.as("id1"), y.as("id2"))))))
+
   // -------------------------------------------------------------- dedup_exact
 
   /** Exact dedup: md5 of whitespace/case-normalized text, keep the smallest
@@ -252,14 +264,11 @@ object DedupOps {
     // standard web-dedup practice (and the skew story at 100 TB) is to drop
     // the bucket; its members still pair through their other `bands-1`
     // bands whenever they are genuine near-duplicates.
-    val ids = array_sort(col("ids"))
     val cand = banded
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)), y =>
-          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
     // Exact-verify gram sets are built ONLY for candidate docs (semi-join
@@ -320,10 +329,14 @@ object DedupOps {
     * `minhashPairs`): a block value shared by more than `maxBucket` docs
     * (e.g. near-empty documents whose sparse token sums all land on the
     * same sign pattern) would expand quadratically, so the bucket is
-    * dropped; true near-dups in it still pair through their other three
-    * blocks (Hamming ≤ 3 leaves at least one MORE block equal whenever two
-    * of the four differ — and a cluster degenerate in every block is
-    * exactly the boilerplate case the guard exists to shed).
+    * dropped. Recall note, stated honestly: a pair at Hamming ≤ 2 always
+    * has ≥ 2 equal blocks and survives any single dropped bucket, but a
+    * pair whose 3 differing bits land in 3 DIFFERENT blocks has exactly one
+    * equal block — if that one value is degenerate, the pair is lost. That
+    * is the same recall-for-robustness trade `minhashPairs` makes (a doc
+    * whose only collisions are boilerplate buckets is indistinguishable
+    * from boilerplate), and the guard can be disabled with a large
+    * `maxBucket` when exactness matters more than skew safety.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhashTable(docs, "text")
@@ -428,6 +441,11 @@ object DedupOps {
       dim: Int = 64,
       targetBucket: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
+    // NOTE: deriving bits runs ONE eager count() over the input lineage per
+    // invocation — the price of a data-dependent plan parameter (the same
+    // stats pass AQE pays). Callers that know their corpus size (or loop
+    // over the same corpus) should pass `bitsOverride` to keep the builder
+    // fully lazy.
     val bits = bitsOverride.getOrElse {
       val n = math.max(1L, vecs.count())
       math.max(8, math.min(20,
@@ -438,14 +456,11 @@ object DedupOps {
       col("vec_id"), col("label"),
       posexplode(array(planes.map(p => AnnOps.bucketOf(col("v"), p)): _*))
         .as(Seq("table", "bucket")))
-    val ids = array_sort(col("ids"))
     val cand = bucketed
       .groupBy("table", "bucket", "label")
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)), y =>
-          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
     cand
@@ -463,11 +478,16 @@ object DedupOps {
 
   /** Substring-level near-dup pairs: documents sharing ≥ `minShared`
     * winnowing fingerprints (`TextAnalysis.docFingerprints`) — the scalable
-    * stand-in for suffix-array substring dedup: any shared run of
-    * ≥ w+k−1 characters guarantees a shared fingerprint, so a long quoted
-    * or boilerplate passage pairs two documents even when their WHOLE-doc
-    * similarity is far below any Jaccard threshold (the case `ngram_jaccard`
-    * and `minhashPairs` deliberately ignore).
+    * stand-in for suffix-array substring dedup: a shared run of ≥ k+w−1
+    * characters guarantees ONE shared fingerprint, so with the default
+    * `minShared = 3` the pairing guarantee applies to runs long enough for
+    * ≥ 3 distinct window minima (in practice a few times k+w−1 — winnowing
+    * density is ~2/(w+1) fingerprints per position; set `minShared = 1` for
+    * the strict single-fingerprint guarantee at the cost of noisier pairs).
+    * Either way a long quoted or boilerplate passage pairs two documents
+    * even when their WHOLE-doc similarity is far below any Jaccard
+    * threshold (the case `ngram_jaccard` and `minhashPairs` deliberately
+    * ignore).
     *
     * Same plan contract as the rest of the family: one shuffle on the
     * fingerprint value, `maxBucket` drops degenerate fingerprints (a hash
@@ -491,14 +511,11 @@ object DedupOps {
       maxBucket: Int = 200): DataFrame = {
     val fps = TextAnalysis.docFingerprints(docs, "text", k, w)
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-    val ids = array_sort(col("ids"))
     fps
       .groupBy("fp")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)), y =>
-          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("shared_fps")) // fingerprints are distinct per doc

@@ -138,7 +138,9 @@ object SyncOps {
           case '*' => sb.append(".*")
           case '?' => sb.append('.')
           case '[' =>
-            // fnmatch class: leading ! negates; a ] in first position is
+            // fnmatch class: ONLY a leading ! negates — a leading ^ is a
+            // LITERAL caret in fnmatch (CPython translate escapes it), so it
+            // must not become Java-regex negation; a ] in first position is
             // literal; an unterminated [ is a literal bracket.
             var j = i + 1
             if (j < core.length && (core(j) == '!' || core(j) == '^')) j += 1
@@ -146,9 +148,12 @@ object SyncOps {
             while (j < core.length && core(j) != ']') j += 1
             if (j >= core.length) sb.append("\\[")
             else {
-              val inner0 = core.substring(i + 1, j)
-              val inner = if (inner0.startsWith("!")) "^" + inner0.drop(1) else inner0
-              sb.append('[').append(inner.replace("\\", "\\\\")).append(']')
+              val body = core.substring(i + 1, j).replace("\\", "\\\\")
+              val inner =
+                if (body.startsWith("!")) "^" + body.drop(1)
+                else if (body.startsWith("^")) "\\^" + body.drop(1)
+                else body
+              sb.append('[').append(inner).append(']')
               i = j
             }
           case c if "\\.{}()+-^$|]".contains(c) => sb.append('\\').append(c)

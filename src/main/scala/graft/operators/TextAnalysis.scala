@@ -70,7 +70,8 @@ object TextAnalysis {
       .withColumn("n_words", nWords)
       .withColumn("distinct_ratio", round(nDistinct / nWords.cast("double"), 6))
       .withColumn("stop_ratio", round(stopHits / nWords.cast("double"), 6))
-      .withColumn("punct_ratio", round(nPunct / nChars.cast("double"), 6))
+      .withColumn("punct_ratio",
+        when(nChars > 0, round(nPunct / nChars.cast("double"), 6)))
       .withColumn("upper_ratio",
         when(nLetters > 0, round(nUpper / nLetters.cast("double"), 6)))
       .withColumn(

@@ -43,7 +43,10 @@ object SnapshotStore {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(Prefix))
-      .map(_.getPath.getName.stripPrefix(Prefix).toLong)
+      // toLongOption, not toLong: a stray dir with the prefix but a
+      // non-numeric suffix (a manual .bak copy, a partial upload) must not
+      // take down list/prune/readLatest for the healthy snapshots
+      .flatMap(s => s.getPath.getName.stripPrefix(Prefix).toLongOption)
       .sorted(Ordering[Long].reverse)
   }
 

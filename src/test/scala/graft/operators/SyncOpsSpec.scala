@@ -110,4 +110,16 @@ class SyncOpsSpec extends SparkSpec {
       .select("path").collect().map(_.getString(0)).toSet
     assert(got === Set("/docs/1a", "/docs/2a", "/cache/b1"))
   }
+
+  test("robotsDisallowed treats a leading ^ in a class as a literal, like fnmatch") {
+    import spark.implicits._
+    // CPython fnmatch: only '!' negates — '[^b]' matches the characters
+    // '^' or 'b', NOT everything-but-b. Java regex negation must not leak.
+    val urls = Seq("/a^x", "/abx", "/acx")
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "path")
+    val got = SyncOps.robotsDisallowed(urls, Seq("/a[^b]x$"))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(got === Set("/a^x", "/abx"),
+      "caret and 'b' match; 'c' must NOT match a literal-caret class")
+  }
 }

@@ -26,6 +26,16 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.readLatest(spark, dir).collect()(0).getString(1) === "v5")
   }
 
+  test("a stray non-numeric snapshot_ts dir is ignored, not fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstray").toString
+    SnapshotStore.write(Seq((1L, "v1")).toDF("id", "value"), dir, ts = 1001L)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "snapshot_ts=00000000000000001001.bak"))
+    assert(SnapshotStore.list(spark, dir) === Seq(1001L))
+    assert(SnapshotStore.readLatest(spark, dir).count() === 1L)
+    assert(SnapshotStore.prune(spark, dir, keep = 1) === Seq.empty)
+  }
+
   test("snapshot listing on an empty/missing dir is empty, prune is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("snapempty").toString + "/nothing"
     assert(SnapshotStore.list(spark, dir) === Seq.empty)

@@ -72,12 +72,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("ann_ivf broadcasts centroid tables; the corpus side never broadcasts") {
-    // The IVF plan's only nested-loop expansions are against the tiny
-    // centroid table (nlist rows) — asserted by requiring every broadcast
-    // in the plan and no shuffle of anything corpus-sized on the probe path.
+  test("ann_ivf assignment is a projection: no shuffle join anywhere in the plan") {
+    // The round-5 contract: corpus→cell assignment is the `nearestCentroid`
+    // literal-centroid expression (zero corpus-side exchange — no crossJoin,
+    // no groupBy), and candidates meet the probe table via broadcast. The
+    // only shuffles left are the two per-query top-k windows over narrow
+    // rows, so ANY shuffle join in the plan means the assignment regressed.
     val p = plan("ann_ivf")
-    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(p.contains("BroadcastExchange"), "probe table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "ann_ivf must not shuffle the corpus into any join")
+    assert(!p.contains("CartesianProduct"), "ann_ivf plan has a cartesian product")
   }
 
   test("embed_attach encodes distinct texts before the attach join") {

@@ -79,6 +79,41 @@ class AnnOpsSpec extends SparkSpec {
     assert(a.length <= 8 && a.nonEmpty)
   }
 
+  test("nearestCentroid expression agrees with the Lloyd min_by assignment") {
+    import graft.functions.VectorFns.dot_product
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val centroids = AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2)
+    val cents = AnnOps.centroidArrays(centroids)
+    // Re-index the min_by form onto the same dense 0..m-1 ids by ranking cid.
+    val spark2 = spark
+    import spark2.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("dense_cid", "cv")
+    val viaJoin = vecs.crossJoin(broadcast(centDf))
+      .groupBy("vec_id")
+      .agg(min_by(col("dense_cid"),
+        struct((-dot_product(col("v"), col("cv"))).as("d"), col("dense_cid"))).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaExpr = vecs
+      .select(col("vec_id"), AnnOps.nearestCentroid(col("v"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaExpr === viaJoin, "expression argmin must equal join/min_by argmin")
+  }
+
+  test("ivfCentroids trainCap bounds the Lloyd sample without breaking recall") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val exact = AnnOps.bruteTopK(vecs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Train on a quarter of the corpus (sf0.01 has ~500 vectors): the
+    // quantizer sees only the sample, the inverted file still covers ALL
+    // vectors (assignment is corpus-wide), so recall should hold.
+    val approx = AnnOps.ivfTopK(vecs, queries, k = 10, nlist = 8, nprobe = 4, trainCap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall@10 with trainCap=128: $recall%.3f")
+    assert(recall >= 0.5, s"sampled-training IVF recall $recall below 0.5")
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = AnnOps.hyperplanes(2, 4, 8)
     val b = AnnOps.hyperplanes(2, 4, 8)

@@ -52,14 +52,23 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.2f".format(v)}" }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = "%.3f".format(timings.values.sum)
     val totalSpread = "%.3f".format(spreads.values.sum)
+    // The stdout record must stay ONE short line (< ~2 KB): round 4's line
+    // grew past the driver's capture window once the per-query spread map
+    // was added and the round's number of record was lost. Headline fields
+    // first, 2-decimal per-query floats, and the spread detail goes to a
+    // sidecar file instead of the line.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SPREAD.json"),
+      s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))
     // One clean line; flush stderr first so log noise cannot interleave.
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"queries":$qs,"spread":$sp,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(line)
     spark.stop()
   }
 }

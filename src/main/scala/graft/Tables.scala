@@ -38,4 +38,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact row count of a parquet table from file FOOTERS — a driver-side
+    * metadata read, zero Spark jobs (parquet stores per-file record counts;
+    * this is what `SELECT count(*)` metadata-only optimizations read too).
+    * Used by data-dependent plan parameters (e.g. LSH bit width) that must
+    * not trigger an eager corpus scan at DataFrame-construction time.
+    * Handles both a single parquet file and a directory of part files.
+    */
+  def rowCountFromFooters(s: SparkSession, dir: String, name: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root).toSeq.filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(status)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 }

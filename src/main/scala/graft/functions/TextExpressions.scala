@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for word n-gram construction — the shingle
@@ -74,6 +74,66 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native in-bucket pair expansion — the shared kernel of every
+  * collect_list-based candidate generator (MinHash bands, embedding LSH
+  * buckets, shared fingerprints): all ordered (id1 < id2 by POSITION) pairs
+  * of a sorted id array as `struct<id1:long, id2:long>` elements.
+  *
+  * The HOF formulation (`flatten(transform(ids, (x,i) =>
+  * transform(slice(ids, i+2, …), y => struct(x, y))))`) is interpreted and
+  * allocates a nested array per element; this kernel emits the identical
+  * structs in the identical order from one primitive double loop inside
+  * whole-stage codegen. Buckets are `maxBucket`-capped by every caller, so
+  * the n·(n−1)/2 output is bounded by construction.
+  */
+case class SortedIdPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = SortedIdPairs.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedIdPairs.build(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedIdPairs.build($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedIdPairs {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("id1", LongType, nullable = false),
+    StructField("id2", LongType, nullable = false))), containsNull = false)
+
+  /** Shared primitive kernel for interpreted eval and codegen: pairs in the
+    * order (0,1), (0,2) … (0,n−1), (1,2) … — exactly the order the HOF
+    * twin's flatten produces (its parity spec).
+    */
+  def build(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object WinnowFingerprints {

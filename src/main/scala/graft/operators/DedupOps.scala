@@ -20,11 +20,18 @@ object DedupOps {
   /** In-bucket ordered pair expansion shared by the collect_list-based
     * candidate generators (minhash bands, embedding LSH buckets, shared
     * fingerprints): all (id1 < id2) pairs of a sorted id array as structs.
-    * Runs interpreted (HOF) — acceptable because buckets are capped at
-    * `maxBucket` members; a codegen'd kernel is the known upgrade path and
-    * now has exactly one place to land.
+    * Backed by the native codegen'd `SortedIdPairs` kernel (one primitive
+    * double loop); `bucketPairsHof` below is the interpreted reference
+    * formulation its parity spec checks against.
     */
-  private def bucketPairs(sortedIds: Column): Column =
+  private[operators] def bucketPairs(sortedIds: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    explode(GraftSqlBridge.column(
+      graft.functions.SortedIdPairs(GraftSqlBridge.expression(sortedIds))))
+  }
+
+  /** Interpreted HOF twin of `bucketPairs` — parity-spec reference only. */
+  private[operators] def bucketPairsHof(sortedIds: Column): Column =
     explode(flatten(transform(sortedIds, (x, i) =>
       transform(slice(sortedIds, i + 2, size(sortedIds)), y =>
         struct(x.as("id1"), y.as("id2"))))))
@@ -443,14 +450,11 @@ object DedupOps {
       maxBucket: Int = 1000): DataFrame = {
     // NOTE: deriving bits runs ONE eager count() over the input lineage per
     // invocation — the price of a data-dependent plan parameter (the same
-    // stats pass AQE pays). Callers that know their corpus size (or loop
-    // over the same corpus) should pass `bitsOverride` to keep the builder
-    // fully lazy.
-    val bits = bitsOverride.getOrElse {
-      val n = math.max(1L, vecs.count())
-      math.max(8, math.min(20,
-        math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
-    }
+    // stats pass AQE pays). Callers that know their corpus size — or can
+    // read it from parquet footers (`Tables.rowCountFromFooters`, zero
+    // jobs) the way `qDedupEmbedding` does — should pass `bitsOverride`
+    // to keep the builder fully lazy.
+    val bits = bitsOverride.getOrElse(lshBits(vecs.count(), targetBucket))
     val planes = AnnOps.hyperplanes(tables, bits, dim)
     val bucketed = vecs.select(
       col("vec_id"), col("label"),
@@ -471,8 +475,27 @@ object DedupOps {
       .select("id1", "id2", "cos_sim")
   }
 
-  def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    embeddingPairsLsh(plantedEmbeddings(s, d), tau = 0.95).orderBy("id1", "id2")
+  /** Bucket bit width for a corpus of `n` vectors: ⌈log₂(n / targetBucket)⌉
+    * clamped to [8, 20] — expected bucket population ≈ targetBucket
+    * regardless of corpus size, so candidate volume stays linear in n.
+    */
+  def lshBits(n: Long, targetBucket: Int): Int = {
+    val safe = math.max(1L, n)
+    math.max(8, math.min(20,
+      math.ceil(math.log(safe.toDouble / targetBucket) / math.log(2.0)).toInt))
+  }
+
+  /** Registered query: bits come from the parquet FOOTER row count (driver
+    * metadata read — building this DataFrame runs zero Spark jobs), scaled
+    * by 12/11 for the planted every-11th mutants. Only the log₂ magnitude
+    * matters, so the approximation cannot move the clamped bit width.
+    */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.rowCountFromFooters(s, d, "embeddings") * 12L / 11L
+    embeddingPairsLsh(plantedEmbeddings(s, d), tau = 0.95,
+      bitsOverride = Some(lshBits(n, targetBucket = 8)))
+      .orderBy("id1", "id2")
+  }
 
   // -------------------------------------------------------- dedup_fingerprint
 

@@ -155,6 +155,51 @@ class DedupOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("native bucketPairs kernel matches the interpreted HOF form") {
+    // Randomized sweep over bucket sizes incl. the 0/1 degenerate cases
+    // (empty pair sets) — identical structs in identical order.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val buckets = (0 until 50).map { i =>
+      val n = rnd.nextInt(12)
+      (i, Seq.fill(n)(rnd.nextLong().abs).sorted)
+    }
+    val df = buckets.toDF("bucket", "ids")
+    def pairs(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.select(col("bucket"), f(col("ids")).as("p"))
+        .select(col("bucket"), col("p.id1"), col("p.id2"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs(DedupOps.bucketPairs) === pairs(DedupOps.bucketPairsHof))
+  }
+
+  test("qDedupEmbedding plan construction triggers zero Spark jobs") {
+    // Bits now come from parquet footers (driver metadata read), so building
+    // the DataFrame must not run the old eager count(). `spark.read.parquet`
+    // itself launches a schema-inference job, so the invariant is: building
+    // the registered query costs exactly the jobs of a plainly-lazy read of
+    // the same table — zero EXTRA jobs.
+    val tracker = spark.sparkContext.statusTracker
+    def jobsDuring(f: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      f
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    val lazyJobs = jobsDuring { DedupOps.plantedEmbeddings(spark, sfDir) }
+    var df: org.apache.spark.sql.DataFrame = null
+    val qJobs = jobsDuring { df = DedupOps.qDedupEmbedding(spark, sfDir) }
+    assert(qJobs === lazyJobs,
+      s"plan construction ran ${qJobs - lazyJobs} extra Spark job(s) beyond the lazy read")
+    assert(df.columns.toSeq === Seq("id1", "id2", "cos_sim"))
+  }
+
+  test("footer row count matches a real count and derived bits match the count path") {
+    val n = graft.Tables.rowCountFromFooters(spark, sfDir, "embeddings")
+    assert(n === graft.Tables.embeddings(spark, sfDir).count())
+    assert(DedupOps.lshBits(n * 12L / 11L, 8) ===
+      DedupOps.lshBits(DedupOps.plantedEmbeddings(spark, sfDir).count(), 8))
+  }
+
   test("embeddingPairsLsh never crosses labels (bucket key includes label)") {
     // Two identical-direction vectors with DIFFERENT labels: cos = 1 but the
     // exact blocked form excludes them, so the LSH form must too.

@@ -57,6 +57,7 @@ object SparkEntry {
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
+    "search_bm25" -> (SearchOps.qSearchBm25 _),
     "search_bool" -> (SearchOps.qSearchBool _),
     "facet_counts" -> (SearchOps.qFacetCounts _),
     "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
@@ -520,6 +521,39 @@ object SparkEntry {
         |         + len(list_filter(string_split(trim(text),' '), x -> x = 'merge')))
         |      / CAST(len(string_split(trim(text),' ')) AS DOUBLE), 6) AS score
         |  FROM documents)
+        |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // BM25 with k1=1.2, b=0.75 — formula structured EXACTLY like the Spark
+    // expression tree (same association order, constants as the same summed
+    // expressions) so the rounded doubles hash identically.
+    "search_bm25" ->
+      """WITH st AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text),' '))) AS DOUBLE)
+        |      / count(*) AS avgdl,
+        |    sum(CASE WHEN list_contains(string_split(trim(text),' '), 'query')
+        |        THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(string_split(trim(text),' '), 'data')
+        |        THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(string_split(trim(text),' '), 'merge')
+        |        THEN 1 ELSE 0 END) AS df2
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x = 'query')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x = 'data')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    CAST(len(string_split(trim(text),' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |        * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |        * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM d, st)
         |SELECT doc_id, score FROM s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "search_bool" ->

@@ -48,6 +48,59 @@ object SearchOps {
     matchTopK(Tables.documents(s, d), "text", terms = Seq("query", "data", "merge"), k = 20)
       .select("doc_id", "score")
 
+  // -------------------------------------------------------------- search_bm25
+
+  /** Multi-term match with BM25 scoring — what ES actually computes for a
+    * `match` query (elastic.py:57 consumers rank by `_score`; Lucene's
+    * BM25Similarity is the ES default since 5.x):
+    *
+    *   score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * The corpus statistics (N, Σ|D| for avgdl, one df per query term) are a
+    * SINGLE 1-row partial aggregate broadcast back onto the docs — the
+    * "broadcast df table" scale shape: one stats pass + one scoring pass,
+    * both full-scan-linear, no per-term shuffle, and the terms list only
+    * widens the aggregate row. Top-k collapses to TakeOrderedAndProject.
+    * A term present in every doc gets idf ≈ ln(1+1/(N+0.5)) ≈ 0 — rare
+    * discriminative terms dominate, which is the point of upgrading from
+    * TF×(1/len).
+    */
+  def matchBm25TopK(docs: DataFrame, textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = spaceTokens(col(textCol))
+    val dl = size(toks)
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+      sum(dl.cast("long")).as("sum_dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      // Constants stay as (k1 + 1)-style EXPRESSIONS, not pre-folded Scala
+      // doubles: the DuckDB oracle folds `1.2 + 1.0` with the same IEEE ops,
+      // so both sides land on identical bits (a pre-folded `lit(2.2)` vs a
+      // summed 1.2+1.0 can differ by 1 ulp and flip the 6th rounded digit).
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl.cast("double") / avgdl))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  def qSearchBm25(s: SparkSession, d: String): DataFrame =
+    matchBm25TopK(Tables.documents(s, d), "text", terms = Seq("query", "data", "merge"), k = 20)
+      .select("doc_id", "score")
+
   // --------------------------------------------------------------- search_bool
 
   /** Bool query: must (all predicates), must_not, exists; `should` clauses

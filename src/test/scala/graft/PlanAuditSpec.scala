@@ -41,6 +41,14 @@ class PlanAuditSpec extends SparkSpec {
   test("top-k queries collapse to TakeOrderedAndProject (no global sort)") {
     assert(plan("q3_topk").contains("TakeOrderedAndProject"))
     assert(plan("search_match_topk").contains("TakeOrderedAndProject"))
+    assert(plan("search_bm25").contains("TakeOrderedAndProject"))
+  }
+
+  test("search_bm25 broadcasts the corpus-stats row (df side broadcast)") {
+    val p = plan("search_bm25")
+    assert(p.contains("BroadcastExchange"), "1-row stats aggregate must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "scoring pass must not shuffle the corpus")
   }
 
   test("ann_topk broadcasts the query vectors (corpus never shuffles)") {

@@ -38,6 +38,7 @@ object SparkEntry {
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
+    "norm_boilerplate" -> (NormOps.qNormBoilerplate _),
     "norm_reading_time" -> (NormOps.qNormReadingTime _),
     "norm_description" -> (NormOps.qNormDescription _),
     "norm_add_counts" -> (NormOps.qNormAddCounts _),
@@ -287,6 +288,45 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, trim(regexp_replace(html, '<.*?>', '', 'g')) AS text_clean
         |FROM h WHERE length(trim(regexp_replace(html, '<.*?>', '', 'g'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Line-level boilerplate filter: identical regex pipeline (block closes →
+    // \n, anchor text in \x01..\x02 sentinels, global tag strip) and the
+    // identical per-line keep rule. \x escapes are RE2/Java-portable;
+    // the sentinel REPLACEMENT string is chr(1)||'\1'||chr(2) because an
+    // E-string '\1' would be octal, not a group ref.
+    "norm_boilerplate" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title></head><body>' ||
+        |    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+        |    '<div class="cookie">We use cookies</div>' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<footer>Copyright example-site</footer></body></html>' AS html
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html,
+        |          '(?i)</(?:p|div|h[1-6]|head|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote|title|body|html)>|<br */?>',
+        |          chr(10), 'g'),
+        |        '(?is)<a(?:\s[^>]*)?>(.*?)</a>', chr(1) || '\1' || chr(2), 'g'),
+        |      '<.*?>', '', 'g') AS stripped
+        |  FROM h),
+        |j AS (
+        |  SELECT doc_id, trim(array_to_string(
+        |    list_transform(
+        |      list_filter(string_split(stripped, chr(10)),
+        |        x -> length(trim(regexp_replace(x, '[\x01\x02]', '', 'g'))) > 0
+        |         AND CAST(length(x) - length(regexp_replace(x, '\x01[^\x02]*\x02', '', 'g'))
+        |               - 2 * len(regexp_extract_all(x, '\x01[^\x02]*\x02')) AS DOUBLE)
+        |             <= length(trim(regexp_replace(x, '[\x01\x02]', '', 'g'))) * CAST(0.5 AS DOUBLE)
+        |         AND (length(trim(regexp_replace(x, '[\x01\x02]', '', 'g'))) >= 30
+        |              OR regexp_matches(trim(regexp_replace(x, '[\x01\x02]', '', 'g')), '[.!?]$'))),
+        |      x -> trim(regexp_replace(x, '[\x01\x02]', '', 'g'))),
+        |    chr(10))) AS text_main
+        |  FROM m)
+        |SELECT doc_id, text_main FROM j WHERE length(text_main) > 0
         |ORDER BY doc_id""".stripMargin,
     "norm_reading_time" ->
       """SELECT doc_id,

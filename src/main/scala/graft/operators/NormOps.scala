@@ -53,6 +53,78 @@ object NormOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- norm_boilerplate
+
+  /** Block-close tags (and `<br>`) become line breaks before the tag strip,
+    * so the line filter below sees the document's visual line structure.
+    */
+  val BlockCloseRe: String =
+    "(?i)</(?:p|div|h[1-6]|head|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote|title|body|html)>|<br */?>"
+
+  /** Anchor elements; group 1 is the link text (marked with \x01..\x02
+    * sentinels so per-line link density survives the global tag strip).
+    */
+  val AnchorRe: String = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
+
+  /** Line-level boilerplate filtering — the second half of the trafilatura
+    * stand-in (trafilatura_extract.py extracts MAIN content, not all text;
+    * `cleanHtmlDocs` above is the reference's regex fallback that keeps
+    * everything). The published content-extraction heuristics (jusText,
+    * readability): a text line is content iff it has visible text, its LINK
+    * DENSITY (fraction of chars inside `<a>` elements) is ≤
+    * `maxLinkDensity`, and it is either ≥ `minChars` chars long or ends
+    * like a sentence. Nav bars (all links), cookie banners and footer
+    * copyright lines (short, no terminal punctuation) drop; prose survives.
+    *
+    * Mechanics: block-close tags → newlines, anchor text wrapped in \x01..
+    * \x02 sentinels, global `<.*?>` strip (the reference's cleanhtml regex),
+    * then a per-line filter + rejoin. Pure per-row projection — zero
+    * shuffle; the line lambdas run interpreted but over a handful of lines
+    * per document (NOT per-gram — the scale hazard HOFs pose elsewhere
+    * doesn't apply at one call per line).
+    */
+  def boilerplateFilter(docs: DataFrame, htmlCol: String,
+      minChars: Int = 30, maxLinkDensity: Double = 0.5): DataFrame = {
+    val marked = regexp_replace(
+      regexp_replace(col(htmlCol), BlockCloseRe, "\n"),
+      AnchorRe, "\u0001$1\u0002")
+    val lines = split(regexp_replace(marked, HtmlTagRe, ""), "\n")
+    val spanRe = "\\x01[^\\x02]*\\x02"
+    val markRe = "[\\x01\\x02]"
+    val scored = transform(lines, l => {
+      val vis = trim(regexp_replace(l, markRe, ""))
+      val linkLen = length(l) - length(regexp_replace(l, spanRe, "")) -
+        size(regexp_extract_all(l, lit(spanRe), lit(0))) * 2
+      val keep = length(vis) > 0 &&
+        linkLen.cast("double") <= length(vis) * lit(maxLinkDensity) &&
+        (length(vis) >= minChars || vis.rlike("[.!?]$"))
+      struct(vis.as("t"), keep.as("keep"))
+    })
+    docs
+      .withColumn("text_main",
+        trim(array_join(
+          transform(filter(scored, c => c.getField("keep")), c => c.getField("t")), "\n")))
+      .filter(length(col("text_main")) > 0)
+      .drop(htmlCol)
+  }
+
+  /** queries() wrapper: wraps each document's text in a page skeleton whose
+    * boilerplate is real-shaped — an all-links nav, a short cookie banner, a
+    * footer copyright line, a title — and expects only the prose to survive.
+    */
+  def qNormBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
+      lit("""<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>"""),
+      lit("""<div class="cookie">We use cookies</div>"""),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<footer>Copyright example-site</footer></body></html>"))
+    boilerplateFilter(
+      Tables.documents(s, d).select(col("doc_id"), html.as("html")), "html")
+      .select("doc_id", "text_main")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- norm_reading_time
 
   /** readingTime = `\w+` count / 228 wpm; blacklisted docs get -1

@@ -159,6 +159,44 @@ class NormOpsSpec extends SparkSpec {
       "fallback Webpage survives when it is the only type")
   }
 
+  test("boilerplateFilter keeps prose and drops nav/cookie/footer lines") {
+    val spark2 = spark
+    import spark2.implicits._
+    val prose = "This paragraph carries the actual content of the page and is long enough."
+    val short = "Short but ends like a sentence."
+    val html =
+      s"""<html><head><title>T</title></head><body>
+         |<nav><a href="/">Home</a> <a href="/x">About</a></nav>
+         |<div class="cookie">We use cookies</div>
+         |<p>$prose</p>
+         |<p>$short</p>
+         |<p>Mixed line with one <a href="/y">link</a> inside a full sentence of prose text.</p>
+         |<footer>Copyright holder</footer>
+         |</body></html>""".stripMargin.replace("\n", "")
+    val out = NormOps.boilerplateFilter(
+      Seq((1L, html)).toDF("doc_id", "html"), "html")
+      .select("text_main").as[String].collect().head
+    val lines = out.split("\n").toSeq
+    assert(lines.contains(prose), "long prose line must survive")
+    assert(lines.contains(short), "short line with terminal punctuation must survive")
+    assert(lines.exists(_.startsWith("Mixed line")), "low link-density prose must survive")
+    assert(!out.contains("Home"), "all-link nav must drop")
+    assert(!out.contains("cookies"), "short unpunctuated cookie banner must drop")
+    assert(!out.contains("Copyright"), "footer line must drop")
+    assert(!out.contains("T\n") && !lines.contains("T"), "bare title must drop")
+  }
+
+  test("boilerplateFilter drops a line whose text is mostly links") {
+    val spark2 = spark
+    import spark2.implicits._
+    val html = "<p>tiny <a>mostly all of this line is anchor text here</a></p>" +
+      "<p>This real sentence stays because its words sit outside any anchor element.</p>"
+    val out = NormOps.boilerplateFilter(
+      Seq((1L, html)).toDF("doc_id", "html"), "html")
+      .select("text_main").as[String].collect().head
+    assert(out === "This real sentence stays because its words sit outside any anchor element.")
+  }
+
   test("applyBlackMap drops blacklisted list values and nulls blacklisted scalars") {
     val docs = Seq(
       (1L, Seq("keep", "drop", "keep2"), "zh"),

@@ -55,6 +55,7 @@ object SparkEntry {
     "norm_content_type" -> (NormOps.qNormContentType _),
     "graph_obligations" -> (GraphOps.qGraphObligations _),
     "norm_locations" -> (NormOps.qNormLocations _),
+    "norm_pipeline" -> (NormOps.qNormPipeline _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
@@ -463,6 +464,77 @@ object SparkEntry {
         |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
         |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // commonNormalizer composed from a site-shaped config: each CTE is one
+    // reference step in common_normalizer's order (admission → workflow
+    // state → fulltext/readingTime → black/white maps → remove-empty →
+    // normObj → normProp → normMissing → list dedup + trim → description →
+    // add_counts). The fulltext CTEs crib the proven norm_join_text oracle.
+    "norm_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Dataset' ELSE 'Article' END AS type_raw,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 1 THEN '' ELSE 'published' END AS review_state,
+        |    CASE WHEN doc_id % 4 = 0 THEN NULL
+        |         WHEN doc_id % 4 = 1 THEN ''
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE '<p>Summary for doc ' || doc_id || '</p>' END AS summary,
+        |    CASE WHEN doc_id % 4 <> 0 THEN 'pub_' || source END AS publisher,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Existing description for doc ' || doc_id
+        |         WHEN doc_id % 3 = 1 THEN '' ELSE NULL END AS description_raw
+        |  FROM documents
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) ||
+        |    (CASE WHEN title IS NULL OR title = '' THEN 'no title' ELSE title END) ||
+        |    '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1),
+        |tg AS (
+        |  SELECT *,
+        |    list_filter(list_slice(string_split(trim(text), ' '), 1, 5),
+        |      x -> x NOT IN ('the','a','and','of','to','data')) AS l0
+        |  FROM ft),
+        |tg2 AS (
+        |  SELECT *, CASE WHEN len(l0) = 0 THEN NULL ELSE l0 END AS l1 FROM tg),
+        |tg3 AS (
+        |  SELECT *, list_filter(l1, (x, i) -> list_position(l1, x) = i) AS l2 FROM tg2),
+        |fin AS (
+        |  SELECT doc_id, type_raw,
+        |    CASE WHEN review_state IS NULL OR review_state = ''
+        |         THEN 'missing' ELSE review_state END AS workflow_state,
+        |    CAST(len(regexp_extract_all(ft_raw, '\w+')) AS BIGINT) AS n_words,
+        |    CASE WHEN type_raw = 'Dataset' THEN CAST(-1.0 AS DOUBLE)
+        |         ELSE round(len(regexp_extract_all(ft_raw, '\w+')) / CAST(228 AS DOUBLE), 4)
+        |    END AS reading_time,
+        |    array_to_string(l2, '|') AS tags,
+        |    CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+        |              WHEN 'fr' THEN 'French' ELSE lang END AS lang,
+        |    CASE WHEN source IN ('src0','src1','src2') THEN source END AS source,
+        |    n_chars AS size_chars,
+        |    'CC-BY-4.0' AS rights,
+        |    coalesce(publisher,
+        |      CASE WHEN source IN ('src0','src1','src2') THEN source END) AS publisher,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
+        |                k -> 'place' || doc_id || '_' || k), '|') END AS locations,
+        |    CASE WHEN description_raw IS NULL OR description_raw = ''
+        |         THEN array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ')
+        |         ELSE description_raw END AS description,
+        |    CAST(len(l2) AS BIGINT) AS items_count_tags,
+        |    CAST(1 AS BIGINT) AS items_count_lang,
+        |    trim(ft_raw) AS fulltext
+        |  FROM tg3)
+        |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |links AS (SELECT 'obl' || doc_id AS obligation,

@@ -750,4 +750,265 @@ object NormOps {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
+
+  // ------------------------------------------------------------ norm_pipeline
+
+  /** Fulltext-assembly slice of `NormConfig` (join_text_fields +
+    * add_reading_time_and_fulltext, normalizers.py:162/:260).
+    */
+  case class JoinTextConfig(baseCol: String, titleCol: String, propCols: Seq[String])
+
+  /** The per-site configuration surface of the reference's
+    * `common_normalizer(doc, config)` (normalizers.py:496) — the dict every
+    * `normalizers/sites/site_*.py` builds, as a typed config. Semantics of
+    * each knob cite the reference function it drives:
+    *
+    *  - `dropTypes`: hard early-return types (:503 "Plone Site").
+    *  - `typeWhitelist`/`typeBlacklist`: admission —
+    *    check_blacklist_whitelist (:610): whitelisted, or non-blacklisted
+    *    when a blacklist exists, or everything when neither.
+    *  - `workflowStateCol`: hasWorkflowState (:519) — key missing →
+    *    "visible" is the caller's choice of source column; present-but-falsy
+    *    → "missing".
+    *  - `joinText` + `readingTimeBlacklistTypes`: fulltext assembly and
+    *    readingTime with the type-blacklist → −1 rule (:260, :480).
+    *  - `blackMap`/`whiteMap` (:14/:34): per-field value drop/keep; list vs
+    *    scalar resolved from the schema like the reference's isinstance.
+    *  - `removeEmpty` (:129): "" scalars and empty lists → NULL (a DataFrame
+    *    cannot drop a KEY per row; NULL is the relational equivalent, and
+    *    apply_norm_missing's `is None` test treats them the same).
+    *  - `normObj` (:54): ONE GLOBAL value→value map applied to every string
+    *    field and every string-list element (the reference walks all keys);
+    *    `normObjCols` restricts the walk when a corpus-sized text column
+    *    should not pay the lookup.
+    *  - `normProp` (:76): rename/fan-out — targets get the value, the source
+    *    key is REMOVED unless it names itself as a target.
+    *  - `normMissing` (:90): NULL/missing fields fill from a constant, or
+    *    from another field via the reference's `field:<name>` string form.
+    *  - remove_duplicates (:105): list values deduped keeping first
+    *    occurrence; strip_fields (:146): all strings trimmed — both always
+    *    on, like the reference.
+    *  - `locationCol`: update_locations (:298) GeoJSON titles.
+    *  - `descriptionCol`: description fallback = first 100 words of
+    *    `descriptionFromCol` (:585).
+    *  - `countListCols`/`countScalarCols`: the site wrappers' add_counts
+    *    (:652, called from e.g. site_climate.py:226).
+    */
+  case class NormConfig(
+      typeCol: String = "type_raw",
+      dropTypes: Seq[String] = Nil,
+      typeWhitelist: Seq[String] = Nil,
+      typeBlacklist: Seq[String] = Nil,
+      workflowStateCol: Option[String] = None,
+      joinText: Option[JoinTextConfig] = None,
+      readingTimeBlacklistTypes: Seq[String] = Nil,
+      blackMap: Map[String, Seq[String]] = Map.empty,
+      whiteMap: Map[String, Seq[String]] = Map.empty,
+      removeEmpty: Boolean = true,
+      normObj: Map[String, String] = Map.empty,
+      normObjCols: Option[Seq[String]] = None,
+      normProp: Map[String, Seq[String]] = Map.empty,
+      normMissing: Map[String, String] = Map.empty,
+      locationCol: Option[String] = None,
+      descriptionCol: Option[String] = None,
+      descriptionFromCol: String = "fulltext",
+      countListCols: Seq[String] = Nil,
+      countScalarCols: Seq[String] = Nil)
+
+  /** `common_normalizer` (normalizers.py:496): ONE composed docs→docs
+    * transform assembled from a `NormConfig`, applying the reference's steps
+    * in the reference's order. Every step is a per-row projection (the
+    * admission filter is a scan predicate) — the whole pipeline is
+    * zero-shuffle at any scale, and Catalyst collapses the chained
+    * withColumns into a single whole-stage-codegen'd projection.
+    */
+  def commonNormalizer(docs: DataFrame, cfg: NormConfig): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+
+    // 1. admission: hard drops + check_blacklist_whitelist (:503, :610)
+    val t = col(cfg.typeCol)
+    val notDropped =
+      if (cfg.dropTypes.nonEmpty) !t.isInCollection(cfg.dropTypes) else lit(true)
+    val admitted =
+      (cfg.typeWhitelist, cfg.typeBlacklist) match {
+        case (Nil, Nil) => lit(true)
+        case (wl, Nil)  => t.isInCollection(wl)
+        case (Nil, bl)  => !t.isInCollection(bl)
+        case (wl, bl)   => t.isInCollection(wl) || !t.isInCollection(bl)
+      }
+    val s1 = docs.filter(notDropped && admitted)
+
+    // 2. hasWorkflowState (:519): present-but-falsy → "missing"
+    val s2 = cfg.workflowStateCol.fold(s1) { c =>
+      s1.withColumn("workflow_state",
+        when(col(c).isNull || col(c) === "", lit("missing")).otherwise(col(c)))
+    }
+
+    // 3. update_locations (:298) — runs early like the reference
+    val s3 = cfg.locationCol.fold(s2)(c => parseLocations(s2, c))
+
+    // 4. fulltext assembly + readingTime with type blacklist (:162, :260, :480)
+    val s4 = cfg.joinText.fold(s3) { jt =>
+      val joined = joinTextFields(s3, jt.baseCol, jt.titleCol, jt.propCols)
+      val blacklisted =
+        if (cfg.readingTimeBlacklistTypes.nonEmpty)
+          t.isInCollection(cfg.readingTimeBlacklistTypes)
+        else lit(false)
+      addReadingTime(joined, "fulltext", blacklisted)
+    }
+
+    // 5./6. black then white maps (:14/:34), list vs scalar from the schema
+    def valueMaps(df: DataFrame, m: Map[String, Seq[String]], white: Boolean): DataFrame =
+      m.foldLeft(df) { case (d, (c, vals)) =>
+        d.schema(c).dataType match {
+          case ArrayType(_, _) =>
+            d.withColumn(c, filter(col(c), x =>
+              if (white) x.isInCollection(vals) else !x.isInCollection(vals)))
+          case dt =>
+            if (white) d.withColumn(c, when(col(c).isInCollection(vals), col(c)))
+            else d.withColumn(c,
+              when(col(c).isInCollection(vals), lit(null).cast(dt)).otherwise(col(c)))
+        }
+      }
+    val s6 = valueMaps(valueMaps(s4, cfg.blackMap, white = false), cfg.whiteMap, white = true)
+
+    // 7. remove_empty (:129): "" / empty-list → NULL, all columns
+    val s7 =
+      if (!cfg.removeEmpty) s6
+      else s6.schema.fields.foldLeft(s6) { (d, f) =>
+        f.dataType match {
+          case StringType =>
+            d.withColumn(f.name,
+              when(col(f.name) === "", lit(null).cast(StringType)).otherwise(col(f.name)))
+          case at: ArrayType =>
+            d.withColumn(f.name,
+              when(size(col(f.name)) === 0, lit(null).cast(at)).otherwise(col(f.name)))
+          case _ => d
+        }
+      }
+
+    // 8. apply_norm_obj (:54): global value map over strings + list elements
+    val s8 =
+      if (cfg.normObj.isEmpty) s7
+      else {
+        val m = typedLit(cfg.normObj)
+        val targets = cfg.normObjCols.getOrElse(
+          s7.schema.fields.collect {
+            case f if f.dataType == StringType => f.name
+            case f if f.dataType == ArrayType(StringType, true) ||
+              f.dataType == ArrayType(StringType, false) => f.name
+          }.toSeq)
+        targets.foldLeft(s7) { (d, c) =>
+          d.schema(c).dataType match {
+            case StringType =>
+              d.withColumn(c, coalesce(try_element_at(m, col(c)), col(c)))
+            case ArrayType(StringType, _) =>
+              d.withColumn(c, transform(col(c), x => coalesce(try_element_at(m, x), x)))
+            case _ => d
+          }
+        }
+      }
+
+    // 9. apply_norm_prop (:76): fan out, source key removed
+    val s9 = cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
+      val fanned = targets.foldLeft(d)((dd, tgt) =>
+        if (tgt == src) dd else dd.withColumn(tgt, col(src)))
+      if (targets.contains(src)) fanned else fanned.drop(src)
+    }
+
+    // 10. apply_norm_missing (:90): constants and `field:` refs fill NULLs
+    val s10 = cfg.normMissing.foldLeft(s9) { case (d, (c, v)) =>
+      val fill: Column =
+        if (v.startsWith("field:")) col(v.stripPrefix("field:").trim)
+        else lit(v)
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), fill))
+      else d.withColumn(c, fill)
+    }
+
+    // 11. remove_duplicates (:105): first-occurrence list dedup
+    val s11 = s10.schema.fields.foldLeft(s10) { (d, f) =>
+      f.dataType match {
+        case ArrayType(_, _) => d.withColumn(f.name, array_distinct(col(f.name)))
+        case _ => d
+      }
+    }
+
+    // 12. strip_fields (:146): trim every string
+    val s12 = s11.schema.fields.foldLeft(s11) { (d, f) =>
+      f.dataType match {
+        case StringType => d.withColumn(f.name, trim(col(f.name)))
+        case _ => d
+      }
+    }
+
+    // 13. description fallback (:585)
+    val s13 = cfg.descriptionCol.fold(s12)(c =>
+      fillDescription(s12, c, cfg.descriptionFromCol))
+
+    // 14. add_counts (:652)
+    addCounts(s13, cfg.countListCols, cfg.countScalarCols)
+  }
+
+  /** queries() wrapper: a site_sdi-shaped config driving THIRTEEN reference
+    * steps over synthesized document columns — admission (drop + blacklist),
+    * workflow state, GeoJSON locations, fulltext assembly, readingTime with
+    * a type blacklist, black map on tags, white map on source, remove-empty,
+    * a global normObj language map, normProp fan-out (n_chars → size_chars,
+    * source removed), normMissing constant + field: ref, list dedup + trim,
+    * description fallback, add_counts.
+    */
+  def qNormPipeline(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      when(id % 13 === 0, lit("Plone Site"))
+        .when(id % 11 === 0, lit("Discussion Item"))
+        .when(id % 4 === 0, lit("Dataset"))
+        .otherwise(lit("Article")).as("type_raw"),
+      when(id % 5 === 0, lit(null).cast("string"))
+        .when(id % 5 === 1, lit(""))
+        .otherwise(lit("published")).as("review_state"),
+      col("text"),
+      when(id % 4 === 0, lit(null).cast("string"))
+        .when(id % 4 === 1, lit(""))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("<p>Summary for doc "), id, lit("</p>"))).as("summary"),
+      col("lang"), col("source"), col("n_chars"),
+      slice(spaceTokens(col("text")), 1, 5).as("tags"),
+      when(id % 4 =!= 0, concat(lit("pub_"), col("source"))).as("publisher"),
+      when(id % 3 === 0, concat(lit("Existing description for doc "), id))
+        .when(id % 3 === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("description_raw"),
+      when(id % 7 === 0, lit("not json"))
+        .otherwise(concat(lit("{\"features\":["),
+          array_join(transform(sequence(lit(0), id % 3), k =>
+            concat(lit("{\"properties\":{\"title\":\"place"), id, lit("_"), k, lit("\"}}"))), ","),
+          lit("]}"))).as("location"))
+    commonNormalizer(docs, NormConfig(
+      typeCol = "type_raw",
+      dropTypes = Seq("Plone Site"),
+      typeBlacklist = Seq("Discussion Item"),
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      readingTimeBlacklistTypes = Seq("Dataset"),
+      blackMap = Map("tags" -> Seq("the", "a", "and", "of", "to", "data")),
+      whiteMap = Map("source" -> Seq("src0", "src1", "src2")),
+      normObj = Map("en" -> "English", "de" -> "German", "fr" -> "French"),
+      normObjCols = Some(Seq("lang")),
+      normProp = Map("n_chars" -> Seq("size_chars")),
+      normMissing = Map("rights" -> "CC-BY-4.0", "publisher" -> "field:source"),
+      locationCol = Some("location"),
+      descriptionCol = Some("description_raw"),
+      countListCols = Seq("tags"),
+      countScalarCols = Seq("lang")))
+      .select(id, col("type_raw"), col("workflow_state"), col("n_words"),
+        col("reading_time"),
+        array_join(col("tags"), "|").as("tags"),
+        col("lang"), col("source"), col("size_chars"), col("rights"), col("publisher"),
+        array_join(col("location_titles"), "|").as("locations"),
+        col("description"), col("items_count_tags"), col("items_count_lang"),
+        col("fulltext"))
+      .orderBy("doc_id")
+  }
 }

@@ -111,6 +111,16 @@ class PlanAuditSpec extends SparkSpec {
       s"stub encoding must live in the distinct aggregate, found: ${hashNodes.map(_.nodeName)}")
   }
 
+  test("norm_pipeline is a pure narrow pipeline (no join, no aggregate)") {
+    // Thirteen composed normalizer steps must still collapse to projections
+    // + one scan filter: any Join or Aggregate in the plan means a step
+    // regressed from per-row to relational.
+    val p = plan("norm_pipeline")
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "HashAggregate", "SortAggregate"))
+      assert(!p.contains(bad), s"norm_pipeline plan contains $bad")
+  }
+
   test("ngram_jaccard computes document frequency without a window on the gram key") {
     // A window partitioned by the gram colocates every occurrence of a hot
     // gram in one unsplittable task (no partial agg, no AQE skew split) —

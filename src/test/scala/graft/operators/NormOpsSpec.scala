@@ -197,6 +197,71 @@ class NormOpsSpec extends SparkSpec {
     assert(out === "This real sentence stays because its words sit outside any anchor element.")
   }
 
+  test("commonNormalizer runs a site_sdi-shaped config end-to-end") {
+    // The sdi mapping (normalizers/sites/site_sdi.py header):
+    //   metadataIdentifier -> about, original_id, id
+    //   isPublishedToAll   -> hasWorkflowState
+    //   resourceTitleObject.default -> title, label
+    //   th_regions         -> spatial, places
+    //   mainLanguage       -> language
+    //   resourceAbstractObject.default -> description
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("md1", "Air quality", Seq("Europe", "Europe", "Asia"), "eng", "", "dataset", "  Abstract text. "),
+      ("md2", "Internal svc", Seq("Europe"), "fre", "published", "service", "x"),
+      ("md3", "Water", Seq.empty[String], null.asInstanceOf[String], "published", "dataset", null.asInstanceOf[String])
+    ).toDF("metadataIdentifier", "resourceTitleObject", "th_regions",
+      "mainLanguage", "isPublishedToAll", "resourceType", "resourceAbstractObject")
+    val out = NormOps.commonNormalizer(docs, NormOps.NormConfig(
+      typeCol = "resourceType",
+      typeBlacklist = Seq("service"),
+      workflowStateCol = Some("isPublishedToAll"),
+      normObj = Map("eng" -> "en", "fre" -> "fr"),
+      normObjCols = Some(Seq("mainLanguage")),
+      normProp = Map(
+        "metadataIdentifier" -> Seq("about", "original_id", "id"),
+        "resourceTitleObject" -> Seq("title", "label"),
+        "th_regions" -> Seq("spatial", "places"),
+        "mainLanguage" -> Seq("language")),
+      normMissing = Map("description" -> "field:resourceAbstractObject", "language" -> "en"),
+      countListCols = Seq("spatial")))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length === 2, "blacklisted resourceType 'service' must drop")
+    assert(!out.columns.contains("metadataIdentifier"), "normProp removes the source key")
+    val r1 = rows.head
+    assert(r1.getAs[String]("about") === "md1")
+    assert(r1.getAs[String]("original_id") === "md1")
+    assert(r1.getAs[String]("title") === "Air quality")
+    assert(r1.getAs[String]("label") === "Air quality")
+    assert(r1.getAs[Seq[String]]("spatial") === Seq("Europe", "Asia"), "remove_duplicates dedups")
+    assert(r1.getAs[Seq[String]]("places") === Seq("Europe", "Asia"))
+    assert(r1.getAs[String]("language") === "en", "normObj maps eng -> en before the rename")
+    assert(r1.getAs[String]("workflow_state") === "missing", "falsy isPublishedToAll -> missing")
+    assert(r1.getAs[String]("description") === "Abstract text.", "field: ref fills from trimmed abstract")
+    assert(r1.getAs[Long]("items_count_spatial") === 2L)
+    val r3 = rows(1)
+    assert(r3.getAs[String]("language") === "en", "missing mainLanguage falls to the constant default")
+    assert(r3.getAs[Seq[String]]("spatial") === null, "empty list -> NULL via remove_empty")
+    assert(r3.getAs[String]("workflow_state") === "published")
+  }
+
+  test("commonNormalizer admission matches check_blacklist_whitelist truth table") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq("A", "B", "C").toDF("type_raw")
+    def kept(cfg: NormOps.NormConfig): Set[String] =
+      NormOps.commonNormalizer(docs, cfg).collect().map(_.getString(0)).toSet
+    // whitelist only: only whitelisted pass
+    assert(kept(NormOps.NormConfig(typeWhitelist = Seq("A"))) === Set("A"))
+    // blacklist only: non-blacklisted pass
+    assert(kept(NormOps.NormConfig(typeBlacklist = Seq("B"))) === Set("A", "C"))
+    // both: whitelisted OR non-blacklisted (reference's two independent tests)
+    assert(kept(NormOps.NormConfig(typeWhitelist = Seq("B"), typeBlacklist = Seq("B", "C"))) === Set("A", "B"))
+    // neither: everything passes
+    assert(kept(NormOps.NormConfig()) === Set("A", "B", "C"))
+  }
+
   test("applyBlackMap drops blacklisted list values and nulls blacklisted scalars") {
     val docs = Seq(
       (1L, Seq("keep", "drop", "keep2"), "zh"),

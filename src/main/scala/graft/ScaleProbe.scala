@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // Optional second arg: comma-separated replication factors (default
+    // "1,2,4"; "1,10" = the sf1-equivalent 10× probe).
+    val ks = if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
+             else Seq(1, 2, 4)
     val spark = GraftSession.get("graft-scale-probe")
 
     def corpusK(k: Int): DataFrame =
@@ -51,7 +55,7 @@ object ScaleProbe {
     // warmup at k=1 so codegen/scan setup is not attributed to the first op
     DedupOps.minhashPairs(corpusK(1)).count()
 
-    for (k <- Seq(1, 2, 4)) {
+    for (k <- ks) {
       probe("dedup_minhash", k, DedupOps.minhashPairs(corpusK(k)))
       probe("dedup_simhash", k, DedupOps.simhashPairs(corpusK(k)))
       probe("ngram_prefix", k,

@@ -813,7 +813,21 @@ object NormOps {
       descriptionCol: Option[String] = None,
       descriptionFromCol: String = "fulltext",
       countListCols: Seq[String] = Nil,
-      countScalarCols: Seq[String] = Nil)
+      countScalarCols: Seq[String] = Nil,
+      contentType: Option[ContentTypeConfig] = None)
+
+  /** Content-type-resolution slice of `NormConfig`: the site normalizers'
+    * find_ct_by_rules / remove_extra_webpages / update_ct_by_attr family
+    * (normalizers.py:638/:118/:662) aimed at arbitrary column names; the
+    * result lands in `object_provides`. Admission is NOT repeated here —
+    * `commonNormalizer` step 1 already applied it.
+    */
+  case class ContentTypeConfig(
+      locCol: String,
+      attrsCol: String,
+      rules: Seq[(String, Seq[String])],
+      fallback: String,
+      attrMapping: Map[String, Seq[String]] = Map.empty)
 
   /** `common_normalizer` (normalizers.py:496): ONE composed docs→docs
     * transform assembled from a `NormConfig`, applying the reference's steps
@@ -847,9 +861,24 @@ object NormOps {
     // 3. update_locations (:298) — runs early like the reference
     val s3 = cfg.locationCol.fold(s2)(c => parseLocations(s2, c))
 
+    // 3b. content-type resolution (find_ct_by_rules family) — the columns
+    // contentTypeRules expects are adapted by name and dropped again
+    val s3b = cfg.contentType.fold(s3) { ct =>
+      val aliases = Seq(
+        "loc" -> ct.locCol, "attrs" -> ct.attrsCol, "type_raw" -> cfg.typeCol)
+        .filter { case (fixed, src) => fixed != src }
+      val adapted = aliases.foldLeft(s3) { case (d, (fixed, src)) =>
+        d.withColumn(fixed, col(src))
+      }
+      val resolved = contentTypeRules(
+        adapted, ct.rules, ct.fallback, ct.attrMapping, Nil, Nil)
+        .drop("admitted")
+      aliases.map(_._1).foldLeft(resolved)(_ drop _)
+    }
+
     // 4. fulltext assembly + readingTime with type blacklist (:162, :260, :480)
-    val s4 = cfg.joinText.fold(s3) { jt =>
-      val joined = joinTextFields(s3, jt.baseCol, jt.titleCol, jt.propCols)
+    val s4 = cfg.joinText.fold(s3b) { jt =>
+      val joined = joinTextFields(s3b, jt.baseCol, jt.titleCol, jt.propCols)
       val blacklisted =
         if (cfg.readingTimeBlacklistTypes.nonEmpty)
           t.isInCollection(cfg.readingTimeBlacklistTypes)

@@ -246,6 +246,28 @@ class NormOpsSpec extends SparkSpec {
     assert(r3.getAs[String]("workflow_state") === "published")
   }
 
+  test("commonNormalizer resolves content types from config rules") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("d1", "Article", "/articles/a1", Seq("data")),
+      ("d2", "Article", "/other/x", Seq.empty[String])
+    ).toDF("id", "portal_type", "url", "subjects")
+    val out = NormOps.commonNormalizer(docs, NormOps.NormConfig(
+      typeCol = "portal_type",
+      contentType = Some(NormOps.ContentTypeConfig(
+        locCol = "url", attrsCol = "subjects",
+        rules = Seq("/articles/*" -> Seq("Article", "Webpage")),
+        fallback = "Webpage",
+        attrMapping = Map("Data" -> Seq("Dataset"))))))
+    val rows = out.orderBy("id").collect()
+    assert(rows.head.getAs[Seq[String]]("object_provides") === Seq("Article", "Dataset"),
+      "rule match + Webpage pruning + case-insensitive attr append")
+    assert(rows(1).getAs[Seq[String]]("object_provides") === Seq("Webpage"), "fallback type")
+    assert(!out.columns.contains("loc") && !out.columns.contains("attrs"),
+      "adapter columns must not leak")
+  }
+
   test("commonNormalizer admission matches check_blacklist_whitelist truth table") {
     val spark2 = spark
     import spark2.implicits._

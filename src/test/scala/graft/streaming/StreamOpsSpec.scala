@@ -138,6 +138,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("commonNormalizer runs UNCHANGED on a streaming DataFrame") {
+    // The config-driven normalizer is pure scan-filter + projections (the
+    // plan audit pins no-join/no-aggregate), so the exact same NormConfig
+    // that drives the batch pipeline must drive a readStream → append sink
+    // with no code changes — the reference's per-site normalization as an
+    // always-on stream. This is the claim that matters at 100 TB: normalize
+    // during ingest, not as a day-after batch.
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(String, String, String, String)]
+    val cfg = graft.operators.NormOps.NormConfig(
+      typeCol = "type_raw",
+      dropTypes = Seq("Plone Site"),
+      normObj = Map("eng" -> "en"),
+      normObjCols = Some(Seq("lang_raw")),
+      normProp = Map("lang_raw" -> Seq("language")),
+      normMissing = Map("rights" -> "CC-BY-4.0"))
+    val out = graft.operators.NormOps.commonNormalizer(
+      src.toDF().toDF("id", "type_raw", "lang_raw", "title"), cfg)
+    val q = out.writeStream.format("memory").queryName("normstream")
+      .outputMode("append").start()
+    try {
+      src.addData(("d1", "Article", "eng", " T1 "), ("d2", "Plone Site", "eng", "T2"))
+      q.processAllAvailable()
+      val rows = spark.table("normstream").orderBy("id").collect()
+      assert(rows.length === 1, "dropTypes must filter inside the stream")
+      val r = rows.head
+      assert(r.getAs[String]("language") === "en")
+      assert(r.getAs[String]("rights") === "CC-BY-4.0")
+      assert(r.getAs[String]("title") === "T1", "strip_fields trims in-stream")
+    } finally q.stop()
+  }
+
   test("stream_sessionize: gap timeout closes sessions and emits them") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[StreamOps.SessionEvent]

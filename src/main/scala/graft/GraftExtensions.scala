@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, WordNgrams}
+import graft.functions.{CosineSim, CountTokenRun, DotProduct, WordNgrams}
+import org.apache.spark.sql.catalyst.expressions.CreateArray
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -37,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(n: Int, _) => WordNgrams(args(0), n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams: n must be an integer literal (the gram width is part of the plan)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_token_run"),
+      info("count_token_run",
+        "count_token_run(tokens, array('a','b')) - occurrences of the consecutive token run (overlaps counted)"),
+      (args: Seq[Expression]) => args(1) match {
+        case CreateArray(elems, _) if elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>
+          CountTokenRun(args(0), elems.map(_.asInstanceOf[Literal].value.toString))
+        case _ => throw new IllegalArgumentException(
+          "count_token_run: the phrase must be a non-empty array of string literals (it is part of the plan)")
       }))
   }
 }

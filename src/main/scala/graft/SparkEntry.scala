@@ -60,6 +60,7 @@ object SparkEntry {
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bm25" -> (SearchOps.qSearchBm25 _),
+    "search_phrase" -> (SearchOps.qSearchPhrase _),
     "search_bool" -> (SearchOps.qSearchBool _),
     "facet_counts" -> (SearchOps.qFacetCounts _),
     "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
@@ -667,6 +668,33 @@ object SparkEntry {
         |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
         |  FROM d, st)
         |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // match_phrase: tf counts every starting position of the consecutive
+    // token run (overlaps included), df = docs with tf > 0; BM25 formula
+    // structured exactly like the Spark expression tree.
+    "search_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'the' AND toks[i+1] = 'data')) AS BIGINT) AS phrase_tf,
+        |    len(toks) AS dln
+        |  FROM d),
+        |st AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(dln) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN phrase_tf > 0 THEN 1 ELSE 0 END) AS df0
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, phrase_tf,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |                   / (CAST(df0 AS DOUBLE) + 0.5))
+        |      * (CAST(phrase_tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(phrase_tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dln AS DOUBLE) / avgdl)), 6) AS score
+        |  FROM t, st)
+        |SELECT doc_id, phrase_tf, score FROM s WHERE phrase_tf > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "search_bool" ->
       """SELECT doc_id, lang, source,

@@ -76,6 +76,63 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Occurrences of a consecutive token run (`phrase`) inside a token array —
+  * the positional core of an ES `match_phrase` query (slop 0). Counts EVERY
+  * starting position (overlapping runs included: "a a a" contains "a a"
+  * twice), which is the unambiguous definition both the Spark side and the
+  * DuckDB oracle can reproduce exactly. One primitive scan per row inside
+  * whole-stage codegen — the HOF formulation (`filter(sequence(...))`) walks
+  * interpreted per position.
+  */
+case class CountTokenRun(child: Expression, phrase: Seq[String]) extends UnaryExpression {
+  require(phrase.nonEmpty, "phrase must have at least one token")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got $t")
+  }
+
+  @transient private lazy val utf8Phrase: Array[UTF8String] =
+    phrase.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    CountTokenRun.count(input.asInstanceOf[ArrayData], utf8Phrase)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val phraseRef = ctx.addReferenceObj("phrase", utf8Phrase, "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountTokenRun.count($c, $phraseRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountTokenRun {
+  /** Shared primitive kernel: for each start position, compare the next
+    * |phrase| tokens; count matches (overlaps included).
+    */
+  def count(arr: ArrayData, phrase: Array[UTF8String]): Long = {
+    val n = arr.numElements()
+    val m = phrase.length
+    var c = 0L
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        if (!phrase(j).equals(arr.getUTF8String(i + j))) ok = false
+        j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** Native in-bucket pair expansion — the shared kernel of every
   * collect_list-based candidate generator (MinHash bands, embedding LSH
   * buckets, shared fingerprints): all ordered (id1 < id2 by POSITION) pairs

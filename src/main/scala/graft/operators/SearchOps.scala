@@ -101,6 +101,48 @@ object SearchOps {
     matchBm25TopK(Tables.documents(s, d), "text", terms = Seq("query", "data", "merge"), k = 20)
       .select("doc_id", "score")
 
+  // ------------------------------------------------------------- search_phrase
+
+  /** ES `match_phrase` (slop 0): a document matches only where the query
+    * terms appear as a CONSECUTIVE token run; scoring is the same BM25 shape
+    * as `matchBm25TopK` with the phrase playing the single "term" — tf =
+    * run occurrences (native codegen'd `CountTokenRun` kernel, overlapping
+    * runs counted), df = documents containing the run at least once. Same
+    * scale shape too: one 1-row broadcast stats aggregate, one scoring
+    * pass, TakeOrderedAndProject for the top-k.
+    */
+  def phraseTopK(docs: DataFrame, textCol: String, phrase: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    def runCount(c: Column): Column =
+      GraftSqlBridge.column(
+        graft.functions.CountTokenRun(GraftSqlBridge.expression(c), phrase))
+    val toks = spaceTokens(col(textCol))
+    val dl = size(toks)
+    val tfRaw = runCount(toks)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(dl.cast("long")).as("sum_dl"),
+      sum(when(tfRaw > 0, 1L).otherwise(0L)).as("df0"))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tf = tfRaw.cast("double")
+    val df = col("df0").cast("double")
+    val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val score = idf * (tf * (lit(k1) + lit(1.0))) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl.cast("double") / avgdl))
+    docs.crossJoin(broadcast(stats))
+      .withColumn("phrase_tf", tfRaw)
+      .withColumn("score", round(score, 6))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  def qSearchPhrase(s: SparkSession, d: String): DataFrame =
+    phraseTopK(Tables.documents(s, d), "text", phrase = Seq("the", "data"), k = 20)
+      .select("doc_id", "phrase_tf", "score")
+
   // --------------------------------------------------------------- search_bool
 
   /** Bool query: must (all predicates), must_not, exists; `should` clauses

@@ -77,6 +77,28 @@ class TextExpressionsSpec extends SparkSpec {
       .count() === 0L, "n-gram parity must hold on multibyte tokens")
   }
 
+  test("CountTokenRun counts consecutive runs incl. overlaps and multibyte tokens") {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val spark2 = spark
+    import spark2.implicits._
+    def runs(tokens: Seq[String], phrase: Seq[String]): Long = {
+      val df = Seq(Tuple1(tokens)).toDF("toks")
+      df.select(GraftSqlBridge.column(graft.functions.CountTokenRun(
+        GraftSqlBridge.expression(col("toks")), phrase)).as("c"))
+        .collect().head.getLong(0)
+    }
+    assert(runs(Seq("a", "b", "a", "b"), Seq("a", "b")) === 2L)
+    assert(runs(Seq("a", "a", "a"), Seq("a", "a")) === 2L, "overlapping runs count")
+    assert(runs(Seq("a", "x", "b"), Seq("a", "b")) === 0L, "non-consecutive is no match")
+    assert(runs(Seq("ü", "日本", "ü", "日本"), Seq("ü", "日本")) === 2L, "multibyte parity")
+    assert(runs(Seq("a"), Seq("a", "b")) === 0L, "phrase longer than doc")
+    // parity with a driver-side sliding-window count on random input
+    val rnd = new scala.util.Random(11)
+    val toks = Seq.fill(200)(Seq("x", "y", "z")(rnd.nextInt(3)))
+    val expected = toks.sliding(2).count(_ == Seq("x", "y")).toLong
+    assert(runs(toks, Seq("x", "y")) === expected)
+  }
+
   test("WordNgrams survives both codegen and interpreted evaluation") {
     // Force the interpreted path by evaluating the expression directly.
     import org.apache.spark.sql.catalyst.util.GenericArrayData

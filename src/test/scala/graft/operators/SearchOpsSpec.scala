@@ -24,6 +24,19 @@ class SearchOpsSpec extends SparkSpec {
       s"rare-term doc ($first) should dominate common-only docs ($second)")
   }
 
+  test("phraseTopK matches only consecutive token runs, never bags of words") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the data pipeline processes the data quickly"), // 2 runs
+      (2L, "data comes first and the rest follows"),        // both words, wrong order
+      (3L, "the big data system")                           // not consecutive
+    ).toDF("doc_id", "text")
+    val got = SearchOps.phraseTopK(docs, "text", Seq("the", "data"), k = 10)
+      .select("doc_id", "phrase_tf").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)), "only the consecutive-run doc matches")
+  }
+
   test("BM25 of a term present in every doc is near zero but still positive") {
     val spark2 = spark
     import spark2.implicits._

@@ -63,6 +63,7 @@ object SparkEntry {
     "search_phrase" -> (SearchOps.qSearchPhrase _),
     "search_bool" -> (SearchOps.qSearchBool _),
     "facet_counts" -> (SearchOps.qFacetCounts _),
+    "facet_stats" -> (SearchOps.qFacetStats _),
     "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
     // LLM-training-data pipeline (SURVEY §2 #28-#39)
     "dedup_exact" -> (DedupOps.qDedupExact _),
@@ -713,6 +714,11 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY facet ORDER BY n DESC, value) AS BIGINT) AS rnk
         |      FROM u)
         |SELECT facet, value, n, rnk FROM r WHERE rnk <= 3 ORDER BY facet, rnk""".stripMargin,
+    "facet_stats" ->
+      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_val,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "es_bulk_format" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0

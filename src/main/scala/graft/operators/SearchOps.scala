@@ -194,6 +194,29 @@ object SearchOps {
     facetCounts(Tables.documents(s, d), Seq("lang", "source"), topN = 3)
       .orderBy("facet", "rnk")
 
+  // -------------------------------------------------------------- facet_stats
+
+  /** ES terms aggregation with stats + percentiles sub-aggregations: one
+    * partial-agg shuffle per facet (count/avg combine map-side; the exact
+    * percentile collects per-group values — fine for facet-cardinality
+    * groups, which is what a terms agg is; a metric over high-cardinality
+    * keys would use approx_percentile instead, trading the oracle for
+    * scale). Exact `percentile` uses the same linear-interpolation
+    * definition (type R-7) as DuckDB's `quantile_cont`, so results
+    * hash-match the oracle.
+    */
+  def facetStats(docs: DataFrame, facetCol: String, valueCol: String): DataFrame =
+    docs.groupBy(col(facetCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("avg_val"),
+        round(expr(s"percentile($valueCol, 0.5)"), 4).as("p50"),
+        round(expr(s"percentile($valueCol, 0.95)"), 4).as("p95"))
+
+  def qFacetStats(s: SparkSession, d: String): DataFrame =
+    facetStats(Tables.documents(s, d), "lang", "n_chars")
+      .orderBy("lang")
+
   // ------------------------------------------------------------ es_bulk_format
 
   /** ES bulk NDJSON action/source pairs — the Logstash hand-off

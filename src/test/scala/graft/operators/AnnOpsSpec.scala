@@ -114,6 +114,32 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"sampled-training IVF recall $recall below 0.5")
   }
 
+  test("persisted IVF index reproduces ivfTopK and prunes to probed cells") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    try {
+      AnnOps.ivfSaveIndex(vecs, dir, nlist = 8, iters = 2)
+      val viaIndex = AnnOps.ivfQueryIndex(spark, dir, queries, k = 10, nprobe = 4)
+      val direct = AnnOps.ivfTopK(vecs, queries, k = 10, nlist = 8, nprobe = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(viaIndex) === rows(direct),
+        "persisted-index query must equal the in-memory plan bit for bit")
+      // The probe join must dynamically prune the cid partitions: the scan
+      // plans only probed cell directories, not the whole inverted file.
+      // sparkPlan (pre-AQE) — AdaptiveSparkPlanExec hides its subtree from collect
+      val scan = viaIndex.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("inverted") => f
+      }.head
+      assert(scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+        s"inverted-file scan must carry a dynamic pruning filter, got: ${scan.partitionFilters}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = AnnOps.hyperplanes(2, 4, 8)
     val b = AnnOps.hyperplanes(2, 4, 8)

@@ -78,6 +78,7 @@ object SparkEntry {
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "lang_id" -> (TextAnalysis.qLangId _),
     "quality_score" -> (TextAnalysis.qQualityScore _),
+    "quality_gopher" -> (TextAnalysis.qQualityGopher _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
@@ -826,6 +827,26 @@ object SparkEntry {
         |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
         |       ELSE 'it' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+        |    round(len(regexp_extract_all(text, '#|\.\.\.|…'))
+        |          / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
+        |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |          / CAST(len(toks) AS DOUBLE), 4) AS alpha_frac,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS gopher_keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
         |m AS (SELECT doc_id,

@@ -111,6 +111,52 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens", "re_tokens", "n_chars_text", "bpe_est")
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------ quality_gopher
+
+  /** The published training-data quality GATES (Gopher, Rae et al. 2021,
+    * §A1.1 rules; C4, Raffel et al. 2020), as computed columns + a keep
+    * verdict — the filter every large-scale text pipeline runs before
+    * training:
+    *  - word count within [minWords, maxWords] (Gopher: 50..100k);
+    *  - mean word length within [3, 10] chars — on a single-space corpus
+    *    Σ|token| = len(trim) − (n − 1), so the mean needs no per-token loop;
+    *  - symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1;
+    *  - fraction of tokens containing an alphabetic character ≥ 0.8
+    *    (C4's "word must contain a letter" rule, fractionalized);
+    *  - at least 2 stopword hits (Gopher's stop-word screen).
+    * All per-row; the alpha-fraction token filter is the one HOF here
+    * (bounded by tokens/doc, not grams — fine at any scale).
+    */
+  def gopherQuality(docs: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = spaceTokens(t)
+    val nWords = size(toks).cast("long")
+    val meanWordLen =
+      (length(trim(t)) - (nWords - 1)).cast("double") / nWords.cast("double")
+    val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = tokensIn(toks, Stopwords.head._2)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("symbol_ratio", round(symbols / nWords.cast("double"), 4))
+      .withColumn("alpha_frac", round(alphaWords / nWords.cast("double"), 4))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("gopher_keep",
+        nWords >= minWords && nWords <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2)
+  }
+
+  def qQualityGopher(s: SparkSession, d: String): DataFrame =
+    gopherQuality(Tables.documents(s, d), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "stop_hits", "gopher_keep")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- doc_fingerprint
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash every

@@ -55,6 +55,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).intersect(fps(2)).isEmpty, "disjoint docs should not collide")
   }
 
+  test("gopherQuality gates: prose passes, each junk mode fails its rule") {
+    val spark2 = spark
+    import spark2.implicits._
+    val prose = ("the data pipeline processes documents and " * 12).trim // 84 words, stopwords, clean
+    val docs = Seq(
+      (1L, prose),
+      (2L, "short text that is too brief"),                          // < minWords
+      (3L, (("# " * 40) + prose).trim),                              // symbol ratio > 0.1
+      (4L, ("1 2 3 4 5 6 7 8 9 0 " * 10 + "the of a b").trim),      // alpha_frac < 0.8
+      (5L, ("aa bb cc dd " * 25).trim)                               // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "text", minWords = 50)
+      .select("doc_id", "gopher_keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L), "clean prose must pass every gate")
+    assert(!got(2L), "word-count gate")
+    assert(!got(3L), "symbol-ratio gate")
+    assert(!got(4L), "alpha-fraction gate")
+    assert(!got(5L), "stopword gate")
+  }
+
   test("contamination flags exactly the docs overlapping the benchmark phrases") {
     val docs = Seq(
       (1L, "alpha beta gamma delta eps zeta eta theta"), // the benchmark doc itself

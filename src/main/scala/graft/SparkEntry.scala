@@ -54,6 +54,7 @@ object SparkEntry {
     "norm_add_format" -> (NormOps.qNormAddFormat _),
     "norm_content_type" -> (NormOps.qNormContentType _),
     "graph_obligations" -> (GraphOps.qGraphObligations _),
+    "dedup_cluster" -> (GraphOps.qDedupCluster _),
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
@@ -538,6 +539,22 @@ object SparkEntry {
         |    trim(ft_raw) AS fulltext
         |  FROM tg3)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 5 AS dst
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 5 FROM documents
+        |  WHERE doc_id % 35 = 0 AND doc_id >= 5),
+        |u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |r AS (
+        |  WITH RECURSIVE reach(id, c) AS (
+        |    SELECT src AS id, src AS c FROM u
+        |    UNION
+        |    SELECT u.dst, reach.c FROM reach JOIN u ON u.src = reach.id)
+        |  SELECT id, min(c) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical
+        |FROM r ORDER BY doc_id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |links AS (SELECT 'obl' || doc_id AS obligation,

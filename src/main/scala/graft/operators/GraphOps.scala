@@ -72,4 +72,76 @@ object GraphOps {
       .unionByName(labels).unionByName(idents).unionByName(noise)
     obligationLookup(triples).orderBy("obligation", "instrument")
   }
+
+  // ------------------------------------------------------------- dedup_cluster
+
+  /** Connected components over an undirected edge set by iterative MIN-LABEL
+    * PROPAGATION — the step every dedup pipeline needs after pair
+    * generation: near-dup PAIRS form chains (A~B, B~C with A,C below the
+    * pair threshold), and keep-one-per-cluster requires the transitive
+    * closure, not the pairs. Each iteration is one join + partial-agg min
+    * (map-side combine) over the edge table; labels converge in
+    * O(diameter) iterations — dup clusters are shallow (a handful of hops),
+    * so the loop runs 2-4 times in practice, each a linear pass. Per-
+    * iteration persist keeps lineage flat (the Lloyd pattern); the
+    * convergence probe is a `limit(1)` existence check, not a full count.
+    * `maxIter` bounds the loop against pathological chains (a 100 TB run
+    * would switch to the large-star/small-star contraction at extreme
+    * diameters — same contract, fewer rounds).
+    *
+    * Output: (id, comp) for every node that appears in an edge, comp = the
+    * minimum id reachable from the node.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = und
+        .join(labels.select(col("id").as("src"), col("comp").as("nc")), "src")
+        .select(col("dst").as("id"), col("nc"))
+        .union(labels.select(col("id"), col("comp").as("nc")))
+        .groupBy("id")
+        .agg(min("nc").as("comp"))
+        .persist()
+      next.count()
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1)
+        .count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+
+  /** queries() wrapper: a deterministic edge set over the documents table —
+    * 5-node stars (doc → doc − doc%5) with every-35th docs linking two
+    * adjacent stars into one component (so labels must propagate across
+    * hops, not just one join). Canonical doc = minimum id per cluster, the
+    * keep-rule every dedup pipeline applies.
+    */
+  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = Tables.documents(s, d).select(id)
+    val star = base.select(id.as("src"), (id - id % 5).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val link = base.filter(id % 35 === 0 && id >= 5)
+      .select(id.as("src"), (id - 5).as("dst"))
+    connectedComponents(star.unionByName(link))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("connectedComponents collapses chains past one hop and keeps islands apart") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4 (labels must propagate 3 hops), island {10,11}, singleton edge 20-21
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(4L) === 1L,
+      "chain must collapse to the minimum id")
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got.size === 8)
+  }
+
+  test("clustering real minhash pairs keeps every planted dup with its original") {
+    // End-to-end: near-dup PAIRS from the planted corpus → components →
+    // each planted copy (id+1000000 / id+2000000) lands in its original's
+    // cluster, and the original (minimum id) is the canonical doc.
+    val pairs = DedupOps.minhashPairs(DedupOps.plantedCorpus(spark, sfDir))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = GraphOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = comp.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty, "planted dups must appear in the pair graph")
+    planted.foreach { p =>
+      val orig = p % 1000000L
+      assert(comp.contains(orig) && comp(p) === comp(orig),
+        s"planted $p must share a cluster with original $orig")
+      assert(comp(p) <= orig, "canonical id is the cluster minimum")
+    }
+  }
+}

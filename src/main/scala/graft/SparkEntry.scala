@@ -62,6 +62,7 @@ object SparkEntry {
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bm25" -> (SearchOps.qSearchBm25 _),
     "search_phrase" -> (SearchOps.qSearchPhrase _),
+    "multi_match" -> (SearchOps.qMultiMatch _),
     "search_bool" -> (SearchOps.qSearchBool _),
     "facet_counts" -> (SearchOps.qFacetCounts _),
     "facet_stats" -> (SearchOps.qFacetStats _),
@@ -685,6 +686,51 @@ object SparkEntry {
         |        * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
         |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM d, st)
+        |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // multi_match most_fields: per-field BM25 (per-field df and avgdl), each
+    // field's term-sum scaled by its boost, summed — association mirrors the
+    // Spark tree: (t0 + t1) * boost per field, fields left-to-right.
+    "multi_match" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_slice(string_split(trim(text), ' '), 1, 4), ' ') AS title
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(title), ' ') AS ttoks,
+        |    string_split(trim(text), ' ') AS xtoks
+        |  FROM d0),
+        |st AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(ttoks)) AS sum_dl_title,
+        |    sum(CASE WHEN list_contains(ttoks, 'data') THEN 1 ELSE 0 END) AS df_title_0,
+        |    sum(CASE WHEN list_contains(ttoks, 'merge') THEN 1 ELSE 0 END) AS df_title_1,
+        |    sum(len(xtoks)) AS sum_dl_text,
+        |    sum(CASE WHEN list_contains(xtoks, 'data') THEN 1 ELSE 0 END) AS df_text_0,
+        |    sum(CASE WHEN list_contains(xtoks, 'merge') THEN 1 ELSE 0 END) AS df_text_1
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, round(
+        |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_title_0 AS DOUBLE) + 0.5) / (CAST(df_title_0 AS DOUBLE) + 0.5))
+        |       * (CAST(len(list_filter(ttoks, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(len(list_filter(ttoks, x -> x = 'data')) AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ttoks) AS DOUBLE) / (CAST(sum_dl_title AS DOUBLE) / n_docs)))
+        |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_title_1 AS DOUBLE) + 0.5) / (CAST(df_title_1 AS DOUBLE) + 0.5))
+        |       * (CAST(len(list_filter(ttoks, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(len(list_filter(ttoks, x -> x = 'merge')) AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ttoks) AS DOUBLE) / (CAST(sum_dl_title AS DOUBLE) / n_docs)))) * 3.0
+        |    +
+        |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_text_0 AS DOUBLE) + 0.5) / (CAST(df_text_0 AS DOUBLE) + 0.5))
+        |       * (CAST(len(list_filter(xtoks, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(len(list_filter(xtoks, x -> x = 'data')) AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(xtoks) AS DOUBLE) / (CAST(sum_dl_text AS DOUBLE) / n_docs)))
+        |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_text_1 AS DOUBLE) + 0.5) / (CAST(df_text_1 AS DOUBLE) + 0.5))
+        |       * (CAST(len(list_filter(xtoks, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(len(list_filter(xtoks, x -> x = 'merge')) AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(xtoks) AS DOUBLE) / (CAST(sum_dl_text AS DOUBLE) / n_docs)))) * 1.0
+        |    , 6) AS score
         |  FROM d, st)
         |SELECT doc_id, score FROM s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,

@@ -101,6 +101,60 @@ object SearchOps {
     matchBm25TopK(Tables.documents(s, d), "text", terms = Seq("query", "data", "merge"), k = 20)
       .select("doc_id", "score")
 
+  // -------------------------------------------------------------- multi_match
+
+  /** ES `multi_match` (most_fields): BM25 per field, each field's score
+    * scaled by its boost, summed — `title^3 body` style. One stats row
+    * carries every (field × term) document frequency plus each field's
+    * Σ|D| (avgdl is per-field, as ES computes it); still a single broadcast
+    * 1-row aggregate and a single scoring pass regardless of how many
+    * fields the query names.
+    */
+  def multiMatchTopK(docs: DataFrame, fields: Seq[(String, Double)],
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    def toks(f: String): Column = spaceTokens(col(f))
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+      fields.flatMap { case (f, _) =>
+        sum(size(toks(f)).cast("long")).as(s"sum_dl_$f") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks(f), t), 1L).otherwise(0L)).as(s"df_${f}_$i")
+        }
+      }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val n = col("n_docs").cast("double")
+    val score = fields.map { case (f, boost) =>
+      val dl = size(toks(f)).cast("double")
+      val avgdl = col(s"sum_dl_$f").cast("double") / col("n_docs")
+      val fieldScore = terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(toks(f), x => x === t)).cast("double")
+        val df = col(s"df_${f}_$i").cast("double")
+        val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
+      }.reduce(_ + _)
+      fieldScore * lit(boost)
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** queries() wrapper: title^3 + text, title synthesized from each doc's
+    * first four words so term hits overlap both fields deterministically.
+    */
+  def qMultiMatch(s: SparkSession, d: String): DataFrame =
+    multiMatchTopK(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          array_join(slice(spaceTokens(col("text")), 1, 4), " ").as("title")),
+      fields = Seq("title" -> 3.0, "text" -> 1.0),
+      terms = Seq("data", "merge"), k = 20)
+      .select("doc_id", "score")
+
   // ------------------------------------------------------------- search_phrase
 
   /** ES `match_phrase` (slop 0): a document matches only where the query

@@ -24,6 +24,21 @@ class SearchOpsSpec extends SparkSpec {
       s"rare-term doc ($first) should dominate common-only docs ($second)")
   }
 
+  test("multiMatchTopK: a boosted title hit outranks an equal body hit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "climate report", "some unrelated body words here today"),
+      (2L, "something else", "climate appears in the body words here"),
+      (3L, "nothing here", "no match at all in this document")
+    ).toDF("doc_id", "title", "body")
+    val got = SearchOps.multiMatchTopK(docs,
+      fields = Seq("title" -> 3.0, "body" -> 1.0),
+      terms = Seq("climate"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L), "title^3 hit first, body hit second, no-match dropped")
+  }
+
   test("phraseTopK matches only consecutive token runs, never bags of words") {
     val spark2 = spark
     import spark2.implicits._

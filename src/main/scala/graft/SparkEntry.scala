@@ -58,6 +58,7 @@ object SparkEntry {
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
+    "semantic_search" -> (EmbedOps.qSemanticSearch _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
     "search_match_topk" -> (SearchOps.qSearchMatchTopK _),
     "search_bm25" -> (SearchOps.qSearchBm25 _),

@@ -59,4 +59,39 @@ object EmbedOps {
         round(sqrt(dot_product(col("embedding"), col("embedding"))), 4).as("norm"))
       .orderBy("doc_id", "passage_id")
   }
+
+  // ---------------------------------------------------------- semantic_search
+
+  /** The reference's end-user flow, end to end (searchui → nlp searchlib:
+    * embed the query, rank docs by their best-matching PASSAGE embedding):
+    * documents → passages → distinct-encode → attach → cosine against the
+    * query vector → best passage per doc → top-k docs.
+    *
+    * The query vector is `stubEmbedding(lit(query))` — a FOLDABLE expression
+    * tree, so Catalyst constant-folds it and the scoring pass is one corpus
+    * scan with zero joins on the query side. Ranking is a partial-agg
+    * `groupBy(doc).max` + TakeOrderedAndProject: no global sort, no shuffle
+    * beyond the per-doc max. A real deployment swaps the stub for a model
+    * call on BOTH sides (distinct passages + the one query string) and the
+    * plan shape is unchanged — at 100 TB you'd route the scan through the
+    * persisted IVF index (`AnnOps.ivfQueryIndex`) instead of scoring every
+    * passage; this operator is the exact-baseline twin of that path.
+    */
+  def semanticSearchTopK(docs: DataFrame, queryText: String, k: Int,
+      dim: Int = 64, splitLength: Int = 60, overlap: Int = 15): DataFrame = {
+    val passages = NormOps.textPassages(docs, "text", splitLength, overlap)
+    val encoded = encodeDistinct(passages, "passage", dim)
+    val attached = attachEmbeddings(passages, encoded, "passage")
+    val qv = stubEmbedding(lit(queryText), dim)
+    attached
+      .withColumn("cos", graft.functions.VectorFns.cosine_sim(col("embedding"), qv))
+      .groupBy("doc_id")
+      .agg(round(max(col("cos")), 4).as("best_cos"), count(lit(1)).as("n_passages"))
+      .orderBy(desc("best_cos"), col("doc_id"))
+      .limit(k)
+  }
+
+  def qSemanticSearch(s: SparkSession, d: String): DataFrame =
+    semanticSearchTopK(Tables.documents(s, d),
+      queryText = "aggregate data pipelines merge documents", k = 20)
 }

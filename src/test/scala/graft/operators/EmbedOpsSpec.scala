@@ -25,6 +25,31 @@ class EmbedOpsSpec extends SparkSpec {
     assert(vecs(0).forall(x => x >= -1.0 && x < 1.0), "components stay in [-1, 1)")
   }
 
+  test("semantic_search ranks the doc containing the exact query passage first") {
+    val spark2 = spark
+    import spark2.implicits._
+    val query = "climate adaptation measures for coastal regions"
+    val docs = Seq(
+      (1L, "completely unrelated text about databases and joins and shuffles"),
+      (2L, query), // single passage == query text → cosine 1.0
+      (3L, "climate adaptation measures for inland lakes and rivers today")
+    ).toDF("doc_id", "text")
+    val got = EmbedOps.semanticSearchTopK(docs, query, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 === 2L, "exact-passage doc must rank first")
+    assert(got.head._2 === 1.0, "identical text ⇒ identical stub vector ⇒ cos 1")
+    assert(got.length === 3)
+  }
+
+  test("semantic_search query vector is constant-folded (no join on the query side)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = EmbedOps.semanticSearchTopK(docs, "q", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("embed_attach covers every text_passages row at sf0.001") {
     val passages = NormOps.textPassages(
       graft.Tables.documents(spark, sfDir), "text", splitLength = 60, overlap = 15)

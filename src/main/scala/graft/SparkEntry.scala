@@ -36,6 +36,8 @@ object SparkEntry {
     "mark_redirects" -> (SyncOps.qMarkRedirects _),
     "error_retry" -> (SyncOps.qErrorRetry _),
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
+    "url_canonical" -> (SyncOps.qUrlCanonical _),
+    "sitemap_parse" -> (SyncOps.qSitemapParse _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
     "norm_boilerplate" -> (NormOps.qNormBoilerplate _),
@@ -286,6 +288,57 @@ object SparkEntry {
         |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) > 25.0 AS should_abort
         |FROM p LEFT JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+    "url_canonical" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTP://Example.EU:80/Docs/' || doc_id || '/#frag'
+        |         WHEN doc_id % 7 = 1 THEN 'https://example.eu:443/d/' || doc_id || '?b=2&a=1'
+        |         WHEN doc_id % 7 = 2 THEN 'https://example.eu:8443/d/' || doc_id || '/'
+        |         WHEN doc_id % 7 = 3 THEN 'http://EXAMPLE.eu' || '?z=9&y=8&x=7'
+        |         WHEN doc_id % 7 = 4 THEN 'relative/path/' || doc_id
+        |         WHEN doc_id % 7 = 5 THEN 'http://example.eu/a//b///' || doc_id || '////'
+        |         ELSE 'https://example.eu/d/' || doc_id || '?a=1&b=2#x' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    coalesce(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
+        |    coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS pathraw,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |         ELSE hostraw END AS host,
+        |    CASE WHEN regexp_replace(pathraw, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(pathraw, '/+$', '') END AS path,
+        |    CASE WHEN query = '' THEN ''
+        |         ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS q
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN url
+        |       ELSE scheme || '://' || host || path || q END AS url_canonical
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "sitemap_parse" ->
+      """WITH e AS (
+        |  SELECT source, doc_id,
+        |    '<url><loc>https://example.eu/d/' || doc_id || '</loc>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<lastmod>2026-0' || (doc_id % 9 + 1) || '-01</lastmod>'
+        |         ELSE '' END || '</url>' AS entry
+        |  FROM documents),
+        |sm AS (
+        |  SELECT source,
+        |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |  FROM e GROUP BY source),
+        |ent AS (
+        |  SELECT source, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+        |  FROM sm)
+        |SELECT source,
+        |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
+        |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+        |FROM ent ORDER BY source, url""".stripMargin,
     "norm_clean_html" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -288,4 +288,93 @@ object SyncOps {
       .filter(!(col("source") === "src3" && col("id") % 2 === 0))
     deleteThreshold(previous, current, thresholdPct = 25.0).orderBy("source")
   }
+
+  // ------------------------------------------------------------- url_canonical
+
+  /** URL canonicalization — the normalization the reference's frontier dedup
+    * implicitly relies on (crawlers compare URLs from sitemaps, the Plone
+    * API and the index; textually-different spellings of the same resource
+    * must collapse before `sync_diff`/`crawl_frontier` set logic runs):
+    * lowercase scheme + host, drop the default port (:80 http / :443
+    * https), drop the fragment, collapse trailing slashes on the path
+    * (empty path → "/"), and sort the query parameters (param order is not
+    * semantic). Pure regex/array expressions — per-row, zero shuffle.
+    */
+  def canonicalizeUrls(urls: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val pathRaw = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(pathRaw, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(pathRaw, "/+$", ""))
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val sortedQuery = when(query === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+    urls.withColumn("url_canonical",
+      when(scheme === "", u) // not an absolute URL: pass through untouched
+        .otherwise(concat(scheme, lit("://"), host, path, sortedQuery)))
+  }
+
+  /** queries() wrapper: every mess the rule set must fix — mixed-case
+    * scheme/host, default and non-default ports, trailing slashes, unsorted
+    * query params, fragments — plus a relative URL that must pass through.
+    */
+  def qUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = when(id % 7 === 0, concat(lit("HTTP://Example.EU:80/Docs/"), id, lit("/#frag")))
+      .when(id % 7 === 1, concat(lit("https://example.eu:443/d/"), id, lit("?b=2&a=1")))
+      .when(id % 7 === 2, concat(lit("https://example.eu:8443/d/"), id, lit("/")))
+      .when(id % 7 === 3, concat(lit("http://EXAMPLE.eu"), lit("?z=9&y=8&x=7")))
+      .when(id % 7 === 4, concat(lit("relative/path/"), id))
+      .when(id % 7 === 5, concat(lit("http://example.eu/a//b///"), id, lit("////")))
+      .otherwise(concat(lit("https://example.eu/d/"), id, lit("?a=1&b=2#x")))
+    canonicalizeUrls(
+      Tables.documents(s, d).select(id, url.as("url")), "url")
+      .select("doc_id", "url", "url_canonical")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- sitemap_parse
+
+  /** Sitemap XML → URL rows (lib/sitemap.py: the crawler's URL source): pull
+    * every `<loc>` and its sibling `<lastmod>` out of the per-site sitemap
+    * string with one regex pass, explode to one row per URL. The reference
+    * parses with lxml; the sitemap format is rigid enough (loc/lastmod
+    * leaf text) that anchored regex extraction is the standard shortcut —
+    * and it keeps the whole parse inside codegen'd string expressions
+    * (a `from_xml` schema parse drops to interpreted paths for no gain
+    * here). Per-row explode; no shuffle.
+    */
+  def parseSitemaps(sitemaps: DataFrame, xmlCol: String): DataFrame =
+    sitemaps
+      .withColumn("entry",
+        explode(regexp_extract_all(col(xmlCol), lit("<url>(.*?)</url>"), lit(1))))
+      .withColumn("url", regexp_extract(col("entry"), "<loc>([^<]*)</loc>", 1))
+      .withColumn("lastmod", regexp_extract(col("entry"), "<lastmod>([^<]*)</lastmod>", 1))
+      .drop(xmlCol, "entry")
+
+  /** queries() wrapper: build one sitemap string per source (url entries in
+    * doc-id order, every third with a lastmod), parse back to rows — a
+    * deterministic round-trip the DuckDB oracle rebuilds identically.
+    */
+  def qSitemapParse(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val entry = concat(
+      lit("<url><loc>https://example.eu/d/"), id, lit("</loc>"),
+      when(id % 3 === 0, concat(lit("<lastmod>2026-0"), id % 9 + 1, lit("-01</lastmod>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val sitemaps = Tables.documents(s, d)
+      .select(col("source"), id, entry.as("e"))
+      .groupBy("source")
+      .agg(concat(lit("<urlset>"),
+        array_join(array_sort(collect_list(struct(id, col("e")))).getField("e"), ""),
+        lit("</urlset>")).as("xml"))
+    parseSitemaps(sitemaps, "xml")
+      .select("source", "url", "lastmod")
+      .orderBy("source", "url")
+  }
 }

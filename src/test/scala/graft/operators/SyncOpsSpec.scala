@@ -84,6 +84,41 @@ class SyncOpsSpec extends SparkSpec {
       Row("b", 2L, 1L, 1L, true))) // 50% drop -> abort
   }
 
+  test("canonicalizeUrls collapses equivalent spellings to one key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      (1L, "HTTP://Example.EU:80/a/b/"),
+      (2L, "http://example.eu/a/b"),        // same resource as 1
+      (3L, "https://example.eu/?b=2&a=1#f"),
+      (4L, "https://example.eu:443/?a=1&b=2"), // same resource as 3
+      (5L, "https://example.eu:8443/x"),     // non-default port survives
+      (6L, "mailto-like-not-a-url")
+    ).toDF("doc_id", "url")
+    val got = SyncOps.canonicalizeUrls(urls, "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === got(2L), "case/port/trailing-slash variants must collapse")
+    assert(got(1L) === "http://example.eu/a/b")
+    assert(got(3L) === got(4L), "param order and fragment must not matter")
+    assert(got(3L) === "https://example.eu/?a=1&b=2")
+    assert(got(5L) === "https://example.eu:8443/x")
+    assert(got(6L) === "mailto-like-not-a-url", "relative/non-URL passes through")
+  }
+
+  test("parseSitemaps round-trips loc and optional lastmod") {
+    val spark2 = spark
+    import spark2.implicits._
+    val xml = "<urlset>" +
+      "<url><loc>https://example.eu/1</loc><lastmod>2026-01-01</lastmod></url>" +
+      "<url><loc>https://example.eu/2</loc></url>" +
+      "</urlset>"
+    val got = SyncOps.parseSitemaps(Seq(("s1", xml)).toDF("site", "xml"), "xml")
+      .select("url", "lastmod").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      ("https://example.eu/1", "2026-01-01"),
+      ("https://example.eu/2", "")))
+  }
+
   test("robotsDisallowed implements prefix, glob, and exact-match rules") {
     import spark.implicits._
     val urls = Seq(

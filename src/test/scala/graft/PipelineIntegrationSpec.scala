@@ -64,4 +64,49 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(lines === passages.count() * 2,
       "bulk output carries exactly one action + one source line per passage")
   }
+
+  test("canonicalize → frontier → config-driven normalize → cluster composes end-to-end") {
+    // The round-5 composition surface, chained: url_canonical feeds the
+    // frontier (spelling variants collapse BEFORE dedup), the surviving
+    // docs run the config-driven commonNormalizer, and near-dup pairs
+    // resolve to clusters — all from library operators, one lazy plan per
+    // stage.
+    val docs = Tables.documents(spark, sfDir)
+
+    // two spellings of every url; canonicalization must collapse them
+    val base = docs.select(col("doc_id"),
+      concat(lit("https://example.eu/docs/"), (col("doc_id") % 37).cast("string")).as("url"))
+    val variant = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(lit("HTTPS://EXAMPLE.EU:443/docs/"), (col("doc_id") % 37).cast("string"), lit("/")).as("url"))
+    val canon = SyncOps.canonicalizeUrls(base.unionByName(variant), "url")
+      .select(col("doc_id"), col("url_canonical").as("url"))
+    val frontier = SyncOps.crawlFrontier(canon, Nil, Nil)
+    assert(frontier.count() === 37,
+      "canonicalized variants collapse to one frontier entry per distinct path")
+
+    // config-driven normalization of the frontier docs
+    val toNorm = frontier.join(docs.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .withColumn("type_raw", when(col("id") % 9 === 0, lit("Plone Site")).otherwise(lit("Article")))
+      .withColumn("title", concat(lit("Title "), col("id")))
+    val normalized = NormOps.commonNormalizer(toNorm, NormOps.NormConfig(
+      typeCol = "type_raw",
+      dropTypes = Seq("Plone Site"),
+      joinText = Some(NormOps.JoinTextConfig("text", "title", Nil)),
+      normMissing = Map("rights" -> "CC-BY-4.0"),
+      countScalarCols = Seq("lang")))
+    val n = normalized.count()
+    assert(n > 0 && n < 37, "normalizer admission must drop the Plone Site docs")
+    assert(normalized.filter(col("rights") =!= "CC-BY-4.0").count() === 0L)
+    assert(normalized.filter(col("fulltext").isNull).count() === 0L)
+
+    // pair graph → clusters: planted exact dups resolve to one canonical doc
+    val planted = DedupOps.plantedCorpus(spark, sfDir)
+    val pairs = DedupOps.dedupExact(planted, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("keep_id").as("src"), col("doc_id").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    val perCluster = comps.groupBy("comp").count()
+    assert(perCluster.filter(col("count") < 2).count() === 0L,
+      "every cluster in the pair graph has at least two members")
+  }
 }

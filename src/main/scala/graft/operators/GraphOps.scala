@@ -97,33 +97,32 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = und.select(col("src").as("id")).distinct()
+    // state = (id, comp[, comp_prev]) — comp_prev rides along so the
+    // convergence probe shares the SAME action that materializes the
+    // iteration (one job per round, not a count + a compare join).
+    var state = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
-    labels.count()
+    state.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = und
-        .join(labels.select(col("id").as("src"), col("comp").as("nc")), "src")
+        .join(state.select(col("id").as("src"), col("comp").as("nc")), "src")
         .select(col("dst").as("id"), col("nc"))
-        .union(labels.select(col("id"), col("comp").as("nc")))
+        .union(state.select(col("id"), col("comp").as("nc")))
         .groupBy("id")
         .agg(min("nc").as("comp"))
+        .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id"))
         .persist()
-      next.count()
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1)
-        .count()
-      labels.unpersist(false)
-      labels = next
+      val changed = next.filter(col("comp") =!= col("comp_prev")).limit(1).count()
+      state.unpersist(false)
+      state = next
       converged = changed == 0L
       iter += 1
     }
     und.unpersist(false)
-    labels
+    state.select("id", "comp")
   }
 
   /** queries() wrapper: a deterministic edge set over the documents table —

@@ -87,6 +87,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
+    "sample_stratified" -> (TextAnalysis.qSampleStratified _),
     "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 
@@ -944,6 +945,13 @@ object SparkEntry {
         |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
         |       ELSE 'it' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 7 ORDER BY lang, rk""".stripMargin,
     "quality_gopher" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents),

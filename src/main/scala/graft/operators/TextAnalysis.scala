@@ -273,4 +273,30 @@ object TextAnalysis {
         array_min(col("fingerprints")).cast("long").as("fp_min"),
         array_max(col("fingerprints")).cast("long").as("fp_max"))
       .orderBy("doc_id")
+
+  // --------------------------------------------------------- sample_stratified
+
+  /** Deterministic STRATIFIED sampling: within each stratum keep the `k`
+    * rows whose md5(id) sorts smallest — a uniform, seedless, reproducible
+    * choice (md5 is order-uniform on distinct ids, and both Spark and
+    * DuckDB compute the identical hex digest, so the selection is
+    * cross-engine verifiable — the property xxhash-based sampling lacks).
+    * One window per stratum partition; at 100 TB the same selection runs as
+    * groupBy + partial-agg `min_by(k)` if a stratum is too hot for a
+    * window, but strata here are facet-sized. The training-data use: equal
+    * per-language / per-source subsamples with no RNG state to ship.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("rk", row_number().over(byStratum).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d), "lang", "doc_id", k = 7)
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
 }

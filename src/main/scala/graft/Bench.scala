@@ -45,6 +45,10 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // Locale-pinned float formatting: default-locale "%.2f" emits decimal
+    // COMMAS on comma-locale JVMs, corrupting the machine-readable record.
+    def fnum(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -52,11 +56,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.2f".format(v)}" }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fnum(v, 2)}" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jstr(k)}:${fnum(v, 3)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = "%.3f".format(timings.values.sum)
-    val totalSpread = "%.3f".format(spreads.values.sum)
+    val total = fnum(timings.values.sum, 3)
+    val totalSpread = fnum(spreads.values.sum, 3)
     // The stdout record must stay ONE short line (< ~2 KB): round 4's line
     // grew past the driver's capture window once the per-query spread map
     // was added and the round's number of record was lost. Headline fields

@@ -44,7 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("count_token_run",
         "count_token_run(tokens, array('a','b')) - occurrences of the consecutive token run (overlaps counted)"),
       (args: Seq[Expression]) => args(1) match {
-        case CreateArray(elems, _) if elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>
+        case CreateArray(elems, _) if elems.nonEmpty && elems.forall {
+          case Literal(v, t) => v != null && t == org.apache.spark.sql.types.StringType
+          case _ => false
+        } =>
           CountTokenRun(args(0), elems.map(_.asInstanceOf[Literal].value.toString))
         case _ => throw new IllegalArgumentException(
           "count_token_run: the phrase must be a non-empty array of string literals (it is part of the plan)")

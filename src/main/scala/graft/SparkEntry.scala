@@ -305,7 +305,7 @@ object SparkEntry {
         |    coalesce(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
         |    coalesce(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
         |    coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS pathraw,
-        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+        |    coalesce(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '') AS query
         |  FROM b),
         |c AS (
         |  SELECT doc_id, url, scheme,
@@ -334,7 +334,7 @@ object SparkEntry {
         |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
         |  FROM e GROUP BY source),
         |ent AS (
-        |  SELECT source, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+        |  SELECT source, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS entry
         |  FROM sm)
         |SELECT source,
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
@@ -364,16 +364,21 @@ object SparkEntry {
         |    '<p>' || text || '</p>' ||
         |    '<footer>Copyright example-site</footer></body></html>' AS html
         |  FROM documents),
-        |m AS (
+        |m0 AS (
         |  SELECT doc_id,
         |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(html,
-        |          '(?i)</(?:p|div|h[1-6]|head|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote|title|body|html)>|<br */?>',
-        |          chr(10), 'g'),
-        |        '(?is)<a(?:\s[^>]*)?>(.*?)</a>', chr(1) || '\1' || chr(2), 'g'),
-        |      '<.*?>', '', 'g') AS stripped
+        |      regexp_replace(html,
+        |        '(?i)</(?:p|div|h[1-6]|head|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote|title|body|html)>|<br */?>|(?i)<(?:p|div|h[1-6]|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote)(?:\s[^>]*)?>',
+        |        chr(10), 'g'),
+        |      '(?is)<a(?:\s[^>]*)?>(.*?)</a>', chr(1) || '\1' || chr(2), 'g') AS marked
         |  FROM h),
+        |m1 AS (SELECT doc_id, regexp_replace(marked,
+        |  '(\x01[^\x02\x0a]*)\x0a', '\1' || chr(2) || chr(10) || chr(1), 'g') AS marked FROM m0),
+        |m2 AS (SELECT doc_id, regexp_replace(marked,
+        |  '(\x01[^\x02\x0a]*)\x0a', '\1' || chr(2) || chr(10) || chr(1), 'g') AS marked FROM m1),
+        |m AS (
+        |  SELECT doc_id, regexp_replace(marked, '<.*?>', '', 'g') AS stripped
+        |  FROM m2),
         |j AS (
         |  SELECT doc_id, trim(array_to_string(
         |    list_transform(

@@ -84,7 +84,8 @@ object GraphOps {
     * O(diameter) iterations — dup clusters are shallow (a handful of hops),
     * so the loop runs 2-4 times in practice, each a linear pass. Per-
     * iteration persist keeps lineage flat (the Lloyd pattern); the
-    * convergence probe is a `limit(1)` existence check, not a full count.
+    * changed-labels probe is a full filter-count sharing the job that
+    * materializes the iteration.
     * `maxIter` bounds the loop against pathological chains (a 100 TB run
     * would switch to the large-star/small-star contraction at extreme
     * diameters — same contract, fewer rounds).
@@ -115,14 +116,27 @@ object GraphOps {
         .agg(min("nc").as("comp"))
         .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id"))
         .persist()
-      val changed = next.filter(col("comp") =!= col("comp_prev")).limit(1).count()
+      // The probe must scan EVERY partition (a limit(1) short-circuits and
+      // leaves most of the persist unmaterialized, which silently
+      // resurrects the nested-lineage recompute once the previous state is
+      // unpersisted) — a full filter-count materializes and probes in the
+      // same single job.
+      val changed = next.filter(col("comp") =!= col("comp_prev")).count()
       state.unpersist(false)
       state = next
       converged = changed == 0L
       iter += 1
     }
     und.unpersist(false)
-    state.select("id", "comp")
+    // Hand the caller a lineage-free result and release the loop's cache:
+    // localCheckpoint materializes the converged labels as RDD blocks that
+    // the ContextCleaner frees when the caller drops the DataFrame — unlike
+    // the persist, which would pin executor storage forever with no handle
+    // to unpersist. (A multi-job production run on a cluster would swap in
+    // a reliable checkpoint dir; the contract is the same.)
+    val out = state.select("id", "comp").localCheckpoint(true)
+    state.unpersist(false)
+    out
   }
 
   /** queries() wrapper: a deterministic edge set over the documents table —

@@ -61,6 +61,12 @@ object NormOps {
   val BlockCloseRe: String =
     "(?i)</(?:p|div|h[1-6]|head|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote|title|body|html)>|<br */?>"
 
+  /** Block-level OPEN tags break lines too (`</a><p>prose` must not glue the
+    * link text to the paragraph); `<a>` and inline tags never match.
+    */
+  val BlockOpenRe: String =
+    "(?i)<(?:p|div|h[1-6]|li|td|tr|th|ul|ol|table|section|article|main|header|footer|nav|blockquote)(?:\\s[^>]*)?>"
+
   /** Anchor elements; group 1 is the link text (marked with \x01..\x02
     * sentinels so per-line link density survives the global tag strip).
     */
@@ -86,9 +92,17 @@ object NormOps {
   def boilerplateFilter(docs: DataFrame, htmlCol: String,
       minChars: Int = 30, maxLinkDensity: Double = 0.5): DataFrame = {
     val marked = regexp_replace(
-      regexp_replace(col(htmlCol), BlockCloseRe, "\n"),
+      regexp_replace(col(htmlCol), BlockCloseRe + "|" + BlockOpenRe, "\n"),
       AnchorRe, "\u0001$1\u0002")
-    val lines = split(regexp_replace(marked, HtmlTagRe, ""), "\n")
+    // An anchor containing a <br>/block close carries a line break INSIDE
+    // its sentinel span; a split would orphan the span and its text would
+    // count as non-link. Close-and-reopen the span around each break (two
+    // passes handle up to two breaks per anchor — beyond that the residue
+    // degrades to the pre-repair undercount, never a crash).
+    val repairOnce: Column => Column =
+      c => regexp_replace(c, "(\\x01[^\\x02\\n]*)\\n", "$1\u0002\n\u0001")
+    val repaired = repairOnce(repairOnce(marked))
+    val lines = split(regexp_replace(repaired, HtmlTagRe, ""), "\n")
     val spanRe = "\\x01[^\\x02]*\\x02"
     val markRe = "[\\x01\\x02]"
     val scored = transform(lines, l => {
@@ -807,8 +821,12 @@ object NormOps {
       removeEmpty: Boolean = true,
       normObj: Map[String, String] = Map.empty,
       normObjCols: Option[Seq[String]] = None,
-      normProp: Map[String, Seq[String]] = Map.empty,
-      normMissing: Map[String, String] = Map.empty,
+      // normProp/normMissing are SEQUENCES: the reference iterates
+      // insertion-ordered Python dicts, and chained renames / field: refs
+      // are order-sensitive — a Scala Map above 4 entries iterates in hash
+      // order and would make site configs nondeterministic.
+      normProp: Seq[(String, Seq[String])] = Nil,
+      normMissing: Seq[(String, String)] = Nil,
       locationCol: Option[String] = None,
       descriptionCol: Option[String] = None,
       descriptionFromCol: String = "fulltext",
@@ -1025,8 +1043,8 @@ object NormOps {
       whiteMap = Map("source" -> Seq("src0", "src1", "src2")),
       normObj = Map("en" -> "English", "de" -> "German", "fr" -> "French"),
       normObjCols = Some(Seq("lang")),
-      normProp = Map("n_chars" -> Seq("size_chars")),
-      normMissing = Map("rights" -> "CC-BY-4.0", "publisher" -> "field:source"),
+      normProp = Seq("n_chars" -> Seq("size_chars")),
+      normMissing = Seq("rights" -> "CC-BY-4.0", "publisher" -> "field:source"),
       locationCol = Some("location"),
       descriptionCol = Some("description_raw"),
       countListCols = Seq("tags"),

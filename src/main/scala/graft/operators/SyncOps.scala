@@ -310,7 +310,10 @@ object SyncOps {
     val pathRaw = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(regexp_replace(pathRaw, "/+$", "") === "", lit("/"))
       .otherwise(regexp_replace(pathRaw, "/+$", ""))
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // fragment stripped FIRST so a '?' inside the fragment can never be
+    // resurrected as a query string
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val sortedQuery = when(query === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
     urls.withColumn("url_canonical",
@@ -351,7 +354,7 @@ object SyncOps {
   def parseSitemaps(sitemaps: DataFrame, xmlCol: String): DataFrame =
     sitemaps
       .withColumn("entry",
-        explode(regexp_extract_all(col(xmlCol), lit("<url>(.*?)</url>"), lit(1))))
+        explode(regexp_extract_all(col(xmlCol), lit("(?s)<url>(.*?)</url>"), lit(1))))
       .withColumn("url", regexp_extract(col("entry"), "<loc>([^<]*)</loc>", 1))
       .withColumn("lastmod", regexp_extract(col("entry"), "<lastmod>([^<]*)</lastmod>", 1))
       .drop(xmlCol, "entry")

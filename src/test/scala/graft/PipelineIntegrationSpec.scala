@@ -92,7 +92,7 @@ class PipelineIntegrationSpec extends SparkSpec {
       typeCol = "type_raw",
       dropTypes = Seq("Plone Site"),
       joinText = Some(NormOps.JoinTextConfig("text", "title", Nil)),
-      normMissing = Map("rights" -> "CC-BY-4.0"),
+      normMissing = Seq("rights" -> "CC-BY-4.0"),
       countScalarCols = Seq("lang")))
     val n = normalized.count()
     assert(n > 0 && n < 37, "normalizer admission must drop the Plone Site docs")

@@ -186,6 +186,33 @@ class NormOpsSpec extends SparkSpec {
     assert(!out.contains("T\n") && !lines.contains("T"), "bare title must drop")
   }
 
+  test("boilerplateFilter counts link text split across <br> inside an anchor") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A multi-line nav link: both fragments are pure anchor text and must
+    // drop even though the <br> splits the sentinel span across lines.
+    val html = "<a href=\"/\">Read the full article about this topic here.<br>" +
+      "Second line of the same link ends too.</a>" +
+      "<p>Genuine prose outside any anchor long enough to clear the gate.</p>"
+    val out = NormOps.boilerplateFilter(Seq((1L, html)).toDF("doc_id", "html"), "html")
+      .select("text_main").as[String].collect().head
+    assert(out === "Genuine prose outside any anchor long enough to clear the gate.",
+      s"split-span link text must not survive, got: $out")
+  }
+
+  test("commonNormalizer applies normProp renames in declaration order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a -> b then b -> c: with ordered application c receives a's value
+    // via b; unordered (hash-map) application could give c the ORIGINAL b.
+    val docs = Seq(("doc", "va", "vb")).toDF("type_raw", "a", "b")
+    val out = NormOps.commonNormalizer(docs, NormOps.NormConfig(
+      normProp = Seq("a" -> Seq("b"), "b" -> Seq("c"))))
+    val r = out.collect().head
+    assert(!out.columns.contains("a") && !out.columns.contains("b"))
+    assert(r.getAs[String]("c") === "va", "chained renames follow declaration order")
+  }
+
   test("boilerplateFilter drops a line whose text is mostly links") {
     val spark2 = spark
     import spark2.implicits._
@@ -219,12 +246,12 @@ class NormOpsSpec extends SparkSpec {
       workflowStateCol = Some("isPublishedToAll"),
       normObj = Map("eng" -> "en", "fre" -> "fr"),
       normObjCols = Some(Seq("mainLanguage")),
-      normProp = Map(
+      normProp = Seq(
         "metadataIdentifier" -> Seq("about", "original_id", "id"),
         "resourceTitleObject" -> Seq("title", "label"),
         "th_regions" -> Seq("spatial", "places"),
         "mainLanguage" -> Seq("language")),
-      normMissing = Map("description" -> "field:resourceAbstractObject", "language" -> "en"),
+      normMissing = Seq("description" -> "field:resourceAbstractObject", "language" -> "en"),
       countListCols = Seq("spatial")))
     val rows = out.orderBy("id").collect()
     assert(rows.length === 2, "blacklisted resourceType 'service' must drop")

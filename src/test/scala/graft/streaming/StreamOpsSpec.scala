@@ -152,8 +152,8 @@ class StreamOpsSpec extends SparkSpec {
       dropTypes = Seq("Plone Site"),
       normObj = Map("eng" -> "en"),
       normObjCols = Some(Seq("lang_raw")),
-      normProp = Map("lang_raw" -> Seq("language")),
-      normMissing = Map("rights" -> "CC-BY-4.0"))
+      normProp = Seq("lang_raw" -> Seq("language")),
+      normMissing = Seq("rights" -> "CC-BY-4.0"))
     val out = graft.operators.NormOps.commonNormalizer(
       src.toDF().toDF("id", "type_raw", "lang_raw", "title"), cfg)
     val q = out.writeStream.format("memory").queryName("normstream")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, CountTokenRun, DotProduct, WordNgrams}
+import graft.functions.{CosineSim, CountTokenRun, DotProduct, WinnowFingerprints, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.CreateArray
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(n: Int, _) => WordNgrams(args(0), n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams: n must be an integer literal (the gram width is part of the plan)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - winnowing fingerprint minima of k-char grams over windows of w"),
+      (args: Seq[Expression]) => (args(1), args(2)) match {
+        case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowFingerprints(args(0), k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints: k and w must be integer literals (they are part of the plan)")
       }))
     ext.injectFunction((
       FunctionIdentifier("count_token_run"),

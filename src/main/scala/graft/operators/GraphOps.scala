@@ -139,6 +139,17 @@ object GraphOps {
     out
   }
 
+  /** Apply cluster resolution to the corpus: drop every non-canonical
+    * cluster member (id ≠ comp), keep canonical docs and all unclustered
+    * docs — the final "return the deduplicated corpus" step after any pair
+    * generator + `connectedComponents`. One anti-join on the id; the
+    * comps side is candidates-only (≪ corpus at scale).
+    */
+  def keepCanonical(docs: DataFrame, comps: DataFrame, idCol: String): DataFrame =
+    docs.join(
+      comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** queries() wrapper: a deterministic edge set over the documents table —
     * 5-node stars (doc → doc − doc%5) with every-35th docs linking two
     * adjacent stars into one component (so labels must propagate across

@@ -24,12 +24,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT cosine_sim(array(1d, 0d), array(1d, 0d)) AS self,
           |       dot_product(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS dot,
           |       word_ngrams(array('a', 'b', 'c', 'b', 'c'), 2) AS grams,
-          |       count_token_run(array('a', 'b', 'a', 'b'), array('a', 'b')) AS runs""".stripMargin)
+          |       count_token_run(array('a', 'b', 'a', 'b'), array('a', 'b')) AS runs,
+          |       size(winnow_fingerprints('abcdefghij', 3, 2)) AS nfp""".stripMargin)
         .collect()(0)
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 32.0)
       assert(r.getSeq[String](2) === Seq("a_b", "b_c", "c_b"))
       assert(r.getLong(3) === 2L)
+      assert(r.getInt(4) > 0, "winnow_fingerprints must yield fingerprints via SQL")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -20,6 +20,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.size === 8)
   }
 
+  test("keepCanonical removes exactly the non-canonical cluster members") {
+    // exact-dup pairs over the planted corpus: every planted copy
+    // (id+1000000, trailing whitespace) must vanish, its original must
+    // survive, and docs outside any cluster are untouched.
+    val corpus = DedupOps.plantedCorpus(spark, sfDir)
+    val pairs = DedupOps.dedupExact(corpus, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("keep_id").as("src"), col("doc_id").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    val kept = GraphOps.keepCanonical(corpus, comps, "doc_id")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactCopies = corpus.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(exactCopies.nonEmpty)
+    exactCopies.foreach { c =>
+      assert(!keptIds.contains(c), s"exact copy $c must be dropped")
+      assert(keptIds.contains(c - 1000000L), s"original of $c must survive")
+    }
+    assert(kept.count() === corpus.count() - exactCopies.length,
+      "only the non-canonical members disappear")
+  }
+
   test("clustering real minhash pairs keeps every planted dup with its original") {
     // End-to-end: near-dup PAIRS from the planted corpus → components →
     // each planted copy (id+1000000 / id+2000000) lands in its original's

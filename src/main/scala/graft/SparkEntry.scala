@@ -88,6 +88,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
     "sample_stratified" -> (TextAnalysis.qSampleStratified _),
+    "pii_scrub" -> (TextAnalysis.qPiiScrub _),
     "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 
@@ -950,6 +951,26 @@ object SparkEntry {
         |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
         |       ELSE 'it' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    // patterns are Java/RE2-portable (no lookaround); counts on the ORIGINAL
+    // text, scrub order email -> ip -> phone on both sides.
+    "pii_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example-site.org' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +31 20 ' || (doc_id % 900 + 100) || ' 0' || (doc_id % 90 + 10) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+\d[\d() .-]{7,}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+        |FROM b ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,

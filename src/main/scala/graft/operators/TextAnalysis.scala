@@ -274,6 +274,58 @@ object TextAnalysis {
         array_max(col("fingerprints")).cast("long").as("fp_max"))
       .orderBy("doc_id")
 
+  // ----------------------------------------------------------------- pii_scrub
+
+  /** Email addresses — the C4-style pattern both Java regex and RE2 parse
+    * identically (no lookaround, no backrefs).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded). */
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  /** International-format phone numbers (leading +, ≥ 9 digits/separators) —
+    * deliberately conservative: a bare digit run is usually NOT a phone and
+    * aggressive patterns destroy numeric content.
+    */
+  val PhoneRe = "\\+\\d[\\d() .-]{7,}\\d"
+
+  /** PII scrubbing — the redaction pass every published training-data
+    * pipeline runs before release: emails → `<EMAIL>`, IPv4s → `<IP>`,
+    * international phone numbers → `<PHONE>`, with per-doc match counts
+    * kept as columns (counted on the ORIGINAL text, before any replacement
+    * can shadow a later pattern). Applied in a fixed order
+    * (email → ip → phone) so the result is deterministic. Pure per-row
+    * regex projections — zero shuffle at any scale.
+    */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("text_scrubbed", scrubbed)
+  }
+
+  /** queries() wrapper: plants deterministic PII into the corpus — an email
+    * every 3rd doc, an IP every 4th, a phone every 5th (overlapping ids
+    * exercise multi-kind docs), none elsewhere.
+    */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id, lit("@example-site.org"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" from 10.0."), id % 256, lit(".1"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call +31 20 "), id % 900 + 100, lit(" 0"), id % 90 + 10)).otherwise(lit("")))
+    piiScrub(Tables.documents(s, d).select(id, planted.as("text")), "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_scrubbed")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- sample_stratified
 
   /** Deterministic STRATIFIED sampling: within each stratum keep the `k`

@@ -537,7 +537,8 @@ object SparkEntry {
     // add_counts). The fulltext CTEs crib the proven norm_join_text oracle.
     "norm_pipeline" ->
       """WITH base AS (
-        |  SELECT doc_id, text, lang, source, n_chars,
+        |  SELECT doc_id, text, source, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
         |    CASE WHEN doc_id % 4 = 0 THEN 'Dataset' ELSE 'Article' END AS type_raw,
         |    CASE WHEN doc_id % 5 = 0 THEN NULL
         |         WHEN doc_id % 5 = 1 THEN '' ELSE 'published' END AS review_state,
@@ -583,8 +584,9 @@ object SparkEntry {
         |         ELSE round(len(regexp_extract_all(ft_raw, '\w+')) / CAST(228 AS DOUBLE), 4)
         |    END AS reading_time,
         |    array_to_string(l2, '|') AS tags,
-        |    CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
-        |              WHEN 'fr' THEN 'French' ELSE lang END AS lang,
+        |    CASE coalesce(lang, 'en') WHEN 'en' THEN 'English'
+        |         WHEN 'de' THEN 'German' WHEN 'fr' THEN 'French'
+        |         ELSE coalesce(lang, 'en') END AS lang,
         |    CASE WHEN source IN ('src0','src1','src2') THEN source END AS source,
         |    n_chars AS size_chars,
         |    'CC-BY-4.0' AS rights,

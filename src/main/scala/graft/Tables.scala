@@ -52,10 +52,19 @@ object Tables {
     val fs = root.getFileSystem(conf)
     val status = fs.getFileStatus(root)
     val files =
-      if (status.isDirectory)
-        fs.listStatus(root).toSeq.filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-      else Seq(status)
+      if (status.isDirectory) {
+        // Recurse: partitioned layouts (e.g. ivfSaveIndex's partitionBy
+        // output) nest part files under key=value directories — a one-level
+        // listing would return an empty list and a silent row count of 0.
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+        }
+        buf.toSeq
+      } else Seq(status)
+    require(files.nonEmpty, s"rowCountFromFooters: no parquet files under $root")
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

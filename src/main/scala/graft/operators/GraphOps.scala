@@ -83,7 +83,8 @@ object GraphOps {
     * (map-side combine) over the edge table; labels converge in
     * O(diameter) iterations — dup clusters are shallow (a handful of hops),
     * so the loop runs 2-4 times in practice, each a linear pass. Per-
-    * iteration persist keeps lineage flat (the Lloyd pattern); the
+    * iteration localCheckpoint truncates lineage (the plan tree otherwise
+    * grows ~3^k and OOMs the driver before the data ever would); the
     * changed-labels probe is a full filter-count sharing the job that
     * materializes the iteration.
     * `maxIter` bounds the loop against pathological chains (a 100 TB run
@@ -94,6 +95,24 @@ object GraphOps {
     * minimum id reachable from the node.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (out, converged, iters) = connectedComponentsWithStats(edges, maxIter)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $iters iterations " +
+          s"(maxIter=$maxIter): labels are partially propagated — deep " +
+          "chains may carry non-minimal component ids. Raise maxIter or " +
+          "switch to star contraction for extreme diameters.")
+    out
+  }
+
+  /** Same as [[connectedComponents]] but also reports whether the labels
+    * CONVERGED within `maxIter` and how many iterations ran — callers that
+    * feed a keep-canonical decision (where a silently-unconverged label
+    * would keep the wrong doc) can branch on the flag instead of trusting
+    * the result blindly.
+    */
+  def connectedComponentsWithStats(
+      edges: DataFrame, maxIter: Int = 20): (DataFrame, Boolean, Int) = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -101,10 +120,19 @@ object GraphOps {
     // state = (id, comp[, comp_prev]) — comp_prev rides along so the
     // convergence probe shares the SAME action that materializes the
     // iteration (one job per round, not a count + a compare join).
+    //
+    // Lineage is truncated EVERY round with a lazy localCheckpoint: the
+    // iteration body references `state` three times, so chaining plans
+    // round-over-round grows the logical tree ~3^k — at a dozen iterations
+    // the plan alone (not the data) OOMs the driver rendering explain
+    // strings. The probe's full filter-count is the materializing action
+    // (a limit(1) would short-circuit and leave partitions unmaterialized),
+    // after which `state` is a flat LogicalRDD. Superseded checkpoint
+    // blocks are freed by the ContextCleaner once unreferenced; the loop is
+    // bounded by maxIter so at most a handful are ever live.
     var state = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
-    state.count()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -115,28 +143,19 @@ object GraphOps {
         .groupBy("id")
         .agg(min("nc").as("comp"))
         .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id"))
-        .persist()
-      // The probe must scan EVERY partition (a limit(1) short-circuits and
-      // leaves most of the persist unmaterialized, which silently
-      // resurrects the nested-lineage recompute once the previous state is
-      // unpersisted) — a full filter-count materializes and probes in the
-      // same single job.
+        .localCheckpoint(false)
       val changed = next.filter(col("comp") =!= col("comp_prev")).count()
-      state.unpersist(false)
       state = next
       converged = changed == 0L
       iter += 1
     }
     und.unpersist(false)
-    // Hand the caller a lineage-free result and release the loop's cache:
-    // localCheckpoint materializes the converged labels as RDD blocks that
-    // the ContextCleaner frees when the caller drops the DataFrame — unlike
-    // the persist, which would pin executor storage forever with no handle
-    // to unpersist. (A multi-job production run on a cluster would swap in
-    // a reliable checkpoint dir; the contract is the same.)
+    // Hand the caller a lineage-free projection of the final state; the
+    // loop's superseded checkpoint blocks are freed by the ContextCleaner
+    // once unreferenced. (A multi-job production run on a cluster would
+    // swap in a reliable checkpoint dir; the contract is the same.)
     val out = state.select("id", "comp").localCheckpoint(true)
-    state.unpersist(false)
-    out
+    (out, converged, iter)
   }
 
   /** Apply cluster resolution to the corpus: drop every non-canonical

@@ -934,18 +934,23 @@ object NormOps {
         }
       }
 
-    // 8. apply_norm_obj (:54): global value map over strings + list elements
-    val s8 =
-      if (cfg.normObj.isEmpty) s7
+    // apply_norm_obj (:54): global value map over strings + list elements.
+    // Runs TWICE like the reference — once here (step 8) and once after the
+    // normMissing/strip fold (normalizers.py:583 "normalize objects again,
+    // after we add values in various ways") so values FILLED by normMissing
+    // don't escape the global map. Targets re-derive from the current
+    // schema per pass (normProp/normMissing may have added columns).
+    def applyNormObj(df: DataFrame): DataFrame =
+      if (cfg.normObj.isEmpty) df
       else {
         val m = typedLit(cfg.normObj)
         val targets = cfg.normObjCols.getOrElse(
-          s7.schema.fields.collect {
+          df.schema.fields.collect {
             case f if f.dataType == StringType => f.name
             case f if f.dataType == ArrayType(StringType, true) ||
               f.dataType == ArrayType(StringType, false) => f.name
           }.toSeq)
-        targets.foldLeft(s7) { (d, c) =>
+        targets.foldLeft(df) { (d, c) =>
           d.schema(c).dataType match {
             case StringType =>
               d.withColumn(c, coalesce(try_element_at(m, col(c)), col(c)))
@@ -955,6 +960,9 @@ object NormOps {
           }
         }
       }
+
+    // 8. first apply_norm_obj pass (:551)
+    val s8 = applyNormObj(s7)
 
     // 9. apply_norm_prop (:76): fan out, source key removed
     val s9 = cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
@@ -988,9 +996,13 @@ object NormOps {
       }
     }
 
+    // 12b. second apply_norm_obj pass (:583) — after the strip fold, before
+    // the description fallback, exactly the reference's position
+    val s12b = applyNormObj(s12)
+
     // 13. description fallback (:585)
-    val s13 = cfg.descriptionCol.fold(s12)(c =>
-      fillDescription(s12, c, cfg.descriptionFromCol))
+    val s13 = cfg.descriptionCol.fold(s12b)(c =>
+      fillDescription(s12b, c, cfg.descriptionFromCol))
 
     // 14. add_counts (:652)
     addCounts(s13, cfg.countListCols, cfg.countScalarCols)
@@ -1021,7 +1033,11 @@ object NormOps {
         .otherwise(concat(lit("Title "), id)).as("title"),
       when(id % 3 === 0, lit(""))
         .otherwise(concat(lit("<p>Summary for doc "), id, lit("</p>"))).as("summary"),
-      col("lang"), col("source"), col("n_chars"),
+      // null lang for every 17th doc: normMissing fills it with "en" AFTER
+      // the first normObj pass, and only the SECOND pass (normalizers.py:583)
+      // maps the filled value to "English" — pins the two-pass interaction
+      when(id % 17 === 0, lit(null).cast("string")).otherwise(col("lang")).as("lang"),
+      col("source"), col("n_chars"),
       slice(spaceTokens(col("text")), 1, 5).as("tags"),
       when(id % 4 =!= 0, concat(lit("pub_"), col("source"))).as("publisher"),
       when(id % 3 === 0, concat(lit("Existing description for doc "), id))
@@ -1044,7 +1060,8 @@ object NormOps {
       normObj = Map("en" -> "English", "de" -> "German", "fr" -> "French"),
       normObjCols = Some(Seq("lang")),
       normProp = Seq("n_chars" -> Seq("size_chars")),
-      normMissing = Seq("rights" -> "CC-BY-4.0", "publisher" -> "field:source"),
+      normMissing = Seq("rights" -> "CC-BY-4.0", "publisher" -> "field:source",
+        "lang" -> "en"),
       locationCol = Some("location"),
       descriptionCol = Some("description_raw"),
       countListCols = Seq("tags"),

@@ -264,8 +264,8 @@ object SearchOps {
       .agg(
         count(lit(1)).as("n"),
         round(avg(col(valueCol)), 4).as("avg_val"),
-        round(expr(s"percentile($valueCol, 0.5)"), 4).as("p50"),
-        round(expr(s"percentile($valueCol, 0.95)"), 4).as("p95"))
+        round(percentile(col(valueCol), lit(0.5)), 4).as("p50"),
+        round(percentile(col(valueCol), lit(0.95)), 4).as("p95"))
 
   def qFacetStats(s: SparkSession, d: String): DataFrame =
     facetStats(Tables.documents(s, d), "lang", "n_chars")

@@ -20,6 +20,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.size === 8)
   }
 
+  test("connectedComponentsWithStats reports non-convergence instead of lying") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 12-hop chain cannot converge in 2 iterations of min-label
+    // propagation — the flag must say so (a silent partial result here
+    // would make keepCanonical keep the wrong doc)
+    val chain = (1L until 13L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (partial, convergedEarly, itersEarly) =
+      GraphOps.connectedComponentsWithStats(chain, maxIter = 2)
+    assert(!convergedEarly && itersEarly === 2)
+    assert(partial.filter(col("comp") =!= 1L).count() > 0,
+      "an unconverged run leaves non-minimal labels (that is WHY the flag matters)")
+    val (full, converged, iters) = GraphOps.connectedComponentsWithStats(chain)
+    assert(converged && iters <= 20)
+    assert(full.filter(col("comp") =!= 1L).count() === 0)
+  }
+
   test("keepCanonical removes exactly the non-canonical cluster members") {
     // exact-dup pairs over the planted corpus: every planted copy
     // (id+1000000, trailing whitespace) must vanish, its original must

@@ -213,6 +213,25 @@ class NormOpsSpec extends SparkSpec {
     assert(r.getAs[String]("c") === "va", "chained renames follow declaration order")
   }
 
+  test("commonNormalizer re-applies normObj after normMissing (the reference's second pass)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // normalizers.py:583 runs apply_norm_obj AGAIN after apply_norm_missing:
+    // a value FILLED by normMissing ("en", constant or field: ref) must not
+    // escape the global map the way a single step-8 pass would let it.
+    val docs = Seq(
+      ("doc", "de", "fr"),                  // present: mapped by the first pass
+      ("doc", null: String, "fr")).toDF("type_raw", "lang", "src_lang")
+    val out = NormOps.commonNormalizer(docs, NormOps.NormConfig(
+      normObj = Map("en" -> "English", "de" -> "German", "fr" -> "French"),
+      normObjCols = Some(Seq("lang", "src_lang")),
+      normMissing = Seq("lang" -> "en", "ref_lang" -> "field:src_lang")))
+    val got = out.select("lang", "ref_lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("German", "French"), ("English", "French")),
+      s"normMissing-filled values must pass through normObj again, got $got")
+  }
+
   test("boilerplateFilter drops a line whose text is mostly links") {
     val spark2 = spark
     import spark2.implicits._

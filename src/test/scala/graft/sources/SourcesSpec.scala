@@ -48,4 +48,17 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() ===
       Tables.documents(spark, sfDir).filter(col("source") === "src1").count())
   }
+
+  test("rowCountFromFooters counts nested/partitioned layouts and rejects empty ones") {
+    val root = Files.createTempDirectory("footers").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.partitionBy("source").parquet(s"$root/docs.parquet")
+    // part files live one level down (source=...) — the footer count must
+    // recurse, not silently return 0
+    assert(Tables.rowCountFromFooters(spark, root, "docs") === docs.count())
+    new java.io.File(s"$root/empty.parquet").mkdirs()
+    assertThrows[IllegalArgumentException] {
+      Tables.rowCountFromFooters(spark, root, "empty")
+    }
+  }
 }

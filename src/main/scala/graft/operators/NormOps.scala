@@ -950,7 +950,12 @@ object NormOps {
             case f if f.dataType == ArrayType(StringType, true) ||
               f.dataType == ArrayType(StringType, false) => f.name
           }.toSeq)
-        targets.foldLeft(df) { (d, c) =>
+        // Explicit normObjCols may name columns that normProp's fan-out later
+        // drops (second pass) or that don't exist yet (first pass); the
+        // reference iterates keys present on the doc at that point
+        // (normalizers.py:583), so missing columns are no-ops, not errors.
+        val present = targets.filter(df.columns.contains)
+        present.foldLeft(df) { (d, c) =>
           d.schema(c).dataType match {
             case StringType =>
               d.withColumn(c, coalesce(try_element_at(m, col(c)), col(c)))

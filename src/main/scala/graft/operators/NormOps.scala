@@ -940,11 +940,11 @@ object NormOps {
     // after we add values in various ways") so values FILLED by normMissing
     // don't escape the global map. Targets re-derive from the current
     // schema per pass (normProp/normMissing may have added columns).
-    def applyNormObj(df: DataFrame): DataFrame =
+    def applyNormObj(df: DataFrame, explicitCols: Option[Seq[String]]): DataFrame =
       if (cfg.normObj.isEmpty) df
       else {
         val m = typedLit(cfg.normObj)
-        val targets = cfg.normObjCols.getOrElse(
+        val targets = explicitCols.getOrElse(
           df.schema.fields.collect {
             case f if f.dataType == StringType => f.name
             case f if f.dataType == ArrayType(StringType, true) ||
@@ -967,7 +967,19 @@ object NormOps {
       }
 
     // 8. first apply_norm_obj pass (:551)
-    val s8 = applyNormObj(s7)
+    val s8 = applyNormObj(s7, cfg.normObjCols)
+
+    // Explicit normObjCols name PRE-rename columns. normProp's fan-out moves
+    // their values under new names before the second pass, and the reference's
+    // second apply_norm_obj walks the doc's CURRENT keys (normalizers.py:583)
+    // — so a mappable value sitting in a renamed target column must still be
+    // normalized. Translate each name through the rename chain, in normProp
+    // declaration order (chained renames compose left-to-right).
+    val normObjColsPostRename = cfg.normObjCols.map { cols =>
+      cfg.normProp.foldLeft(cols) { case (cs, (src, tgts)) =>
+        cs.flatMap(c => if (c == src) tgts else Seq(c)).distinct
+      }
+    }
 
     // 9. apply_norm_prop (:76): fan out, source key removed
     val s9 = cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
@@ -1002,8 +1014,9 @@ object NormOps {
     }
 
     // 12b. second apply_norm_obj pass (:583) — after the strip fold, before
-    // the description fallback, exactly the reference's position
-    val s12b = applyNormObj(s12)
+    // the description fallback, exactly the reference's position; explicit
+    // targets are the post-rename names
+    val s12b = applyNormObj(s12, normObjColsPostRename)
 
     // 13. description fallback (:585)
     val s13 = cfg.descriptionCol.fold(s12b)(c =>

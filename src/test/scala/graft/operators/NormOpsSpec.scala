@@ -232,6 +232,27 @@ class NormOpsSpec extends SparkSpec {
       s"normMissing-filled values must pass through normObj again, got $got")
   }
 
+  test("commonNormalizer second normObj pass follows normProp renames of normObjCols") {
+    val spark2 = spark
+    import spark2.implicits._
+    // normObjCols names the PRE-rename column "lang"; normProp moves it to
+    // "language", then normMissing fills the NULL with "en". The reference's
+    // second apply_norm_obj walks the doc's CURRENT keys (normalizers.py:583),
+    // so the filled value in the RENAMED column must still hit the map.
+    val docs = Seq(
+      ("doc", "de"),
+      ("doc", null: String)).toDF("type_raw", "lang")
+    val out = NormOps.commonNormalizer(docs, NormOps.NormConfig(
+      normObj = Map("en" -> "English", "de" -> "German"),
+      normObjCols = Some(Seq("lang")),
+      normProp = Seq("lang" -> Seq("language")),
+      normMissing = Seq("language" -> "en")))
+    assert(!out.columns.contains("lang"), "normProp removes the source key")
+    val got = out.select("language").collect().map(_.getString(0)).toSet
+    assert(got === Set("German", "English"),
+      s"second normObj pass must target the post-rename column, got $got")
+  }
+
   test("boilerplateFilter drops a line whose text is mostly links") {
     val spark2 = spark
     import spark2.implicits._

@@ -163,11 +163,17 @@ object NormOps {
     * first 100 words of fulltext (normalizers.py:590-593; Python falsy test
     * covers both NULL and "").
     */
-  def fillDescription(docs: DataFrame, descCol: String, fulltextCol: String): DataFrame =
+  def fillDescription(docs: DataFrame, descCol: String, fulltextCol: String): DataFrame = {
+    // the reference's fallback reads normalized_doc.get("description") —
+    // a doc with no description key at all takes the fulltext branch
+    val base =
+      if (docs.columns.contains(descCol)) col(descCol)
+      else lit(null).cast(org.apache.spark.sql.types.StringType)
     docs.withColumn(
       "description",
-      when(col(descCol).isNull || col(descCol) === "", firstWords(col(fulltextCol), 100))
-        .otherwise(col(descCol)))
+      when(base.isNull || base === "", firstWords(col(fulltextCol), 100))
+        .otherwise(base))
+  }
 
   /** queries() wrapper: 1/3 of docs have a description, 1/3 carry the empty
     * string (Python-falsy), 1/3 NULL — all three reference paths exercised.
@@ -857,8 +863,14 @@ object NormOps {
   def commonNormalizer(docs: DataFrame, cfg: NormConfig): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
 
+    // Config and schema names are LITERAL column names — flattened docs
+    // (simplify_elements, :219) carry dotted keys like
+    // `resourceTitleObject.default`, which bare col() would misparse as
+    // struct access. Backtick-quote every by-name reference.
+    def qcol(name: String): Column = col("`" + name + "`")
+
     // 1. admission: hard drops + check_blacklist_whitelist (:503, :610)
-    val t = col(cfg.typeCol)
+    val t = qcol(cfg.typeCol)
     val notDropped =
       if (cfg.dropTypes.nonEmpty) !t.isInCollection(cfg.dropTypes) else lit(true)
     val admitted =
@@ -873,7 +885,7 @@ object NormOps {
     // 2. hasWorkflowState (:519): present-but-falsy → "missing"
     val s2 = cfg.workflowStateCol.fold(s1) { c =>
       s1.withColumn("workflow_state",
-        when(col(c).isNull || col(c) === "", lit("missing")).otherwise(col(c)))
+        when(qcol(c).isNull || qcol(c) === "", lit("missing")).otherwise(qcol(c)))
     }
 
     // 3. update_locations (:298) — runs early like the reference
@@ -886,7 +898,7 @@ object NormOps {
         "loc" -> ct.locCol, "attrs" -> ct.attrsCol, "type_raw" -> cfg.typeCol)
         .filter { case (fixed, src) => fixed != src }
       val adapted = aliases.foldLeft(s3) { case (d, (fixed, src)) =>
-        d.withColumn(fixed, col(src))
+        d.withColumn(fixed, qcol(src))
       }
       val resolved = contentTypeRules(
         adapted, ct.rules, ct.fallback, ct.attrMapping, Nil, Nil)
@@ -909,12 +921,12 @@ object NormOps {
       m.foldLeft(df) { case (d, (c, vals)) =>
         d.schema(c).dataType match {
           case ArrayType(_, _) =>
-            d.withColumn(c, filter(col(c), x =>
+            d.withColumn(c, filter(qcol(c), x =>
               if (white) x.isInCollection(vals) else !x.isInCollection(vals)))
           case dt =>
-            if (white) d.withColumn(c, when(col(c).isInCollection(vals), col(c)))
+            if (white) d.withColumn(c, when(qcol(c).isInCollection(vals), qcol(c)))
             else d.withColumn(c,
-              when(col(c).isInCollection(vals), lit(null).cast(dt)).otherwise(col(c)))
+              when(qcol(c).isInCollection(vals), lit(null).cast(dt)).otherwise(qcol(c)))
         }
       }
     val s6 = valueMaps(valueMaps(s4, cfg.blackMap, white = false), cfg.whiteMap, white = true)
@@ -926,10 +938,10 @@ object NormOps {
         f.dataType match {
           case StringType =>
             d.withColumn(f.name,
-              when(col(f.name) === "", lit(null).cast(StringType)).otherwise(col(f.name)))
+              when(qcol(f.name) === "", lit(null).cast(StringType)).otherwise(qcol(f.name)))
           case at: ArrayType =>
             d.withColumn(f.name,
-              when(size(col(f.name)) === 0, lit(null).cast(at)).otherwise(col(f.name)))
+              when(size(qcol(f.name)) === 0, lit(null).cast(at)).otherwise(qcol(f.name)))
           case _ => d
         }
       }
@@ -958,9 +970,9 @@ object NormOps {
         present.foldLeft(df) { (d, c) =>
           d.schema(c).dataType match {
             case StringType =>
-              d.withColumn(c, coalesce(try_element_at(m, col(c)), col(c)))
+              d.withColumn(c, coalesce(try_element_at(m, qcol(c)), qcol(c)))
             case ArrayType(StringType, _) =>
-              d.withColumn(c, transform(col(c), x => coalesce(try_element_at(m, x), x)))
+              d.withColumn(c, transform(qcol(c), x => coalesce(try_element_at(m, x), x)))
             case _ => d
           }
         }
@@ -981,26 +993,34 @@ object NormOps {
       }
     }
 
-    // 9. apply_norm_prop (:76): fan out, source key removed
+    // 9. apply_norm_prop (:76): fan out, source key removed. The reference
+    // walks doc.keys() — a normProp source absent from the doc is a no-op,
+    // so site configs may list renames for optional fields.
     val s9 = cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
-      val fanned = targets.foldLeft(d)((dd, tgt) =>
-        if (tgt == src) dd else dd.withColumn(tgt, col(src)))
-      if (targets.contains(src)) fanned else fanned.drop(src)
+      if (!d.columns.contains(src)) d
+      else {
+        val fanned = targets.foldLeft(d)((dd, tgt) =>
+          if (tgt == src) dd else dd.withColumn(tgt, qcol(src)))
+        if (targets.contains(src)) fanned else fanned.drop(src)
+      }
     }
 
-    // 10. apply_norm_missing (:90): constants and `field:` refs fill NULLs
+    // 10. apply_norm_missing (:90): constants and `field:` refs fill NULLs;
+    // a `field:` ref to a missing column fills NULL (doc.get, :96)
     val s10 = cfg.normMissing.foldLeft(s9) { case (d, (c, v)) =>
       val fill: Column =
-        if (v.startsWith("field:")) col(v.stripPrefix("field:").trim)
-        else lit(v)
-      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), fill))
+        if (v.startsWith("field:")) {
+          val src = v.stripPrefix("field:").trim
+          if (d.columns.contains(src)) qcol(src) else lit(null).cast(StringType)
+        } else lit(v)
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(qcol(c), fill))
       else d.withColumn(c, fill)
     }
 
     // 11. remove_duplicates (:105): first-occurrence list dedup
     val s11 = s10.schema.fields.foldLeft(s10) { (d, f) =>
       f.dataType match {
-        case ArrayType(_, _) => d.withColumn(f.name, array_distinct(col(f.name)))
+        case ArrayType(_, _) => d.withColumn(f.name, array_distinct(qcol(f.name)))
         case _ => d
       }
     }
@@ -1008,7 +1028,7 @@ object NormOps {
     // 12. strip_fields (:146): trim every string
     val s12 = s11.schema.fields.foldLeft(s11) { (d, f) =>
       f.dataType match {
-        case StringType => d.withColumn(f.name, trim(col(f.name)))
+        case StringType => d.withColumn(f.name, trim(qcol(f.name)))
         case _ => d
       }
     }

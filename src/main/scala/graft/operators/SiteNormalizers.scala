@@ -1,0 +1,520 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+/** Per-site normalizer portfolio — the reference's `normalizers/sites/site_X.py`
+  * wrappers around `common_normalizer`, re-expressed as composed column
+  * pipelines over `NormOps.commonNormalizer`. Each site normalizer is
+  * pre-projection → commonNormalizer(NormConfig) → post-projection: every
+  * step is a per-row codegen'd expression, so the whole pipeline stays
+  * zero-shuffle at any corpus size (the site config never touches data
+  * layout — it only widens/narrows the projection).
+  *
+  * Ported sites (reference file:line):
+  *  - climate     — sites/site_climate.py:25-227 (`normalize_climate`) with
+  *    the admission whitelist from the crawler's `config_climate` variable
+  *  - wise_marine — sites/site_wise_marine.py:80-155 (`normalize_marine`)
+  *    with `config_wise_marine`'s location_rules / whitelist
+  *  - sdi_fise    — sites/site_sdi_fise.py:177-298 (`pre_normalize_sdi`) +
+  *    :352-504 (`normalize_sdi`) with the `sdi_normalizers` variable's
+  *    normProp/normObj maps
+  *
+  * Vocabulary fields: the reference's raw docs carry Plone "vocabulary"
+  * values — lists of `{title: ..., token: ...}` dicts — and every site
+  * wrapper flattens them with a `simplify_list`/`vocab_to_list` helper.
+  * Here a vocabulary is an `array<struct>` column and the helper is a
+  * `transform(..getField)` projection. Python's duck typing (a field that
+  * is *sometimes* a bare string) has no DataFrame equivalent — callers pick
+  * the typed variant that matches their schema, mirroring how the reference
+  * branches on `isinstance`.
+  */
+object SiteNormalizers {
+  import NormOps.{NormConfig, JoinTextConfig}
+
+  /** `simplify_list`/`vocab_to_list` (site_climate.py:16, site_sdi_fise.py:68,
+    * site_wise_marine.py:20): list of vocab structs → list of one field.
+    * NULL list → NULL (remove_empty/normMissing treat it like Python's []).
+    */
+  def vocabList(c: Column, field: String = "title"): Column =
+    transform(c, x => x.getField(field))
+
+  /** `vocab_to_term` (site_climate.py:20): single vocab struct → its field. */
+  def vocabTerm(c: Column, field: String = "title"): Column = c.getField(field)
+
+  private def yesNo(c: Column): Column = when(c, "Yes").otherwise("No")
+  private def trueFalse(c: Column): Column =
+    when(c, "true").otherwise("false")
+
+  // ========================================================== site: climate
+
+  /** Admission whitelist for the climate site — the crawler's
+    * `config_climate.normalize.whitelist` (variables.json); blacklist is [].
+    */
+  val climateWhitelist: Seq[String] = Seq(
+    "eea.climateadapt.publicationreport", "eea.climateadapt.aceproject",
+    "File", "News Item", "collective.cover.content", "Folder",
+    "eea.climateadapt.informationportal", "eea.climateadapt.guidancedocument",
+    "eea.climateadapt.casestudy", "eea.climateadapt.organisation",
+    "eea.climateadapt.mapgraphdataset", "eea.climateadapt.tool",
+    "eea.climateadapt.indicator", "eea.climateadapt.adaptationoption",
+    "Document", "Event", "Page", "eea.climateadapt.video",
+    "eea.climateadapt.c3sindicator", "mission_story", "mission_tool",
+    "mission_funding_cca")
+
+  /** `is_portal_type_in_search` (site_climate.py:237-255). */
+  val climateSearchPortalTypes: Seq[String] = Seq(
+    "eea.climateadapt.aceproject", "eea.climateadapt.adaptationoption",
+    "eea.climateadapt.casestudy", "eea.climateadapt.guidancedocument",
+    "eea.climateadapt.indicator", "eea.climateadapt.informationportal",
+    "eea.climateadapt.organisation", "eea.climateadapt.publicationreport",
+    "eea.climateadapt.tool", "eea.climateadapt.video",
+    "eea.climateadapt.mapgraphdataset", "eea.climateadapt.researchproject",
+    "eea.climateadapt.c3sindicator")
+
+  /** `normalize_climate` (site_climate.py:25-227) end-to-end. Expected input
+    * columns (synthesized from the raw Plone doc like the wrapper's
+    * `doc["raw_value"]` reads; absent optional vocab columns may simply be
+    * omitted from the projections by the caller):
+    * id (@id), type_raw (@type), review_state, include_in_observatory,
+    * include_in_mission (bool), publication_date, uid, created,
+    * cca_published, keywords array<string>, sectors / climate_impacts /
+    * elements / origin_website / country / climate_threats / key_system /
+    * contributor_list / ipcc_category / governance_level array<struct<title>>,
+    * health_impacts / key_type_measures array<struct<token,title>>,
+    * funding_programme struct<title>, geographic
+    * struct<countries:array, transnational_region:array, ...>, plus the
+    * commonNormalizer text fields (text, title, summary).
+    *
+    * Step order follows the wrapper: mission-path flag (:82) → admission
+    * (:85) → themes override (:95) → common_normalizer (:96) → issued
+    * fallback (:102) → cca_* vocab fan-out (:110-145) → funding programme
+    * (:147) → geographic sub-lists (:154) → cluster/search flags (:171-177)
+    * → mission-funding block (:180-211) → preview image (:214) →
+    * readingTime (:222) → second norm_obj (:224, inside commonNormalizer)
+    * → add_counts (:226).
+    */
+  def normalizeClimate(docs: DataFrame,
+      whitelist: Seq[String] = climateWhitelist): DataFrame = {
+    // :82 — any '/mission/' path is included in the mission regardless of flag
+    val pre = docs
+      .withColumn("include_in_mission",
+        col("include_in_mission") || col("id").contains("/mission/"))
+      .withColumn("themes", array(lit("climate-change-adaptation"))) // :95
+      // common_normalizer's @type → content-type resolution target
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      // the shared default_normalizers slice this site exercises
+      normObj = Map("News Item" -> "News", "Document" -> "Webpage",
+        "Page" -> "Webpage", "Folder" -> "Webpage", "File" -> "File"),
+      normObjCols = Some(Seq("object_provides_scalar")),
+      normMissing = Seq("language" -> "en",
+        "creator" -> "European Environment Agency (EEA)",
+        "creation_date" -> "field:created"),
+      descriptionCol = Some("description")))
+
+    val isFunding = col("type_raw") === "mission_funding_cca" // :180
+    val out = common
+      // :102 — issued ?? cca_published ?? publication_date
+      .withColumn("issued",
+        coalesce(col("issued"), col("cca_published"), col("publication_date")))
+      .withColumn("cca_uid", col("uid"))
+      .withColumn("cca_keywords", col("keywords"))
+      .withColumn("cca_adaptation_sectors", vocabList(col("sectors")))
+      .withColumn("cca_climate_impacts", vocabList(col("climate_impacts")))
+      .withColumn("cca_adaptation_elements", vocabList(col("elements")))
+      .withColumn("cca_health_impacts", vocabList(col("health_impacts"), "token"))
+      .withColumn("cca_key_type_measure", vocabList(col("key_type_measures"), "token"))
+      .withColumn("cca_origin_websites", vocabList(col("origin_website")))
+      .withColumn("climate_threats", vocabList(col("climate_threats")))
+      .withColumn("key_system", vocabList(col("key_system")))
+      // :139-144 — spatial: scalar→list, leading 'Other' dropped, country titles appended
+      .withColumn("spatial", {
+        val base = when(try_element_at(col("spatial"), lit(1)) === "Other",
+          array().cast("array<string>")).otherwise(col("spatial"))
+        concat(coalesce(base, array().cast("array<string>")),
+          coalesce(vocabList(col("country")), array().cast("array<string>")))
+      })
+      // :147-150 — struct vocab (string variant is a caller-side projection)
+      .withColumn("cca_funding_programme", vocabTerm(col("funding_programme")))
+      // :154-170 — geographic sub-lists
+      .withColumn("cca_geographic_countries", col("geographic.countries"))
+      .withColumn("cca_geographic_transnational_region",
+        col("geographic.transnational_region"))
+      .withColumn("cluster_name", lit("cca")) // :171
+      .withColumn("cca_include_in_search",
+        trueFalse(col("type_raw").isInCollection(climateSearchPortalTypes)))
+      .withColumn("cca_include_in_search_observatory",
+        trueFalse(col("include_in_observatory")))
+      .withColumn("cca_include_in_mission", trueFalse(col("include_in_mission")))
+      // :180-211 — mission-funding block (only for mission_funding_cca)
+      .withColumn("cca_is_eu_funded",
+        when(isFunding, yesNo(coalesce(col("is_eu_funded"), lit(false)))))
+      .withColumn("cca_is_blended",
+        when(isFunding, yesNo(coalesce(col("is_blended"), lit(false)))))
+      .withColumn("cca_funding_rate", when(isFunding, col("funding_rate")))
+      // :214 — preview_image.scales.preview.download
+      .withColumn("cca_preview_image",
+        col("preview_image.scales.preview.download"))
+      .withColumn("cca_updated_params", lit(1))
+    // :226 — add_counts runs LAST in the wrapper, over the cca fan-out too
+    NormOps.addCounts(out,
+      listCols = Seq("cca_keywords", "cca_adaptation_sectors", "spatial"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // ====================================================== site: wise_marine
+
+  /** `config_wise_marine.normalize` (variables.json): admission whitelist
+    * and the path→content-type location rules the wrapper re-resolves
+    * Webpage/Country-fact-sheet docs through (site_wise_marine.py:107-120).
+    * Rule list order matters — the reference's find_ct_by_rules is
+    * last-match-wins and these overlap (the state-of-europe-seas glob vs the
+    * dashboards below it).
+    */
+  val wiseMarineWhitelist: Seq[String] =
+    Seq("Document", "Page", "File", "country_factsheet")
+
+  /** The `default_normalizers.normObj` slice reachable on this site's
+    * portal types (variables.json): the Plone content types the whitelist
+    * admits plus the measure/indicator types the wrapper's SPM and
+    * Indicator branches key on ("measure"/"spmeasure" → "Shipping and
+    * Ports Measure", "indicator"/"ims_indicator" → "Indicator").
+    */
+  val wiseMarineNormObj: Map[String, String] = Map(
+    "Document" -> "Webpage", "Page" -> "Webpage", "File" -> "File",
+    "country_factsheet" -> "Country fact sheet", "Data" -> "Data set",
+    "measure" -> "Shipping and Ports Measure",
+    "spmeasure" -> "Shipping and Ports Measure",
+    "indicator" -> "Indicator", "ims_indicator" -> "Indicator")
+
+  val wiseMarineLocationRules: Seq[(String, Seq[String])] = Seq(
+    "/marine/policy-and-reporting/*" -> Seq("Webpage"),
+    "/marine/state-of-europe-seas/" -> Seq("Topic page"),
+    "/marine/state-of-europe-seas/*" -> Seq("Topic page"),
+    "/marine/state-of-europe-seas/marine-sectors-catalogue-of-measures" -> Seq("Dashboard"),
+    "/marine/data-maps-and-tools/map-viewers-visualization-tools/dashboards-on-marine-features-under-other-policies/*" -> Seq("Dashboard"),
+    "/marine/data-maps-and-tools/msfd-reporting-information-products/ges-assessment-dashboards/*" -> Seq("Dashboard"),
+    "/marine/data-maps-and-tools/msfd-reporting-information-products/ges-assessment-dashboards/country-thematic-dashboards/" -> Seq("Country fact sheet", "Dashboard"),
+    "/marine/data-maps-and-tools/map-viewers-visualization-tools/european-reference-maps" -> Seq("Map (interactive)"),
+    "/marine/countries-and-regional-seas/country-profiles/*" -> Seq("Country fact sheet", "Dashboard"))
+
+  /** The Shipping-and-Ports-Measure extra-field fan-out list
+    * (site_wise_marine.py:29-76, `wm_spm_extra_fields`). Only the fields
+    * present on the input schema fan out — the reference's `doc.get`
+    * returns None for the rest, which is exactly a missing column here.
+    */
+  val wmSpmExtraFields: Seq[String] = Seq(
+    "title", "sector", "code", "use", "origin", "nature", "status",
+    "impacts", "impacts_further_details", "water_body_cat", "spatial_scope",
+    "country_coverage", "measure_purpose", "measure_type", "measure_location",
+    "measure_response", "measure_additional_info", "pressure_type",
+    "pressure_name", "ranking", "season", "approaching_areas",
+    "areas_to_be_avoided", "descriptors", "ecological_impacts",
+    "future_scenarios", "effect_on_hydromorphology", "ktms_it_links_to",
+    "links_to_existing_policies", "msfd_spatial_scope",
+    "mspd_implementation_status", "nature_of_physical_modification", "source",
+    "authority", "general_view", "ports", "future_expectations",
+    "safety_manner", "objective", "categories", "precautionary_areas",
+    "priority_areas", "relevant_targets",
+    "relevant_features_from_msfd_annex_iii", "region", "shipping_tackled",
+    "traffic_separation_scheme", "type_of_pressure")
+
+  /** `normalize_marine` (site_wise_marine.py:80-155) end-to-end. Expected
+    * input columns: id (@id URL), type_raw (@type), review_state, title,
+    * spatial array<string>, issued, object type source for objectProvides
+    * (the commonNormalizer normObj map drives @type → content type),
+    * legislative_reference / dpsir_type array<struct<title>>, theme
+    * array<string>, text/summary for fulltext, plus any of
+    * `wmSpmExtraFields` the corpus carries.
+    *
+    * Steps: admission (:87) → country_factsheet spatial=title (:96) →
+    * themes (:99) → common_normalizer (:101) → location-rule re-resolution
+    * for Webpage/Country-fact-sheet (:107-120) → Data-set/Webpage pruning
+    * (:121) → Shipping-and-Ports block (:126-132) → legislative_reference /
+    * wm_theme / wm_dpsir_type (:134-141) → Indicator description override
+    * (:143-146) → cluster_name (:151) → readingTime (:152, in common) →
+    * add_counts (:154).
+    */
+  def normalizeWiseMarine(docs: DataFrame,
+      whitelist: Seq[String] = wiseMarineWhitelist,
+      locationRules: Seq[(String, Seq[String])] = wiseMarineLocationRules,
+      normObj: Map[String, String] = wiseMarineNormObj): DataFrame = {
+    val pre = docs
+      // :96 — a country factsheet's spatial is its own title
+      .withColumn("spatial",
+        when(col("type_raw") === "country_factsheet", array(col("title")))
+          .otherwise(col("spatial")))
+      .withColumn("themes", array(lit("water"), lit("coast_sea"))) // :99
+      // common_normalizer's @type → content-type resolution target
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = normObj,
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+
+    // :107-120 — Webpage / Country fact sheet re-resolve by URL path rules.
+    // parse_url(.., 'PATH') is the wrapper's urlparse(id).path.
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*")) docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    val resolved = coalesce(byRules, array(lit("Webpage"))) // location_rules_fallback
+    val reResolved = when(
+      col("object_provides_scalar").isInCollection(Seq("Webpage", "Country fact sheet")),
+      resolved).otherwise(array(col("object_provides_scalar")))
+    // :121-125 — a lone "Data set" collapses to Webpage; otherwise Webpage is pruned
+    val dataSetFixed = when(array_contains(reResolved, "Data set"),
+      when(size(reResolved) === 1, array(lit("Webpage")))
+        .otherwise(array_remove(reResolved, "Webpage")))
+      .otherwise(reResolved)
+
+    // :126 — reads the materialized object_provides (the scalar source
+    // column is dropped right above)
+    val isSpm = array_contains(col("object_provides"), "Shipping and Ports Measure")
+    val withTypes = common
+      .withColumn("object_provides", dataSetFixed)
+      .drop("object_provides_scalar")
+      .withColumn("exclude_from_globalsearch",
+        when(isSpm, array(lit("True")))) // :127
+      .withColumn("issued", // :128 — SPM backfill for published docs
+        when(isSpm && col("issued").isNull && col("workflow_state") === "published",
+          lit("2023-09-04T07:17:00")).otherwise(col("issued")))
+
+    // :130-132 — wm_spm_* fan-out for the fields present on this corpus
+    val has = docs.columns.toSet
+    val fanned = wmSpmExtraFields.filter(has).foldLeft(withTypes) { (d, f) =>
+      d.withColumn(s"wm_spm_$f", when(isSpm, col(f)))
+    }
+
+    val isIndicator = array_contains(col("object_provides"), "Indicator") // :143
+    val out = fanned
+      .withColumn("legislative_reference", vocabList(col("legislative_reference"))) // :134
+      .withColumn("wm_theme", col("theme")) // :137
+      .withColumn("wm_dpsir_type", vocabList(col("dpsir_type"))) // :140
+      .withColumn("description", // :144 — Indicator description is the title
+        when(isIndicator, col("title")).otherwise(col("description")))
+      .withColumn("dpsir", when(isIndicator, vocabList(col("dpsir_type")))) // :145
+      .withColumn("cluster_name", lit("wise-marine")) // :151
+    NormOps.addCounts(out, // :154
+      listCols = Seq("object_provides", "wm_dpsir_type"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // ========================================================= site: sdi_fise
+
+  /** `lang_names` / `country_names` (site_sdi_fise.py:354-372). */
+  val sdiLangNames: Map[String, String] = Map(
+    "ita" -> "Italian", "eng" -> "English", "ger" -> "German",
+    "deu" -> "German", "spa" -> "Spanish", "por" -> "Portuguese",
+    "unknown" -> "Unknown")
+  val sdiCountryNames: Map[String, String] = Map(
+    "ita" -> "Italy", "eng" -> "Pan European (EEA)", "ger" -> "Switzerland",
+    "deu" -> "Switzerland", "spa" -> "Spain", "por" -> "Portugal",
+    "unknown" -> "Unknown")
+
+  /** The maintenance-frequency key→label map (site_sdi_fise.py:409-448's
+    * elif chain, first entry wins; unknown keys pass through).
+    */
+  val sdiUpdateFrequency: Map[String, String] = Map(
+    "asNeeded" -> "As needed", "unknown" -> "Unknown",
+    "continual" -> "Continual", "notPlanned" -> "Not planned",
+    "irregular" -> "Irregular", "annually" -> "Annually",
+    "userDefined" -> "User defined", "quarterly" -> "Quarterly",
+    "weekly" -> "Weekly", "biannually" -> "Biannually",
+    "monthly" -> "Monthly", "continuous" -> "Continual", "daily" -> "Daily")
+
+  /** `OBSOLETE_KEYS` (site_sdi_fise.py:301). */
+  val sdiObsoleteKeys: Seq[String] = Seq("obsolete", "superseded")
+
+  /** `get_years_from_ranges` (site_sdi_fise.py:125-141): temporal-extent
+    * ranges → sorted distinct years, missing ends defaulting to 2010 /
+    * `currentYear` (the reference uses datetime.now(); a pinned parameter
+    * keeps the pipeline deterministic and cluster-reproducible).
+    */
+  def yearsFromRanges(ranges: Column, currentYear: Int): Column = {
+    val perRange = transform(ranges, r => {
+      val yFrom = coalesce(
+        substring(r.getField("start").getField("date"), 1, 4).cast("int"), lit(2010))
+      val yTo = coalesce(
+        substring(r.getField("end").getField("date"), 1, 4).cast("int"), lit(currentYear))
+      sequence(yFrom, yTo)
+    })
+    array_sort(array_distinct(flatten(perRange)))
+  }
+
+  /** `get_merged_ranges` (site_sdi_fise.py:85-122): the distinct years,
+    * merged back into inclusive [start, end] runs. A year starts a run when
+    * year−1 is absent and ends one when year+1 is absent — zipping the two
+    * boundary lists reproduces the reference's linear scan. `has_from`/
+    * `has_to` (an open-ended reference range) null out the first start /
+    * last end like the reference's `del` statements.
+    */
+  def mergedRanges(ranges: Column, currentYear: Int): Column = {
+    val years = yearsFromRanges(ranges, currentYear)
+    val starts = filter(years, y => !array_contains(years, y - 1))
+    val ends = filter(years, y => !array_contains(years, y + 1))
+    val hasFrom = !exists(ranges, r => r.getField("start").getField("date").isNull)
+    val hasTo = !exists(ranges, r => r.getField("end").getField("date").isNull)
+    val zipped = arrays_zip(starts.as("start"), ends.as("end"))
+    transform(zipped, (r, i) => struct(
+      when(i =!= 0 || hasFrom, r.getField("start")).as("start"),
+      when(i =!= size(zipped) - 1 || hasTo, r.getField("end")).as("end")))
+  }
+
+  /** `pre_normalize_sdi` (site_sdi_fise.py:177-298): the SDI-elastic →
+    * normalized-doc field mapping that runs BEFORE common_normalizer.
+    * Expects the flattened (dotted-key) SDI record schema — the reference
+    * calls simplify_elements first; `NormOps.flattenStructs` is the graft
+    * twin when the input is still nested. `obligations` is the
+    * full_config.obligations rod-link → label map (:272).
+    */
+  def preNormalizeSdi(docs: DataFrame, obligations: Map[String, String],
+      currentYear: Int): DataFrame = {
+    val c = (n: String) => col("`" + n + "`")
+    // :249-252 — OrgForResource falls back to OrgForResourceObject defaults
+    val withOrg =
+      if (docs.columns.contains("OrgForResource")) docs
+      else if (docs.columns.contains("OrgForResourceObject"))
+        docs.withColumn("OrgForResource", vocabList(col("OrgForResourceObject"), "default"))
+      else docs
+    withOrg
+      .withColumn("site_id", lit("sdi")) // :178
+      .withColumn("type_raw", lit("Data set")) // :180 — @type
+      .withColumn("about", col("metadataIdentifier")) // :181
+      // :193 — the reference pins isPublishedToAll = "true" (its own TODO);
+      // sdi_normalizers then renames it to hasWorkflowState and normObj
+      // maps "true" → "published"
+      .withColumn("isPublishedToAll", lit("true"))
+      .withColumn("review_state", lit("published")) // :193-196 (forced true)
+      .withColumn("issued", // :205-212 — fallback chain to creation/create date
+        coalesce(col("issued"),
+          try_element_at(col("publicationDateForResource"), lit(1)),
+          try_element_at(col("creationDateForResource"), lit(1)),
+          col("createDate")))
+      .withColumn("overview.url", vocabList(col("overview"), "url")) // :221
+      .withColumn("sdi_rod", vocabList(c("th_rod-eionet-europa-eu"), "default")) // :224
+      .withColumn("sdi_topics", { // :227-241 — two literal renames on eea-topics
+        val topics = vocabList(c("th_eea-topics"), "default")
+        transform(topics, t =>
+          when(t === "Climate mitigation", "climate")
+            .when(t === "Climate adaptation", "climate-change-adaptation")
+            .otherwise(t))
+      })
+      .withColumn("sdi_gemet", // :242 — gemet tree leaf, Title Case
+        transform(c("th_gemet_tree.default"), v =>
+          initcap(try_element_at(split(v, "\\^"), lit(-1)))))
+      .withColumn("sdi_spatialRepresentationType", // :245
+        vocabList(col("cl_spatialRepresentationType"), "default"))
+      .withColumn("sdi_spatial", vocabList(col("th_regions"), "default")) // :252
+      .withColumn("time_coverage", // :255
+        yearsFromRanges(col("resourceTemporalExtentDetails"), currentYear))
+      .withColumn("merged_time_coverage_range", // :258
+        mergedRanges(col("resourceTemporalExtentDetails"), currentYear))
+      .withColumn("dataset_formats", // :267 — flatten children's format lists
+        flatten(transform(col("children"), d => d.getField("format"))))
+      .withColumn("instrument", { // :272-281 — rod links → obligation labels
+        val rodLinks = vocabList(c("th_rod-eionet-europa-eu"), "link")
+        array_distinct(transform(rodLinks, l =>
+          element_at(typedLit(obligations), l)))
+      })
+      .withColumn("prod_id", // :284-293 — DAT-prefixed resource codes
+        filter(vocabList(col("resourceIdentifier"), "code"),
+          v => v.startsWith("DAT")))
+      .withColumn("title", c("resourceTitleObject.default")) // :295
+  }
+
+  /** `normalize_sdi` (site_sdi_fise.py:352-504): pre-normalize →
+    * common_normalizer with the `sdi_normalizers` variable's maps → the
+    * FISE-specific post fan-out. `archivedExpires` pins the reference's
+    * `date.today() - 2 days` obsolete stamp (:326-335) for determinism.
+    */
+  def normalizeSdiFise(docs: DataFrame, obligations: Map[String, String],
+      currentYear: Int, archivedExpires: String): DataFrame = {
+    val pre = preNormalizeSdi(docs, obligations, currentYear)
+
+    // the sdi_normalizers variable: normObj + normProp (variables.json),
+    // in the reference dict's insertion order (renames are order-sensitive).
+    // "true" → "published" exists to map the pinned isPublishedToAll value
+    // after its rename to hasWorkflowState.
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      normObj = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo", "true" -> "published"),
+      normProp = Seq(
+        "type_raw" -> Seq("object_provides"),
+        "OrgForResource" -> Seq("organisation"),
+        "about" -> Seq("id", "about"),
+        "isPublishedToAll" -> Seq("hasWorkflowState"),
+        "mainLanguage" -> Seq("language"),
+        "resourceAbstractObject.default" -> Seq("description"),
+        "resourceTitleObject.default" -> Seq("title", "label"),
+        "sdi_gemet" -> Seq("gemet"),
+        "sdi_rod" -> Seq("rod"),
+        "sdi_spatial" -> Seq("spatial", "places"),
+        "sdi_spatialRepresentationType" -> Seq("spatialRepresentationType"),
+        "sdi_topics" -> Seq("topic"))))
+
+    val freq = try_element_at(col("cl_maintenanceAndUpdateFrequency"), lit(1)).getField("key")
+    val isObsolete = exists(col("cl_status"), // :304-323
+      s => s.getField("key").isInCollection(sdiObsoleteKeys))
+    val out = common
+      .withColumn("cluster_name", lit("fise_sdi")) // :377
+      .withColumn("publicationYear", // :381-403 — int fallback chain, 2500 default
+        coalesce(col("publicationYearForResource").cast("int"),
+          col("creationYearForResource").cast("int"),
+          try_element_at(col("revisionYearForResource"), lit(-1)).cast("int"),
+          lit(2500)))
+      .withColumn("update_frequency_value", // :409-448 — key → label, else raw key
+        coalesce(try_element_at(typedLit(sdiUpdateFrequency), trim(freq)),
+          freq, lit("Unknown")))
+      .withColumn("organisation_name", // :452-457 — first contact
+        try_element_at(col("contact"), lit(1))
+          .getField("organisationObject").getField("default"))
+      .withColumn("organisation_email",
+        try_element_at(col("contact"), lit(1)).getField("email"))
+      // :459-467 — mainLanguage was renamed to `language` by normProp;
+      // country reads the scalar code BEFORE language overwrites it in place
+      .withColumn("country",
+        array(coalesce(try_element_at(typedLit(sdiCountryNames), col("language")), lit("Unknown"))))
+      .withColumn("language",
+        array(coalesce(try_element_at(typedLit(sdiLangNames), col("language")), lit("Unknown"))))
+      .withColumn("about", // :468 — catalogue record URL
+        concat(lit("https://sdi.eea.europa.eu/catalogue/fise/api/records/"), col("id")))
+      .withColumn("object_provides", // :473-480 — resourceType → SDI type
+        when(array_contains(col("resourceType"), "dataset"), array(lit("Spatial dataset")))
+          .when(array_contains(col("resourceType"), "service"), array(lit("Data services")))
+          .when(array_contains(col("resourceType"), "nonGeographicDataset"),
+            array(lit("Tabular dataset")))
+          .otherwise(array(lit("SDI"))))
+      .withColumn("time_coverage", // :482 — years as strings
+        transform(col("time_coverage"), y => y.cast("string")))
+      .withColumn("expires", when(isObsolete, lit(archivedExpires))) // :326-335
+      .withColumn("last_modified", // :486-489
+        coalesce(col("changeDate"), col("dateStamp")))
+      .withColumn("created", // :490
+        try_element_at(col("creationDateForResource"), lit(1)))
+      .withColumn("date_publication", // :492
+        try_element_at(col("publicationDateForResource"), lit(1)))
+      .withColumn("publication_year", col("creationYearForResource")) // :495
+      .withColumn("topic", vocabList(col("cl_topic"), "default")) // :497-500
+    NormOps.addCounts(out, // :483
+      listCols = Seq("spatial", "topic", "time_coverage"),
+      scalarCols = Seq("cluster_name"))
+  }
+}

@@ -1,0 +1,407 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** End-to-end specs for the per-site normalizer portfolio — each test drives
+  * a full site config through `NormOps.commonNormalizer` plus the site's
+  * pre/post projections, pinning the reference wrappers' observable
+  * behavior (site_climate.py / site_wise_marine.py / site_sdi_fise.py).
+  */
+class SiteNormalizersSpec extends SparkSpec {
+  import SiteNormalizers._
+
+  private def byRn(df: org.apache.spark.sql.DataFrame): Map[Int, Row] =
+    df.collect().map(r => r.getAs[Int]("rn") -> r).toMap
+
+  // ------------------------------------------------------------ helpers
+
+  test("yearsFromRanges defaults missing ends to 2010/currentYear and dedups") {
+    val df = spark.range(1).selectExpr(
+      """array(
+           named_struct('start', named_struct('date', '2011-02-01'),
+                        'end',   named_struct('date', '2013-06-01')),
+           named_struct('start', named_struct('date', '2012-01-01'),
+                        'end',   named_struct('date', cast(null as string)))
+         ) as ranges""")
+    val years = df.select(yearsFromRanges(col("ranges"), 2016).as("y"))
+      .head.getSeq[Int](0)
+    assert(years == Seq(2011, 2012, 2013, 2014, 2015, 2016))
+  }
+
+  test("mergedRanges merges gapped year runs and nulls open boundaries") {
+    def merged(rangesExpr: String): String =
+      spark.range(1).selectExpr(s"$rangesExpr as ranges")
+        .select(to_json(mergedRanges(col("ranges"), 2016)).as("j"))
+        .head.getString(0)
+
+    // two disjoint runs → two closed ranges (get_merged_ranges, :85-122)
+    assert(merged(
+      """array(
+           named_struct('start', named_struct('date','2011-01-01'),
+                        'end',   named_struct('date','2012-01-01')),
+           named_struct('start', named_struct('date','2014-01-01'),
+                        'end',   named_struct('date','2015-01-01')))""") ==
+      """[{"start":2011,"end":2012},{"start":2014,"end":2015}]""")
+
+    // missing start → 2010 default AND first range start deleted (has_from)
+    assert(merged(
+      """array(
+           named_struct('start', named_struct('date', cast(null as string)),
+                        'end',   named_struct('date','2012-03-01')))""") ==
+      """[{"end":2012}]""")
+
+    // missing end → currentYear default AND last range end deleted (has_to)
+    assert(merged(
+      """array(
+           named_struct('start', named_struct('date','2015-01-01'),
+                        'end',   named_struct('date', cast(null as string))))""") ==
+      """[{"start":2015}]""")
+  }
+
+  // ------------------------------------------------------------ climate
+
+  private lazy val climateDocs = spark.range(5).selectExpr(
+    "cast(id as int) as rn",
+    """CASE id
+         WHEN 0 THEN 'https://climate-adapt.eea.europa.eu/en/knowledge/page0'
+         WHEN 1 THEN 'https://climate-adapt.eea.europa.eu/en/mission/stories/1'
+         WHEN 2 THEN 'https://climate-adapt.eea.europa.eu/en/funding/2'
+         WHEN 3 THEN 'https://climate-adapt.eea.europa.eu/en/news/3'
+         ELSE 'https://climate-adapt.eea.europa.eu/en/other/4' END as id""",
+    """CASE id WHEN 0 THEN 'Document' WHEN 1 THEN 'eea.climateadapt.casestudy'
+         WHEN 2 THEN 'mission_funding_cca' WHEN 3 THEN 'Event'
+         ELSE 'Collection' END as type_raw""",
+    "'published' as review_state",
+    "id = 1 as include_in_observatory",
+    "false as include_in_mission",
+    "'2019-05-01' as publication_date",
+    "concat('uid-', id) as uid",
+    "'2018-01-01T00:00:00' as created",
+    "CASE WHEN id = 0 THEN '2020-02-02' END as cca_published",
+    "CASE WHEN id = 3 THEN '2017-03-03' END as issued",
+    "array('k1','k2','k1') as keywords",
+    "array(named_struct('title','Agriculture'), named_struct('title','Energy')) as sectors",
+    "array(named_struct('title','Flooding')) as climate_impacts",
+    "array(named_struct('title','Observations')) as elements",
+    "array(named_struct('title','climate-adapt')) as origin_website",
+    "CASE WHEN id = 0 THEN array(named_struct('title','Italy')) END as country",
+    "array(named_struct('title','Drought')) as climate_threats",
+    "array(named_struct('title','Coastal')) as key_system",
+    "array(named_struct('token','heat-stress','title','Heat stress')) as health_impacts",
+    "array(named_struct('token','ktm1','title','KTM One')) as key_type_measures",
+    "named_struct('title','LIFE') as funding_programme",
+    "named_struct('countries', array('IT','FR'), 'transnational_region', array('Alpine')) as geographic",
+    "named_struct('scales', named_struct('preview', named_struct('download', concat('http://img/', id, '.png')))) as preview_image",
+    "CASE WHEN id = 2 THEN true END as is_eu_funded",
+    "CASE WHEN id = 2 THEN false END as is_blended",
+    "CASE WHEN id = 2 THEN '50%' END as funding_rate",
+    "CASE WHEN id = 0 THEN array('Other') WHEN id = 1 THEN array('Spain') END as spatial",
+    "'climate adaptation knowledge text with enough words for a fulltext body' as text",
+    "concat('Title ', id) as title",
+    "'summary text' as summary",
+    "cast(null as string) as description")
+
+  test("normalizeClimate: admission, mission flag, issued chain, vocab fan-out") {
+    val out = byRn(normalizeClimate(climateDocs))
+    assert(out.size == 4) // 'Collection' is not whitelisted
+
+    val r0 = out(0); val r1 = out(1); val r2 = out(2); val r3 = out(3)
+
+    // default_normalizers normObj slice on the @type copy
+    assert(r0.getAs[String]("object_provides_scalar") == "Webpage")
+    assert(r3.getAs[String]("object_provides_scalar") == "Event") // unmapped
+
+    // issued ?? cca_published ?? publication_date (site_climate.py:102-107)
+    assert(r0.getAs[String]("issued") == "2020-02-02")
+    assert(r1.getAs[String]("issued") == "2019-05-01")
+    assert(r3.getAs[String]("issued") == "2017-03-03")
+
+    // spatial: leading 'Other' dropped, country titles appended (:139-144)
+    assert(r0.getSeq[String](r0.fieldIndex("spatial")) == Seq("Italy"))
+    assert(r1.getSeq[String](r1.fieldIndex("spatial")) == Seq("Spain"))
+
+    // vocab fan-out: title vs token fields (:111-116)
+    assert(r0.getSeq[String](r0.fieldIndex("cca_adaptation_sectors")) ==
+      Seq("Agriculture", "Energy"))
+    assert(r0.getSeq[String](r0.fieldIndex("cca_health_impacts")) == Seq("heat-stress"))
+    assert(r0.getSeq[String](r0.fieldIndex("cca_key_type_measure")) == Seq("ktm1"))
+    assert(r0.getAs[String]("cca_funding_programme") == "LIFE")
+    assert(r0.getSeq[String](r0.fieldIndex("cca_geographic_countries")) == Seq("IT", "FR"))
+    assert(r0.getAs[String]("cca_preview_image") == "http://img/0.png")
+
+    // list dedup from the common pass (remove_duplicates)
+    assert(r0.getSeq[String](r0.fieldIndex("cca_keywords")) == Seq("k1", "k2"))
+
+    // search/observatory/mission flags (:171-177 + the :82 path override)
+    assert(r0.getAs[String]("cca_include_in_search") == "false")
+    assert(r1.getAs[String]("cca_include_in_search") == "true")
+    assert(r0.getAs[String]("cca_include_in_mission") == "false")
+    assert(r1.getAs[String]("cca_include_in_mission") == "true")
+    assert(r1.getAs[String]("cca_include_in_search_observatory") == "true")
+
+    // mission-funding block gated on portal type (:180-211)
+    assert(r2.getAs[String]("cca_is_eu_funded") == "Yes")
+    assert(r2.getAs[String]("cca_is_blended") == "No")
+    assert(r2.getAs[String]("cca_funding_rate") == "50%")
+    assert(r0.getAs[String]("cca_is_eu_funded") == null)
+
+    // normMissing fills from the common config
+    assert(r0.getAs[String]("language") == "en")
+    assert(r0.getAs[String]("creation_date") == "2018-01-01T00:00:00")
+    assert(r0.getAs[String]("creator") == "European Environment Agency (EEA)")
+
+    // description fallback from fulltext; counts; cluster
+    assert(r0.getAs[String]("description").nonEmpty)
+    assert(r0.getAs[String]("cluster_name") == "cca")
+    assert(r0.getAs[Long]("items_count_cca_keywords") == 2L)
+    assert(r0.getAs[Long]("items_count_cluster_name") == 1L)
+    assert(r0.getAs[String]("workflow_state") == "published")
+  }
+
+  // ------------------------------------------------------------ wise_marine
+
+  private lazy val marineDocs = spark.range(8).selectExpr(
+    "cast(id as int) as rn",
+    """concat('https://water.europa.eu', CASE id
+         WHEN 0 THEN '/marine/policy-and-reporting/reports/r1'
+         WHEN 1 THEN '/marine/state-of-europe-seas/marine-sectors-catalogue-of-measures'
+         WHEN 2 THEN '/marine/countries-and-regional-seas/country-profiles/italy'
+         WHEN 3 THEN '/marine/unmatched/page'
+         WHEN 4 THEN '/marine/measures/m1'
+         WHEN 5 THEN '/marine/datasets/d1'
+         WHEN 6 THEN '/marine/indicators/i1'
+         ELSE '/marine/x' END) as id""",
+    """CASE id WHEN 0 THEN 'Document' WHEN 1 THEN 'Page'
+         WHEN 2 THEN 'country_factsheet' WHEN 3 THEN 'Document'
+         WHEN 4 THEN 'measure' WHEN 5 THEN 'Document'
+         WHEN 6 THEN 'Page' ELSE 'Folder' END as type_raw""",
+    "'published' as review_state",
+    "CASE WHEN id = 2 THEN 'Italy' ELSE concat('Title ', id) END as title",
+    "array('Baltic') as spatial",
+    "cast(null as string) as issued",
+    "'marine assessment text with enough words for a fulltext body' as text",
+    "'summary text' as summary",
+    "array('marine', 'water') as theme",
+    "array(named_struct('title','Pressure')) as dpsir_type",
+    "array(named_struct('title','MSFD')) as legislative_reference",
+    "'Fishing' as sector",
+    "'C1' as code")
+
+  // spec-only config extension: two extra location rules exercising the
+  // Data-set collapse and Indicator branches (config-driven in the
+  // reference — variables.json location_rules)
+  private lazy val marineOut = byRn(normalizeWiseMarine(
+    marineDocs,
+    whitelist = wiseMarineWhitelist :+ "measure",
+    locationRules = wiseMarineLocationRules ++ Seq(
+      "/marine/datasets/*" -> Seq("Data set", "Webpage"),
+      "/marine/indicators/*" -> Seq("Indicator"))))
+
+  test("normalizeWiseMarine: admission, location rules, factsheet spatial") {
+    val out = marineOut
+    assert(out.size == 7) // 'Folder' is not whitelisted
+
+    def op(rn: Int): Seq[String] =
+      out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+
+    assert(op(0) == Seq("Webpage"))           // policy-and-reporting/* rule
+    assert(op(1) == Seq("Dashboard"))         // overlapping rules: LAST match wins
+    assert(op(2) == Seq("Country fact sheet", "Dashboard")) // country-profiles/*
+    assert(op(3) == Seq("Webpage"))           // location_rules_fallback
+
+    // a country factsheet's spatial is its own title (:96)
+    assert(out(2).getSeq[String](out(2).fieldIndex("spatial")) == Seq("Italy"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("spatial")) == Seq("Baltic"))
+
+    assert(out(0).getAs[String]("cluster_name") == "wise-marine")
+    assert(out(0).getAs[Long]("items_count_object_provides") == 1L)
+    assert(out(2).getAs[Long]("items_count_object_provides") == 2L)
+  }
+
+  test("normalizeWiseMarine: Data-set prunes Webpage; SPM block fans out") {
+    val out = marineOut
+
+    // "Data set" in a multi-type resolution removes "Webpage" (:121-125)
+    assert(out(5).getSeq[String](out(5).fieldIndex("object_provides")) ==
+      Seq("Data set"))
+
+    // Shipping-and-Ports-Measure block (:126-132)
+    val spm = out(4)
+    assert(spm.getSeq[String](spm.fieldIndex("object_provides")) ==
+      Seq("Shipping and Ports Measure"))
+    assert(spm.getSeq[String](spm.fieldIndex("exclude_from_globalsearch")) ==
+      Seq("True"))
+    assert(spm.getAs[String]("issued") == "2023-09-04T07:17:00") // backfill
+    assert(spm.getAs[String]("wm_spm_sector") == "Fishing")
+    assert(spm.getAs[String]("wm_spm_code") == "C1")
+    assert(spm.getAs[String]("wm_spm_title") == "Title 4")
+    assert(out(0).getAs[String]("wm_spm_sector") == null)
+    assert(out(0).getSeq[String](out(0).fieldIndex("exclude_from_globalsearch")) == null)
+    assert(out(0).getAs[String]("issued") == null) // backfill is SPM-only
+  }
+
+  test("normalizeWiseMarine: vocab flattening and the Indicator override") {
+    val out = marineOut
+
+    assert(out(0).getSeq[String](out(0).fieldIndex("legislative_reference")) ==
+      Seq("MSFD"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("wm_theme")) ==
+      Seq("marine", "water"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("wm_dpsir_type")) ==
+      Seq("Pressure"))
+
+    // Indicator: description = title, dpsir = dpsir_type titles (:143-146)
+    assert(out(6).getAs[String]("description") == "Title 6")
+    assert(out(6).getSeq[String](out(6).fieldIndex("dpsir")) == Seq("Pressure"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("dpsir")) == null)
+    assert(out(0).getAs[String]("description") != "Title 0") // fallback from fulltext
+  }
+
+  // ------------------------------------------------------------ sdi_fise
+
+  private val sdiObligations = Map("http://rod/1" -> "Reporting obligation 1")
+
+  private lazy val sdiDocs = spark.range(3).selectExpr(
+    "cast(id as int) as rn",
+    "concat('md-', id) as metadataIdentifier",
+    "cast(null as string) as issued",
+    "CASE WHEN id = 0 THEN array('2019-04-04') END as publicationDateForResource",
+    "CASE WHEN id = 0 THEN array('2018-03-03') END as creationDateForResource",
+    "CASE WHEN id = 1 THEN '2010-09-09' END as createDate",
+    "array(named_struct('url', concat('http://o/', id))) as overview",
+    "array(named_struct('default','Obligation 1','link','http://rod/1')) as `th_rod-eionet-europa-eu`",
+    "array(named_struct('default','Climate mitigation'), named_struct('default','Water')) as `th_eea-topics`",
+    "array('concepts^environment^water pollution') as `th_gemet_tree.default`",
+    "array(named_struct('default','vector')) as cl_spatialRepresentationType",
+    "array(named_struct('default','Kosovo (UNSCR 1244/99)'), named_struct('default','Italy')) as th_regions",
+    """CASE WHEN id = 0 THEN array(
+         named_struct('start', named_struct('date','2011-02-01'),
+                      'end',   named_struct('date','2013-06-01')),
+         named_struct('start', named_struct('date','2015-01-01'),
+                      'end',   named_struct('date', cast(null as string))))
+       END as resourceTemporalExtentDetails""",
+    "array(named_struct('format', array('SHP','CSV')), named_struct('format', array('CSV'))) as children",
+    """CASE WHEN id = 0 THEN array(named_struct('code','DAT-123'), named_struct('code','XYZ-9'))
+            ELSE array(named_struct('code','XYZ-9')) END as resourceIdentifier""",
+    "concat('Forest Map ', id) as `resourceTitleObject.default`",
+    "concat('Abstract ', id) as `resourceAbstractObject.default`",
+    """CASE WHEN id = 0 THEN array(named_struct('key','asNeeded'))
+            WHEN id = 1 THEN array(named_struct('key','weirdKey'))
+       END as cl_maintenanceAndUpdateFrequency""",
+    "CASE WHEN id = 0 THEN 'ita' ELSE 'xyz' END as mainLanguage",
+    """CASE WHEN id = 0 THEN array(named_struct('key','obsolete'))
+            ELSE array(named_struct('key','completed')) END as cl_status""",
+    "CASE WHEN id = 0 THEN '2019' END as publicationYearForResource",
+    "CASE WHEN id = 0 THEN '2018' END as creationYearForResource",
+    "CASE WHEN id = 1 THEN array('2012','2014') END as revisionYearForResource",
+    """CASE WHEN id = 0 THEN array(named_struct(
+         'organisationObject', named_struct('default','EEA'), 'email','info@eea'))
+       END as contact""",
+    """CASE id WHEN 0 THEN array('dataset') WHEN 1 THEN array('service')
+         ELSE array('other') END as resourceType""",
+    "CASE WHEN id = 0 THEN '2021-05-05' END as changeDate",
+    "CASE WHEN id = 0 THEN '2021-01-01' WHEN id = 1 THEN '2020-02-02' END as dateStamp",
+    "array(named_struct('default','environment')) as cl_topic",
+    "array(named_struct('default','EEA Org')) as OrgForResourceObject")
+
+  test("preNormalizeSdi: field mapping, topic renames, ranges, prod_id") {
+    val pre = byRn(preNormalizeSdi(sdiDocs, sdiObligations, currentYear = 2016))
+    val r0 = pre(0)
+
+    assert(r0.getAs[String]("site_id") == "sdi")
+    assert(r0.getAs[String]("type_raw") == "Data set")
+    assert(r0.getAs[String]("about") == "md-0")
+    // eea-topics literal renames (:227-241)
+    assert(r0.getSeq[String](r0.fieldIndex("sdi_topics")) == Seq("climate", "Water"))
+    // gemet tree leaf, Title Cased (:242)
+    assert(r0.getSeq[String](r0.fieldIndex("sdi_gemet")) == Seq("Water Pollution"))
+    // temporal extent: years + merged ranges with pinned currentYear
+    assert(r0.getSeq[Int](r0.fieldIndex("time_coverage")) ==
+      Seq(2011, 2012, 2013, 2015, 2016))
+    // children format flatten (:267); common dedup happens later
+    assert(r0.getSeq[String](r0.fieldIndex("dataset_formats")) ==
+      Seq("SHP", "CSV", "CSV"))
+    // DAT-prefixed resource codes (:284-293)
+    assert(r0.getSeq[String](r0.fieldIndex("prod_id")) == Seq("DAT-123"))
+    assert(pre(1).getSeq[String](pre(1).fieldIndex("prod_id")) == Seq())
+    // rod links → obligation labels (:272-281)
+    assert(r0.getSeq[String](r0.fieldIndex("instrument")) ==
+      Seq("Reporting obligation 1"))
+    assert(r0.getSeq[String](r0.fieldIndex("overview.url")) == Seq("http://o/0"))
+    assert(r0.getAs[String]("title") == "Forest Map 0")
+  }
+
+  test("normalizeSdiFise: sdi_normalizers renames + FISE post fan-out") {
+    val out = byRn(normalizeSdiFise(
+      sdiDocs, sdiObligations, currentYear = 2016,
+      archivedExpires = "2026-08-10"))
+    val r0 = out(0); val r1 = out(1); val r2 = out(2)
+
+    // about → id; about rebuilt as the catalogue record URL (:468)
+    assert(r0.getAs[String]("id") == "md-0")
+    assert(r0.getAs[String]("about") ==
+      "https://sdi.eea.europa.eu/catalogue/fise/api/records/md-0")
+    // resourceTitleObject.default → title + label; abstract → description
+    assert(r0.getAs[String]("title") == "Forest Map 0")
+    assert(r0.getAs[String]("label") == "Forest Map 0")
+    assert(r0.getAs[String]("description") == "Abstract 0")
+    // pinned isPublishedToAll → hasWorkflowState, normObj "true"→"published"
+    assert(r0.getAs[String]("hasWorkflowState") == "published")
+    // OrgForResourceObject fallback → OrgForResource → organisation
+    assert(r0.getSeq[String](r0.fieldIndex("organisation")) == Seq("EEA Org"))
+    // normObj maps the Kosovo label inside the spatial list
+    assert(r0.getSeq[String](r0.fieldIndex("spatial")) == Seq("Kosovo", "Italy"))
+    assert(r0.getSeq[String](r0.fieldIndex("places")) == Seq("Kosovo", "Italy"))
+
+    // issued fallback chain (:205-212)
+    assert(r0.getAs[String]("issued") == "2019-04-04")
+    assert(r1.getAs[String]("issued") == "2010-09-09")
+
+    // publicationYear int chain with the 2500 default (:381-403)
+    assert(r0.getAs[Int]("publicationYear") == 2019)
+    assert(r1.getAs[Int]("publicationYear") == 2014) // last revision year
+    assert(r2.getAs[Int]("publicationYear") == 2500)
+
+    // maintenance frequency: mapped key / raw passthrough / Unknown (:409-448)
+    assert(r0.getAs[String]("update_frequency_value") == "As needed")
+    assert(r1.getAs[String]("update_frequency_value") == "weirdKey")
+    assert(r2.getAs[String]("update_frequency_value") == "Unknown")
+
+    // language / country name maps (:459-467)
+    assert(r0.getSeq[String](r0.fieldIndex("language")) == Seq("Italian"))
+    assert(r0.getSeq[String](r0.fieldIndex("country")) == Seq("Italy"))
+    assert(r1.getSeq[String](r1.fieldIndex("language")) == Seq("Unknown"))
+
+    // resourceType → SDI object_provides (:473-480)
+    assert(r0.getSeq[String](r0.fieldIndex("object_provides")) == Seq("Spatial dataset"))
+    assert(r1.getSeq[String](r1.fieldIndex("object_provides")) == Seq("Data services"))
+    assert(r2.getSeq[String](r2.fieldIndex("object_provides")) == Seq("SDI"))
+
+    // obsolete status → pinned expires stamp (:304-335)
+    assert(r0.getAs[String]("expires") == "2026-08-10")
+    assert(r1.getAs[String]("expires") == null)
+
+    // last_modified / created / date_publication (:486-492)
+    assert(r0.getAs[String]("last_modified") == "2021-05-05")
+    assert(r1.getAs[String]("last_modified") == "2020-02-02")
+    assert(r0.getAs[String]("created") == "2018-03-03")
+    assert(r0.getAs[String]("date_publication") == "2019-04-04")
+
+    // time_coverage cast to strings (:482); dataset_formats deduped by common
+    assert(r0.getSeq[String](r0.fieldIndex("time_coverage")) ==
+      Seq("2011", "2012", "2013", "2015", "2016"))
+    assert(r0.getSeq[String](r0.fieldIndex("dataset_formats")) == Seq("SHP", "CSV"))
+
+    // contact → organisation name/email (:452-457)
+    assert(r0.getAs[String]("organisation_name") == "EEA")
+    assert(r0.getAs[String]("organisation_email") == "info@eea")
+
+    // topic overwritten from cl_topic at the end (:497-500)
+    assert(r0.getSeq[String](r0.fieldIndex("topic")) == Seq("environment"))
+
+    assert(r0.getAs[String]("cluster_name") == "fise_sdi")
+    assert(r0.getAs[Long]("items_count_spatial") == 2L)
+  }
+}

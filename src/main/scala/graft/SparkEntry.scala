@@ -38,6 +38,7 @@ object SparkEntry {
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
     "url_canonical" -> (SyncOps.qUrlCanonical _),
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
+    "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
     "norm_boilerplate" -> (NormOps.qNormBoilerplate _),
@@ -341,6 +342,45 @@ object SparkEntry {
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
         |FROM ent ORDER BY source, url""".stripMargin,
+    // robots '?'-glob becomes the regex ^/docs/3. (one char, implied
+    // trailing *); the '/docs/11' prefix rule is a plain LIKE
+    "plone_search" ->
+      """WITH items AS (
+        |  SELECT doc_id,
+        |    'https://site.example.eu/api/docs/' || doc_id ||
+        |      CASE WHEN doc_id % 7 = 0
+        |           THEN (CASE WHEN doc_id % 2 = 0 THEN '.pdf' ELSE '.png' END)
+        |           ELSE '' END AS api_url,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'File'
+        |         WHEN doc_id % 7 = 1 THEN 'Event'
+        |         WHEN doc_id % 7 = 2 THEN 'Discussion Item'
+        |         ELSE 'Document' END AS portal_type,
+        |    CASE WHEN doc_id % 5 = 0 THEN '2026-01-0' || (doc_id % 9 + 1) END AS modification_date,
+        |    '2025-12-0' || (doc_id % 9 + 1) AS modified_raw,
+        |    doc_id % 13 = 0 AS seo_noindex
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    replace(api_url, '/api/', '/') AS url,
+        |    portal_type,
+        |    coalesce(modification_date, modified_raw) AS modified,
+        |    seo_noindex
+        |  FROM items),
+        |f AS (
+        |  SELECT *,
+        |    regexp_replace(url, '^https?://[^/]+', '') AS path,
+        |    lower(regexp_extract(url, '([^.]*)$', 1)) AS ext
+        |  FROM u)
+        |SELECT doc_id, url, portal_type, modified
+        |FROM f
+        |WHERE url <> 'https://site.example.eu/docs/17'
+        |  AND portal_type IN ('Document','File','Event')
+        |  AND NOT (portal_type = 'File' AND ext IN ('png','svg','jpg','gif','eps','jpeg'))
+        |  AND portal_type <> 'Event'
+        |  AND NOT seo_noindex
+        |  AND url <> 'https://site.example.eu/docs/23'
+        |  AND NOT (path LIKE '/docs/11%' OR regexp_matches(path, '^/docs/3.'))
+        |ORDER BY doc_id""".stripMargin,
     "norm_clean_html" ->
       """WITH h AS (
         |  SELECT doc_id,

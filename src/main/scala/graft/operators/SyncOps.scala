@@ -118,17 +118,14 @@ object SyncOps {
       .orderBy("id", "url")
   }
 
-  /** Robots rule matching with the reference's full semantics
+  /** fnmatch glob → Java regex with the reference's full semantics
     * (dags/lib/robots_txt.py:22 `applies_to`, which delegates to Python
-    * `fnmatch.fnmatchcase`): a path is disallowed when it starts with the
-    * rule, or when it glob-matches — `*` any run, `?` one char, `[seq]` /
-    * `[!seq]` character classes (fnmatch honors these, so we must too);
-    * trailing `$` forces an exact match, otherwise a trailing `*` is
-    * implied. Rules are a tiny broadcast table; the url side is matched
-    * with one codegen'd rlike per row, no shuffle.
+    * `fnmatch.fnmatchcase`): `*` any run, `?` one char, `[seq]` / `[!seq]`
+    * character classes (fnmatch honors these, so we must too); trailing `$`
+    * forces an exact match, otherwise a trailing `*` is implied. Shared by
+    * `robotsDisallowed` and `ploneSearch`'s robots filter.
     */
-  def robotsDisallowed(urls: DataFrame, rules: Seq[String]): DataFrame = {
-    def globToRegex(rule: String): String = {
+  private[operators] def globToRegex(rule: String): String = {
       val (core, exact) =
         if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
       val sb = new StringBuilder
@@ -163,7 +160,14 @@ object SyncOps {
       }
       val quoted = sb.toString
       if (exact || core.endsWith("*")) s"^$quoted$$" else s"^$quoted.*"
-    }
+  }
+
+  /** Robots rule matching: a path is disallowed when it starts with the
+    * rule, or when it glob-matches (`globToRegex`). Rules are a tiny
+    * broadcast table; the url side is matched with one codegen'd rlike per
+    * row, no shuffle.
+    */
+  def robotsDisallowed(urls: DataFrame, rules: Seq[String]): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
     val ruleDf = broadcast(rules.map(r => (r, globToRegex(r))).toDF("rule", "rx"))
@@ -379,5 +383,136 @@ object SyncOps {
     parseSitemaps(sitemaps, "xml")
       .select("source", "url", "lastmod")
       .orderBy("source", "url")
+  }
+
+  // ------------------------------------------------------------- plone_search
+
+  /** The Plone-REST-API site crawler's per-site admission config — the
+    * knobs `parse_all_documents` reads from site_config
+    * (crawlers/crawlers/crawl_plone_restapi.py:30-54):
+    *  - `apiPart`: `url_api_part` — the path segment `get_no_api_url`
+    *    strips to turn an API item URL into the public doc id
+    *    (lib/plone_rest_api.py:51-86).
+    *  - `fixItemsUrl`: `(with_api, without_api)` host replacement for sites
+    *    whose API lives on a different host prefix (plone_rest_api.py:56-72).
+    *  - `urlsWhitelist`/`urlsBlacklist`: exact doc-id admission
+    *    (crawl_plone_restapi.py:72-80).
+    *  - `portalTypes`/`typesBlacklist`: `@type` keep/drop lists (:85-95).
+    *  - `skipDocs`: per-run error quarantine (:99-101).
+    *  - `ignoreSeoNoindex`: keep docs carrying the seo_noindex meta (:96-98).
+    *  - `robotsDisallow`: robots.txt rules, full fnmatch semantics (:82-84).
+    */
+  case class PloneSiteConfig(
+      apiPart: String = "",
+      fixItemsUrl: Option[(String, String)] = None, // (with_api, without_api)
+      urlsWhitelist: Seq[String] = Nil,
+      urlsBlacklist: Seq[String] = Nil,
+      portalTypes: Seq[String] = Nil,
+      typesBlacklist: Seq[String] = Nil,
+      skipDocs: Seq[String] = Nil,
+      ignoreSeoNoindex: Boolean = false,
+      robotsDisallow: Seq[String] = Nil)
+
+  /** The Plone-REST-API URL source — the second of the reference's two URL
+    * enumerators (sitemaps being the first): `@search` result items →
+    * admitted (doc_id, url, portal_type, modified) rows ready for
+    * `syncDiff`/`crawlFrontier` composition
+    * (crawl_plone_restapi.py:56-104, lib/plone_rest_api.py:87-184; the HTTP
+    * paging itself is transport, out of scope per SURVEY §6 — this operator
+    * is everything the crawler does with the page contents).
+    *
+    * Input `items`: (`api_url`, `portal_type`, `modification_date`,
+    * `modified`, `seo_noindex`) — the metadata_fields the @search query
+    * requests. All filters are per-row codegen'd predicates; the one join
+    * (robots rules) is against a tiny broadcast table — zero shuffle at any
+    * corpus size.
+    */
+  def ploneSearch(items: DataFrame, cfg: PloneSiteConfig): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+
+    // get_no_api_url (plone_rest_api.py:51-86): fix_items_url host swap
+    // takes priority; otherwise every "/<apiPart>/" path segment collapses
+    // (Python "/".join(url.split(f"/{part}/")) replaces all occurrences)
+    val url = cfg.fixItemsUrl match {
+      case Some((withApi, withoutApi)) =>
+        when(col("api_url").contains(withoutApi + "/"), col("api_url"))
+          .otherwise(regexp_replace(col("api_url"),
+            java.util.regex.Pattern.quote(withApi), withoutApi))
+      case None =>
+        if (cfg.apiPart.trim.isEmpty) col("api_url")
+        else regexp_replace(col("api_url"),
+          "/" + java.util.regex.Pattern.quote(cfg.apiPart) + "/", "/")
+    }
+
+    val base = items
+      .withColumn("url", url)
+      .withColumn("modified", coalesce(col("modification_date"), col("modified")))
+      .withColumn("path", regexp_replace(col("url"), "^https?://[^/]+", ""))
+      // SKIP_EXTENSIONS guard is File-typed docs only (:89-92); the
+      // extension is Python's url.split(".")[-1]
+      .withColumn("ext", lower(element_at(split(col("url"), "\\."), -1)))
+
+    val whitelisted =
+      if (cfg.urlsWhitelist.nonEmpty) col("url").isInCollection(cfg.urlsWhitelist)
+      else lit(true)
+    val admitted = base
+      .filter(whitelisted)
+      .filter(if (cfg.urlsBlacklist.nonEmpty)
+        !col("url").isInCollection(cfg.urlsBlacklist) else lit(true))
+      .filter(if (cfg.portalTypes.nonEmpty)
+        col("portal_type").isInCollection(cfg.portalTypes) else lit(true))
+      .filter(!(col("portal_type") === "File" && col("ext").isin(SkipExtensions: _*)))
+      .filter(if (cfg.typesBlacklist.nonEmpty)
+        !col("portal_type").isInCollection(cfg.typesBlacklist) else lit(true))
+      .filter(if (cfg.ignoreSeoNoindex) lit(true)
+        else !coalesce(col("seo_noindex"), lit(false)))
+      .filter(if (cfg.skipDocs.nonEmpty)
+        !col("url").isInCollection(cfg.skipDocs) else lit(true))
+
+    // robots.txt (:82-84), same broadcast rule table as robotsDisallowed
+    val robotsFree =
+      if (cfg.robotsDisallow.isEmpty) admitted
+      else {
+        val ruleDf = broadcast(
+          cfg.robotsDisallow.map(r => (r, globToRegex(r))).toDF("rule", "rx"))
+        admitted.join(ruleDf,
+          col("path").startsWith(col("rule")) || rlike(col("path"), col("rx")),
+          "left_anti")
+      }
+    robotsFree.drop("path", "ext")
+  }
+
+  /** queries() wrapper: synthesizes a Plone @search result page per document
+    * row — every admission knob exercised (api-part strip, blacklist,
+    * portal-type keep + drop, File-extension skip, seo_noindex, skip_docs,
+    * a `?`-glob and a prefix robots rule) — then selects the frontier
+    * columns. The DuckDB oracle rebuilds the same filter chain.
+    */
+  def qPloneSearch(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ptype = when(id % 7 === 0, lit("File"))
+      .when(id % 7 === 1, lit("Event"))
+      .when(id % 7 === 2, lit("Discussion Item"))
+      .otherwise(lit("Document"))
+    val ext = when(id % 7 === 0,
+      when(id % 2 === 0, lit(".pdf")).otherwise(lit(".png"))).otherwise(lit(""))
+    val items = Tables.documents(s, d).select(
+      id,
+      concat(lit("https://site.example.eu/api/docs/"), id, ext).as("api_url"),
+      ptype.as("portal_type"),
+      when(id % 5 === 0, concat(lit("2026-01-0"), id % 9 + 1)).as("modification_date"),
+      concat(lit("2025-12-0"), id % 9 + 1).as("modified"),
+      (id % 13 === 0).as("seo_noindex"))
+    ploneSearch(items, PloneSiteConfig(
+      apiPart = "api",
+      urlsBlacklist = Seq("https://site.example.eu/docs/17"),
+      portalTypes = Seq("Document", "File", "Event"),
+      typesBlacklist = Seq("Event"),
+      skipDocs = Seq("https://site.example.eu/docs/23"),
+      ignoreSeoNoindex = false,
+      robotsDisallow = Seq("/docs/3?", "/docs/11")))
+      .select("doc_id", "url", "portal_type", "modified")
+      .orderBy("doc_id")
   }
 }

@@ -157,4 +157,75 @@ class SyncOpsSpec extends SparkSpec {
     assert(got === Set("/a^x", "/abx"),
       "caret and 'b' match; 'c' must NOT match a literal-caret class")
   }
+
+  private def ploneItems(rows: (Long, String, String, String, String, Boolean)*) =
+    rows.toSeq.toDF("doc_id", "api_url", "portal_type",
+      "modification_date", "modified", "seo_noindex")
+
+  test("ploneSearch strips the api part and applies every admission knob") {
+    val items = ploneItems(
+      (1L, "https://s.eu/api/docs/ok", "Document", null, "2025-01-01", false),
+      (2L, "https://s.eu/api/docs/black", "Document", null, "2025-01-01", false),
+      (3L, "https://s.eu/api/docs/wrongtype", "Collection", null, "2025-01-01", false),
+      (4L, "https://s.eu/api/docs/badtype", "Event", null, "2025-01-01", false),
+      (5L, "https://s.eu/api/docs/img.png", "File", null, "2025-01-01", false),
+      (6L, "https://s.eu/api/docs/doc.pdf", "File", null, "2025-01-01", false),
+      (7L, "https://s.eu/api/docs/noindex", "Document", null, "2025-01-01", true),
+      (8L, "https://s.eu/api/docs/skipme", "Document", null, "2025-01-01", false),
+      (9L, "https://s.eu/api/private/x", "Document", null, "2025-01-01", false),
+      (10L, "https://s.eu/api/docs/fresh", "Document", "2026-02-02", "2025-01-01", false))
+    val got = SyncOps.ploneSearch(items, SyncOps.PloneSiteConfig(
+      apiPart = "api",
+      urlsBlacklist = Seq("https://s.eu/docs/black"),
+      portalTypes = Seq("Document", "File", "Event"),
+      typesBlacklist = Seq("Event"),
+      skipDocs = Seq("https://s.eu/docs/skipme"),
+      robotsDisallow = Seq("/private/")))
+      .select("doc_id", "url", "modified")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+    assert(got.keySet === Set(1L, 6L, 10L))
+    assert(got(1L)._1 == "https://s.eu/docs/ok") // /api/ segment collapsed
+    assert(got(10L)._2 == "2026-02-02") // modification_date wins over modified
+    assert(got(1L)._2 == "2025-01-01")
+  }
+
+  test("ploneSearch: whitelist mode and fix_items_url host swap") {
+    val items = ploneItems(
+      (1L, "https://api.s.eu/marine/a", "Document", null, "2025-01-01", false),
+      (2L, "https://api.s.eu/marine/b", "Document", null, "2025-01-01", false))
+    val got = SyncOps.ploneSearch(items, SyncOps.PloneSiteConfig(
+      fixItemsUrl = Some(("api.s.eu", "water.s.eu")),
+      urlsWhitelist = Seq("https://water.s.eu/marine/a")))
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("https://water.s.eu/marine/a"))
+  }
+
+  test("ploneSearch composes into crawlFrontier and syncDiff") {
+    // enumerate → frontier-filter → diff against the previous index state:
+    // the reference's parse_all_documents main loop as three set operations
+    val items = ploneItems(
+      (1L, "https://s.eu/api/d/1", "Document", null, "2025-01-01", false),
+      (2L, "https://s.eu/api/d/2", "Document", null, "2025-06-01", false),
+      (3L, "https://s.eu/api/d/3", "Document", null, "2025-01-01", false))
+    val crawled = SyncOps.ploneSearch(items, SyncOps.PloneSiteConfig(apiPart = "api"))
+    val frontier = SyncOps.crawlFrontier(
+      crawled.select("doc_id", "url"), blacklistPaths = Seq("/d/3"),
+      disallowPrefixes = Nil)
+    assert(frontier.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://s.eu/d/1", "https://s.eu/d/2"))
+
+    val indexed = Seq(
+      ("https://s.eu/d/1", "2025-01-01", 0), // unchanged
+      ("https://s.eu/d/2", "2025-01-01", 0), // modified since indexing
+      ("https://s.eu/d/9", "2025-01-01", 0)  // gone from the source
+    ).toDF("id", "modified", "error_cnt")
+    val diff = SyncOps.syncDiff(
+      crawled.selectExpr("url as id", "modified"), indexed)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diff("https://s.eu/d/1") == "unchanged")
+    assert(diff("https://s.eu/d/2") == "modified")
+    assert(diff("https://s.eu/d/3") == "new")
+    assert(diff("https://s.eu/d/9") == "deleted")
+  }
 }

@@ -70,6 +70,7 @@ object SparkEntry {
     "search_bool" -> (SearchOps.qSearchBool _),
     "facet_counts" -> (SearchOps.qFacetCounts _),
     "facet_stats" -> (SearchOps.qFacetStats _),
+    "facet_stats_approx" -> (SearchOps.qFacetStatsApprox _),
     "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
     // LLM-training-data pipeline (SURVEY §2 #28-#39)
     "dedup_exact" -> (DedupOps.qDedupExact _),
@@ -657,7 +658,8 @@ object SparkEntry {
         |    UNION
         |    SELECT u.dst, reach.c FROM reach JOIN u ON u.src = reach.id)
         |  SELECT id, min(c) AS cluster_id FROM reach GROUP BY id)
-        |SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical
+        |SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical,
+        |  true AS converged
         |FROM r ORDER BY doc_id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),

@@ -56,15 +56,33 @@ object Tables {
         // Recurse: partitioned layouts (e.g. ivfSaveIndex's partitionBy
         // output) nest part files under key=value directories — a one-level
         // listing would return an empty list and a silent row count of 0.
+        // Hidden/staging segments (_temporary, .spark-staging-*, _SUCCESS)
+        // left by in-flight or failed writes must NOT count: Spark's own
+        // readers skip paths with a '_'/'.'-prefixed segment, and counting
+        // them would silently inflate data-dependent plan parameters
+        // (e.g. LSH bit widths).
+        def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+          var cur = p
+          while (cur != null && cur != root) {
+            val n = cur.getName
+            if (n.startsWith("_") || n.startsWith(".")) return true
+            cur = cur.getParent
+          }
+          false
+        }
         val it = fs.listFiles(root, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+            buf += f
         }
         buf.toSeq
       } else Seq(status)
-    require(files.nonEmpty, s"rowCountFromFooters: no parquet files under $root")
+    // A present-but-empty dataset (a directory holding only _SUCCESS /
+    // staging leftovers) legitimately has zero rows — return 0 rather than
+    // throw. A WRONG path still fails loud: getFileStatus above raises
+    // FileNotFoundException before we get here.
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

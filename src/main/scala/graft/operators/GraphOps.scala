@@ -94,8 +94,10 @@ object GraphOps {
     * Output: (id, comp) for every node that appears in an edge, comp = the
     * minimum id reachable from the node.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val (out, converged, iters) = connectedComponentsWithStats(edges, maxIter)
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (out, converged, iters) =
+      connectedComponentsWithStats(edges, maxIter, checkpointDir)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge after $iters iterations " +
@@ -110,9 +112,22 @@ object GraphOps {
     * feed a keep-canonical decision (where a silently-unconverged label
     * would keep the wrong doc) can branch on the flag instead of trusting
     * the result blindly.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses RELIABLE
+    * checkpoints written under the directory instead of localCheckpoint.
+    * localCheckpoint blocks live in executor storage — an executor loss
+    * mid-loop kills the job on a real cluster; a 100 TB multi-hour run
+    * should pay the HDFS/S3 write for restartability. Local/test runs keep
+    * the default (localCheckpoint is cheaper and a single-JVM session has
+    * no executor-loss mode).
     */
   def connectedComponentsWithStats(
-      edges: DataFrame, maxIter: Int = 20): (DataFrame, Boolean, Int) = {
+      edges: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Boolean, Int) = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -130,20 +145,21 @@ object GraphOps {
     // after which `state` is a flat LogicalRDD. Superseded checkpoint
     // blocks are freed by the ContextCleaner once unreferenced; the loop is
     // bounded by maxIter so at most a handful are ever live.
-    var state = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var state = ckpt(
+      und.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
+      eager = true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = und
-        .join(state.select(col("id").as("src"), col("comp").as("nc")), "src")
-        .select(col("dst").as("id"), col("nc"))
-        .union(state.select(col("id"), col("comp").as("nc")))
-        .groupBy("id")
-        .agg(min("nc").as("comp"))
-        .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id"))
-        .localCheckpoint(false)
+      val next = ckpt(
+        und
+          .join(state.select(col("id").as("src"), col("comp").as("nc")), "src")
+          .select(col("dst").as("id"), col("nc"))
+          .union(state.select(col("id"), col("comp").as("nc")))
+          .groupBy("id")
+          .agg(min("nc").as("comp"))
+          .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id")),
+        eager = false)
       val changed = next.filter(col("comp") =!= col("comp_prev")).count()
       state = next
       converged = changed == 0L
@@ -152,9 +168,8 @@ object GraphOps {
     und.unpersist(false)
     // Hand the caller a lineage-free projection of the final state; the
     // loop's superseded checkpoint blocks are freed by the ContextCleaner
-    // once unreferenced. (A multi-job production run on a cluster would
-    // swap in a reliable checkpoint dir; the contract is the same.)
-    val out = state.select("id", "comp").localCheckpoint(true)
+    // once unreferenced.
+    val out = ckpt(state.select("id", "comp"), eager = true)
     (out, converged, iter)
   }
 
@@ -175,16 +190,27 @@ object GraphOps {
     * hops, not just one join). Canonical doc = minimum id per cluster, the
     * keep-rule every dedup pipeline applies.
     */
-  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+  def qDedupCluster(s: SparkSession, d: String): DataFrame =
+    dedupClusterQuery(Tables.documents(s, d).select(col("doc_id")))
+
+  /** The dedup_cluster query body, `maxIter` exposed so a spec can force
+    * non-convergence. The `converged` column carries the loop's convergence
+    * flag into the RESULT — a WARN log line in a 100 TB batch job is a line
+    * nobody reads; downstream keep-canonical steps must be able to gate on
+    * the flag relationally.
+    */
+  def dedupClusterQuery(base: DataFrame, maxIter: Int = 20): DataFrame = {
     val id = col("doc_id")
-    val base = Tables.documents(s, d).select(id)
     val star = base.select(id.as("src"), (id - id % 5).as("dst"))
       .filter(col("src") =!= col("dst"))
     val link = base.filter(id % 35 === 0 && id >= 5)
       .select(id.as("src"), (id - 5).as("dst"))
-    connectedComponents(star.unionByName(link))
+    val (comps, converged, _) =
+      connectedComponentsWithStats(star.unionByName(link), maxIter)
+    comps
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("is_canonical"))
+        (col("id") === col("comp")).as("is_canonical"),
+        lit(converged).as("converged"))
       .orderBy("doc_id")
   }
 }

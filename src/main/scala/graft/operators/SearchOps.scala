@@ -271,6 +271,37 @@ object SearchOps {
     facetStats(Tables.documents(s, d), "lang", "n_chars")
       .orderBy("lang")
 
+  /** The scale twin of [[facetStats]]: ES `percentiles` is t-digest
+    * APPROXIMATE — and at 100 TB an exact per-group percentile (a per-group
+    * sort / full value collection) is the wrong plan for high-cardinality
+    * or huge groups. `approx_percentile` (Greenwald-Khanna) keeps the
+    * aggregation a bounded-memory partial agg: map-side sketches combine,
+    * nothing per-group ever materializes. `accuracy` trades sketch size for
+    * error (ε = 1/accuracy relative rank error; the default 10000 is
+    * exact for groups under 10k values).
+    *
+    * Which to use: the exact form when groups are facet-sized (a terms agg
+    * over languages/sources) and an oracle must hash-match; this form when
+    * the group key is high-cardinality or group sizes are unbounded.
+    */
+  def facetStatsApprox(docs: DataFrame, facetCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col(facetCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("avg_val"),
+        // cast: approx_percentile preserves the input's integral type;
+        // double keeps the twin schema-compatible with facetStats
+        round(approx_percentile(col(valueCol), lit(0.5), lit(accuracy)).cast("double"), 4).as("p50"),
+        round(approx_percentile(col(valueCol), lit(0.95), lit(accuracy)).cast("double"), 4).as("p95"))
+
+  /** queries() wrapper (rows-only check: approximate answers don't
+    * hash-match a DuckDB oracle by construction).
+    */
+  def qFacetStatsApprox(s: SparkSession, d: String): DataFrame =
+    facetStatsApprox(Tables.documents(s, d), "lang", "n_chars")
+      .orderBy("lang")
+
   // ------------------------------------------------------------ es_bulk_format
 
   /** ES bulk NDJSON action/source pairs — the Logstash hand-off

@@ -37,6 +37,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(full.filter(col("comp") =!= 1L).count() === 0)
   }
 
+  test("dedupClusterQuery surfaces non-convergence as a result column") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the query path must carry the flag relationally — a WARN log line in
+    // a batch job is invisible to the downstream keep-canonical step
+    val base = (0L until 200L).toDF("doc_id")
+    val partial = GraphOps.dedupClusterQuery(base, maxIter = 1)
+    assert(partial.select("converged").head.getBoolean(0) === false)
+    val full = GraphOps.dedupClusterQuery(base)
+    assert(full.select("converged").head.getBoolean(0) === true)
+    assert(full.filter(col("converged") =!= true).count() === 0)
+  }
+
+  test("connectedComponents converges with a reliable checkpoint dir") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val chain = (1L until 13L).map(i => (i, i + 1)).toDF("src", "dst")
+      val (out, converged, _) = GraphOps.connectedComponentsWithStats(
+        chain, checkpointDir = Some(dir))
+      assert(converged)
+      assert(out.filter(col("comp") =!= 1L).count() === 0)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint must persist state to the dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("keepCanonical removes exactly the non-canonical cluster members") {
     // exact-dup pairs over the planted corpus: every planted copy
     // (id+1000000, trailing whitespace) must vanish, its original must

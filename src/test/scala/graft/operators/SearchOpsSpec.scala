@@ -62,4 +62,29 @@ class SearchOpsSpec extends SparkSpec {
     // the log keeps idf positive so matching docs always outrank non-matches).
     assert(got.forall(r => r.getAs[Double]("score") > 0 && r.getAs[Double]("score") < 0.1))
   }
+
+  test("facetStatsApprox tracks the exact percentiles within sketch error") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = asMap(SearchOps.facetStats(docs, "lang", "n_chars"))
+
+    // default accuracy (10000) is exact for facet-sized groups
+    val hi = asMap(SearchOps.facetStatsApprox(docs, "lang", "n_chars"))
+    // approx_percentile returns an actual element, percentile interpolates:
+    // allow one rank step of slack even at full accuracy
+    exact.foreach { case (lang, (p50, p95)) =>
+      assert(math.abs(hi(lang)._1 - p50) / p50 < 0.05, s"$lang p50 hi-acc")
+      assert(math.abs(hi(lang)._2 - p95) / p95 < 0.05, s"$lang p95 hi-acc")
+    }
+
+    // a deliberately coarse sketch stays within ~10% relative error —
+    // the scale trade documented on facetStatsApprox
+    val lo = asMap(SearchOps.facetStatsApprox(docs, "lang", "n_chars", accuracy = 50))
+    exact.foreach { case (lang, (p50, p95)) =>
+      assert(math.abs(lo(lang)._1 - p50) / p50 < 0.10, s"$lang p50 lo-acc")
+      assert(math.abs(lo(lang)._2 - p95) / p95 < 0.10, s"$lang p95 lo-acc")
+    }
+  }
 }

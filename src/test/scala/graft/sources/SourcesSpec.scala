@@ -49,16 +49,39 @@ class SourcesSpec extends SparkSpec {
       Tables.documents(spark, sfDir).filter(col("source") === "src1").count())
   }
 
-  test("rowCountFromFooters counts nested/partitioned layouts and rejects empty ones") {
+  test("rowCountFromFooters counts nested/partitioned layouts and skips staging") {
     val root = Files.createTempDirectory("footers").toString
     val docs = Tables.documents(spark, sfDir)
     docs.write.partitionBy("source").parquet(s"$root/docs.parquet")
     // part files live one level down (source=...) — the footer count must
     // recurse, not silently return 0
     assert(Tables.rowCountFromFooters(spark, root, "docs") === docs.count())
-    new java.io.File(s"$root/empty.parquet").mkdirs()
-    assertThrows[IllegalArgumentException] {
-      Tables.rowCountFromFooters(spark, root, "empty")
+
+    // hidden/staging segments (_temporary, .spark-staging-*) left by an
+    // in-flight or failed write must NOT inflate the count — copy a real
+    // part file under both and assert the count is unchanged
+    val part = new java.io.File(s"$root/docs.parquet").listFiles()
+      .filter(_.isDirectory).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val tmp = new java.io.File(s"$root/docs.parquet/_temporary/0")
+    val staging = new java.io.File(s"$root/docs.parquet/.spark-staging-123")
+    tmp.mkdirs(); staging.mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(tmp, "stale.parquet").toPath)
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(staging, "stale.parquet").toPath)
+    assert(Tables.rowCountFromFooters(spark, root, "docs") === docs.count(),
+      "staging leftovers must not count")
+
+    // a present-but-empty dataset (marker files only) is a legitimate 0
+    val empty = new java.io.File(s"$root/empty.parquet")
+    empty.mkdirs()
+    new java.io.File(empty, "_SUCCESS").createNewFile()
+    assert(Tables.rowCountFromFooters(spark, root, "empty") === 0L)
+
+    // a WRONG path still fails loud
+    assertThrows[java.io.FileNotFoundException] {
+      Tables.rowCountFromFooters(spark, root, "no_such_table")
     }
   }
 }

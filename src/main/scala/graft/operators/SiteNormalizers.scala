@@ -517,4 +517,293 @@ object SiteNormalizers {
       listCols = Seq("spatial", "topic", "time_coverage"),
       scalarCols = Seq("cluster_name"))
   }
+
+  // ================================================== site: wise_freshwater
+
+  /** `config_wise_freshwater.normalize` (variables.json). */
+  val wiseFreshwaterWhitelist: Seq[String] = Seq(
+    "Document", "Page", "File", "News Item", "visualization", "CompositePage",
+    "dashboard", "dataset", "database", "briefing", "map_interactive",
+    "country_profile", "measure", "case_study", "source")
+
+  val wiseFreshwaterLocationRules: Seq[(String, Seq[String])] =
+    Seq("/freshwater/europe-freshwater/*" -> Seq("Topic page"))
+
+  /** The `default_normalizers.normObj` slice for this site's portal types. */
+  val wiseFreshwaterNormObj: Map[String, String] = Map(
+    "Document" -> "Webpage", "Page" -> "Webpage", "File" -> "File",
+    "News Item" -> "News", "visualization" -> "Chart (interactive)",
+    "CompositePage" -> "Webpage", "dashboard" -> "Dashboard",
+    "dataset" -> "Data set", "database" -> "Data set",
+    "briefing" -> "Briefing", "map_interactive" -> "Map (interactive)",
+    "country_profile" -> "Country fact sheet", "measure" -> "Measure",
+    "case_study" -> "Case study", "source" -> "Source")
+
+  /** The types whose presence in objectProvides excludes a freshwater doc
+    * from global search (site_wise_freshwater.py:66-71).
+    */
+  val wiseFreshwaterExcludeTypes: Seq[String] =
+    Seq("Measure", "Source", "Case study", "chemical")
+
+  /** `normalized_bep` (site_wise_freshwater.py:137-157): strip the
+    * "BP12 - " / "ES3 - " / "PO1 - " code prefix from each list value;
+    * values that don't full-match the pattern pass through.
+    */
+  def bepStrip(c: Column, prefix: String): Column = {
+    val pat = "^" + prefix + "\\d+\\s-\\s(.+)$"
+    transform(c, x =>
+      when(x.rlike(pat), trim(regexp_extract(x, pat, 1))).otherwise(x))
+  }
+
+  /** `normalize_freshwater` (site_wise_freshwater.py:22-131) end-to-end.
+    * Expected input columns: id (@id URL), type_raw (@type), review_state,
+    * title, spatial, text, summary, biophysical_impacts /
+    * ecosystem_services / policy_objectives struct<value:array<struct<name>>>,
+    * legislative_reference array<struct<title>>, category array<string>,
+    * measure_sector, country array<string>, measure_summary struct<data>
+    * (html — the Measure description override; trafilatura.extract is
+    * approximated by the cleanhtml tag-strip per SURVEY §6).
+    */
+  def normalizeWiseFreshwater(docs: DataFrame,
+      whitelist: Seq[String] = wiseFreshwaterWhitelist,
+      locationRules: Seq[(String, Seq[String])] = wiseFreshwaterLocationRules,
+      normObj: Map[String, String] = wiseFreshwaterNormObj): DataFrame = {
+    val pre = docs
+      .withColumn("spatial", // :39 — country profile's spatial is its title
+        when(col("type_raw") === "country_profile", array(col("title")))
+          .otherwise(col("spatial")))
+      .withColumn("themes", array(lit("water"))) // :42
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = normObj,
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+
+    // :50-60 — ONLY Webpage re-resolves by location rules (narrower than
+    // wise_marine's Webpage+factsheet set)
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*")) docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    val reResolved = when(col("object_provides_scalar") === "Webpage",
+      coalesce(byRules, array(lit("Webpage"))))
+      .otherwise(array(col("object_provides_scalar")))
+    // :61-65 — Data-set collapse, same as marine
+    val dataSetFixed = when(array_contains(reResolved, "Data set"),
+      when(size(reResolved) === 1, array(lit("Webpage")))
+        .otherwise(array_remove(reResolved, "Webpage")))
+      .otherwise(reResolved)
+
+    val op = col("object_provides")
+    val isMeasure = array_contains(op, "Measure")
+    val out = common
+      .withColumn("object_provides", dataSetFixed)
+      .drop("object_provides_scalar")
+      // :66-71 — exclude Measure/Source/Case study/chemical docs
+      .withColumn("exclude_from_globalsearch",
+        when(wiseFreshwaterExcludeTypes
+          .map(t => array_contains(op, t)).reduce(_ || _), array(lit("True"))))
+      // :77-105 — bep vocab fan-out with code-prefix strip
+      .withColumn("biophysical_impacts",
+        bepStrip(vocabList(col("biophysical_impacts.value"), "name"), "BP"))
+      .withColumn("ecosystem_services",
+        bepStrip(vocabList(col("ecosystem_services.value"), "name"), "ES"))
+      .withColumn("policy_objectives",
+        bepStrip(vocabList(col("policy_objectives.value"), "name"), "PO"))
+      // :106-114 — struct-vocab variant (string-list inputs pass a caller
+      // projection instead, mirroring the reference's isinstance branch)
+      .withColumn("legislative_reference", vocabList(col("legislative_reference")))
+      .withColumn("cluster_name", lit("wise-freshwater")) // :118
+      // :120-122 — country moves to wise_country, source key removed
+      .withColumn("wise_country", col("country"))
+      .drop("country")
+      // :126-130 — Measure description from measure_summary html
+      .withColumn("description",
+        when(isMeasure && col("measure_summary.data").isNotNull,
+          graft.functions.TextFns.cleanHtml(col("measure_summary.data")))
+          .otherwise(col("description")))
+    NormOps.addCounts(out,
+      listCols = Seq("object_provides", "policy_objectives"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // ============================================================= site: bise
+
+  /** `config_bise.normalize` (variables.json). */
+  val biseWhitelist: Seq[String] = Seq(
+    "Document", "Page", "CompositePage", "File", "News Item", "visualization",
+    "bise_factsheet")
+
+  val biseLocationRules: Seq[(String, Seq[String])] = Seq(
+    "/protected-areas" -> Seq("Topic page"),
+    "/protected-areas/*" -> Seq("Topic page", "Webpage"),
+    "/threats/*" -> Seq("Topic page", "Webpage"),
+    "/ecosystems/*" -> Seq("Topic page", "Webpage"))
+
+  val biseNormObj: Map[String, String] = Map(
+    "Document" -> "Webpage", "Page" -> "Webpage", "CompositePage" -> "Webpage",
+    "File" -> "File", "News Item" -> "News",
+    "visualization" -> "Chart (interactive)",
+    "bise_factsheet" -> "Country fact sheet")
+
+  /** `normalize_biodiversity_europa_eu` (site_biodiversity.py:20-66):
+    * factsheet spatial, themes=["biodiversity"], Webpage location
+    * re-resolution, Country-fact-sheet → +Dashboard pairing.
+    */
+  def normalizeBise(docs: DataFrame,
+      whitelist: Seq[String] = biseWhitelist,
+      locationRules: Seq[(String, Seq[String])] = biseLocationRules,
+      normObj: Map[String, String] = biseNormObj): DataFrame = {
+    val pre = docs
+      .withColumn("spatial", // :37 — factsheet spatial is its title
+        when(col("type_raw") === "bise_factsheet", array(col("title")))
+          .otherwise(col("spatial")))
+      .withColumn("themes", array(lit("biodiversity"))) // :40
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = normObj,
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*")) docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    // :46-56 — Webpage re-resolves; :57-58 — a factsheet pairs with Dashboard
+    val resolved =
+      when(col("object_provides_scalar") === "Webpage",
+        coalesce(byRules, array(lit("Webpage"))))
+        .when(col("object_provides_scalar") === "Country fact sheet",
+          array(lit("Country fact sheet"), lit("Dashboard")))
+        .otherwise(array(col("object_provides_scalar")))
+    val out = common
+      .withColumn("object_provides", resolved)
+      .drop("object_provides_scalar")
+      .withColumn("cluster_name", lit("bise")) // :60
+    NormOps.addCounts(out,
+      listCols = Seq("object_provides"), scalarCols = Seq("cluster_name"))
+  }
+
+  // ============================================================ site: noise
+
+  /** `get_page_title` (normalizers.py:254): the <title> text of the scraped
+    * page html (trafilatura's metadata title; the rigid <title> leaf makes
+    * the regex extraction exact).
+    */
+  def pageTitle(html: Column): Column =
+    trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** `normalize_industry`@noise (site_noise.py:23-45): every doc is forced
+    * to a published Page, then constants — objectProvides
+    * [Webpage, Map (interactive)], topic [Noise], a pinned issued stamp —
+    * and the title comes from the scraped page's <title>. Expected input:
+    * id, text, summary, web_html.
+    */
+  def normalizeNoise(docs: DataFrame): DataFrame = {
+    val pre = docs
+      .withColumn("type_raw", lit("Page")) // :30
+      .withColumn("review_state", lit("published")) // :31
+      .withColumn("title", pageTitle(col("web_html"))) // :40 (pre-joinText)
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      descriptionCol = Some("description")))
+
+    val out = common
+      .withColumn("cluster_name", lit("noise")) // :35
+      .withColumn("object_provides", // :36
+        array(lit("Webpage"), lit("Map (interactive)")))
+      .withColumn("topic", array(lit("Noise"))) // :37
+      .withColumn("issued", lit("2021-07-01T13:47:12.000Z")) // :38
+    NormOps.addCounts(out,
+      listCols = Seq("object_provides", "topic"), scalarCols = Seq("cluster_name"))
+  }
+
+  // ============================================================== site: eea
+
+  /** Token-set Dice coefficient 2·|A∩B| / (|A|+|B|) — the stand-in for
+    * site_eea_europa_eu.py:15's difflib `SequenceMatcher.ratio()` (a
+    * sequence-alignment ratio has no relational equivalent; at the 0.2
+    * "mostly similar text" threshold the token-overlap contract is the
+    * same). NULL inputs score 0.
+    */
+  def diceSim(a: Column, b: Column): Column = {
+    val ta = array_distinct(split(trim(coalesce(a, lit(""))), "\\s+"))
+    val tb = array_distinct(split(trim(coalesce(b, lit(""))), "\\s+"))
+    when(size(ta) + size(tb) === 0, lit(0.0))
+      .otherwise(size(array_intersect(ta, tb)) * 2.0 / (size(ta) + size(tb)))
+  }
+
+  /** `normalize_eea_europa_eu` (site_eea_europa_eu.py:18-52): the flagship
+    * site. Expected input columns: id, type_raw (@type, NULL drops the
+    * row), review_state, title, text, summary, description,
+    * parent_type/parent_description (the Fiche duplicate check :26-29),
+    * source, language (post-common fill exercised via normMissing),
+    * has_duplicate (duplicate_info.has_duplicate :45).
+    */
+  def normalizeEea(docs: DataFrame): DataFrame = {
+    val isFiche = col("type_raw") === "Fiche"
+    val ficheDup = isFiche && col("parent_type") === "Report" &&
+      diceSim(col("description"), col("parent_description")) > 0.2
+    val pre = docs
+      .filter(col("type_raw").isNotNull) // :21-22
+      .filter(!coalesce(ficheDup, lit(false))) // :26-29 — duplicated Fiche
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      dropTypes = Seq("Plone Site"), // :23-24
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+        "Fiche" -> "Briefing", "Term" -> "Glossary term",
+        "helpcenter_faq" -> "FAQ", "News Item" -> "News"),
+      normObjCols = Some(Seq("object_provides_scalar")),
+      normMissing = Seq("language" -> "en"),
+      descriptionCol = Some("description")))
+
+    val isTerm = col("type_raw") === "Term"
+    val hasDup = coalesce(col("has_duplicate"), lit(false))
+    val counted = NormOps.addCounts(
+      common
+        // :34-35 — English FAQ entries are dropped AFTER normalization
+        .filter(!(col("language") === "en" && col("type_raw") === "helpcenter_faq"))
+        // :37-39 — glossary terms carry their raw description/source
+        .withColumn("term_description", when(isTerm, col("description")))
+        .withColumn("term_source", when(isTerm, col("source")))
+        .withColumn("cluster_name", lit("eea")) // :40
+        .withColumn("object_provides", array(col("object_provides_scalar")))
+        .drop("object_provides_scalar"),
+      listCols = Seq("object_provides"), scalarCols = Seq("cluster_name"))
+    // :45-48 — docs flagged duplicate ALSO count as a Briefing
+    counted
+      .withColumn("object_provides",
+        when(hasDup && !array_contains(col("object_provides"), "Briefing"),
+          concat(col("object_provides"), array(lit("Briefing"))))
+          .otherwise(col("object_provides")))
+      .withColumn("items_count_object_provides",
+        size(col("object_provides")).cast("long"))
+  }
 }

@@ -404,4 +404,191 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(r0.getAs[String]("cluster_name") == "fise_sdi")
     assert(r0.getAs[Long]("items_count_spatial") == 2L)
   }
+
+  // ------------------------------------------------------ wise_freshwater
+
+  test("bepStrip removes code prefixes only from full-matching values") {
+    val df = spark.range(1).selectExpr(
+      "array('BP12 - Water retention', 'BP3- no space', 'plain') as v")
+    val got = df.select(bepStrip(col("v"), "BP").as("v"))
+      .head.getSeq[String](0)
+    assert(got == Seq("Water retention", "BP3- no space", "plain"))
+  }
+
+  private lazy val freshwaterDocs = spark.range(5).selectExpr(
+    "cast(id as int) as rn",
+    """concat('https://water.europa.eu', CASE id
+         WHEN 0 THEN '/freshwater/europe-freshwater/overview'
+         WHEN 1 THEN '/freshwater/countries/italy'
+         WHEN 2 THEN '/freshwater/measures/m1'
+         WHEN 3 THEN '/freshwater/other'
+         ELSE '/freshwater/x' END) as id""",
+    """CASE id WHEN 0 THEN 'Page' WHEN 1 THEN 'country_profile'
+         WHEN 2 THEN 'measure' WHEN 3 THEN 'dataset'
+         ELSE 'Collection' END as type_raw""",
+    "'published' as review_state",
+    "CASE WHEN id = 1 THEN 'Italy' ELSE concat('Title ', id) END as title",
+    "array('Baltic') as spatial",
+    "'freshwater assessment text with enough words for a body' as text",
+    "'summary text' as summary",
+    "named_struct('value', array(named_struct('name','BP12 - Water retention'), named_struct('name','Other impact'))) as biophysical_impacts",
+    "named_struct('value', array(named_struct('name','ES3 - Flood control'))) as ecosystem_services",
+    "named_struct('value', array(named_struct('name','PO1 - Good status'))) as policy_objectives",
+    "array(named_struct('title','WFD')) as legislative_reference",
+    "array('cat1') as category",
+    "'agriculture' as measure_sector",
+    "array('Italy','Spain') as country",
+    "named_struct('data', '<p>Measure <b>summary</b> body</p>') as measure_summary")
+
+  test("normalizeWiseFreshwater: rules, bep strip, exclusions, country move") {
+    val out = byRn(normalizeWiseFreshwater(freshwaterDocs))
+    assert(out.size == 4) // Collection dropped
+
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    assert(op(0) == Seq("Topic page"))  // europe-freshwater/* rule
+    assert(op(1) == Seq("Country fact sheet")) // not Webpage: no re-resolve
+    assert(op(2) == Seq("Measure"))
+    assert(op(3) == Seq("Webpage")) // lone Data set collapses (:61-63)
+
+    // country_profile spatial = title (:39)
+    assert(out(1).getSeq[String](out(1).fieldIndex("spatial")) == Seq("Italy"))
+
+    // Measure/Source/Case study/chemical exclusion (:66-71)
+    assert(out(2).getSeq[String](out(2).fieldIndex("exclude_from_globalsearch")) ==
+      Seq("True"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("exclude_from_globalsearch")) == null)
+
+    // bep prefix strip (:77-105)
+    assert(out(0).getSeq[String](out(0).fieldIndex("biophysical_impacts")) ==
+      Seq("Water retention", "Other impact"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("ecosystem_services")) ==
+      Seq("Flood control"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("policy_objectives")) ==
+      Seq("Good status"))
+
+    assert(out(0).getSeq[String](out(0).fieldIndex("legislative_reference")) ==
+      Seq("WFD"))
+
+    // country → wise_country, source column removed (:120-122)
+    assert(out(0).getSeq[String](out(0).fieldIndex("wise_country")) ==
+      Seq("Italy", "Spain"))
+    assert(!out(0).schema.fieldNames.contains("country"))
+
+    // Measure description from measure_summary html (:126-130)
+    assert(out(2).getAs[String]("description") == "Measure summary body")
+    assert(out(0).getAs[String]("description") != "Measure summary body")
+    assert(out(0).getAs[String]("cluster_name") == "wise-freshwater")
+  }
+
+  // ----------------------------------------------------------------- bise
+
+  test("normalizeBise: Webpage rules and the factsheet+Dashboard pairing") {
+    val docs = spark.range(4).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://biodiversity.europa.eu', CASE id
+           WHEN 0 THEN '/protected-areas'
+           WHEN 1 THEN '/threats/invasive-species'
+           WHEN 2 THEN '/countries/italy'
+           ELSE '/other' END) as id""",
+      """CASE id WHEN 0 THEN 'Page' WHEN 1 THEN 'Document'
+           WHEN 2 THEN 'bise_factsheet' ELSE 'Document' END as type_raw""",
+      "'published' as review_state",
+      "CASE WHEN id = 2 THEN 'Italy' ELSE concat('Title ', id) END as title",
+      "cast(null as array<string>) as spatial",
+      "'biodiversity text with enough words for a body' as text",
+      "'summary' as summary")
+    val out = byRn(normalizeBise(docs))
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    // the exact /protected-areas rule matches, but so does the LATER
+    // /protected-areas/* glob (is_doc_on_path strips slashes, so the glob
+    // covers its own root) — last match wins, like find_ct_by_rules
+    assert(op(0) == Seq("Topic page", "Webpage"))
+    assert(op(1) == Seq("Topic page", "Webpage")) // threats/* rule
+    assert(op(2) == Seq("Country fact sheet", "Dashboard")) // :57-58
+    assert(op(3) == Seq("Webpage"))               // fallback
+    assert(out(2).getSeq[String](out(2).fieldIndex("spatial")) == Seq("Italy"))
+    assert(out(0).getAs[String]("cluster_name") == "bise")
+  }
+
+  // ---------------------------------------------------------------- noise
+
+  test("normalizeNoise: forced type, constants, title from page html") {
+    val docs = spark.range(2).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://noise.eea.europa.eu/page/', id) as id",
+      "'noise map text with enough words for a body' as text",
+      "'summary' as summary",
+      "concat('<html><head><title> Noise map ', id, ' </title></head><body>x</body></html>') as web_html")
+    val out = byRn(normalizeNoise(docs))
+    assert(out.size == 2)
+    val r0 = out(0)
+    assert(r0.getSeq[String](r0.fieldIndex("object_provides")) ==
+      Seq("Webpage", "Map (interactive)"))
+    assert(r0.getSeq[String](r0.fieldIndex("topic")) == Seq("Noise"))
+    assert(r0.getAs[String]("issued") == "2021-07-01T13:47:12.000Z")
+    assert(r0.getAs[String]("title") == "Noise map 0")
+    assert(r0.getAs[String]("workflow_state") == "published")
+    assert(r0.getAs[Long]("items_count_object_provides") == 2L)
+  }
+
+  // ------------------------------------------------------------------ eea
+
+  private lazy val eeaDocs = spark.range(7).selectExpr(
+    "cast(id as int) as rn",
+    "concat('https://www.eea.europa.eu/d/', id) as id",
+    """CASE id WHEN 0 THEN 'Document' WHEN 1 THEN 'Fiche' WHEN 2 THEN 'Fiche'
+         WHEN 3 THEN 'Term' WHEN 4 THEN 'helpcenter_faq'
+         WHEN 5 THEN cast(null as string) ELSE 'Plone Site' END as type_raw""",
+    "'published' as review_state",
+    "concat('Title ', id) as title",
+    "'eea report text with enough words for a body' as text",
+    "'summary' as summary",
+    """CASE WHEN id = 1 THEN 'shared summary of the parent report body'
+            WHEN id = 2 THEN 'completely different fiche text'
+            ELSE concat('desc ', id) END as description""",
+    "CASE WHEN id IN (1, 2) THEN 'Report' END as parent_type",
+    """CASE WHEN id IN (1, 2) THEN 'shared summary of the parent report body'
+       END as parent_description""",
+    "'EEA glossary' as source",
+    "id = 0 as has_duplicate")
+
+  test("normalizeEea: Fiche dup drop, FAQ drop, Term fields, Briefing append") {
+    val out = byRn(normalizeEea(eeaDocs))
+    // dropped: rn=1 (Fiche similar to parent), rn=4 (en FAQ),
+    // rn=5 (null type), rn=6 (Plone Site)
+    assert(out.keySet == Set(0, 2, 3))
+
+    // the dissimilar Fiche survives and maps to Briefing
+    assert(out(2).getSeq[String](out(2).fieldIndex("object_provides")) ==
+      Seq("Briefing"))
+
+    // glossary term carries raw description/source (:37-39)
+    assert(out(3).getSeq[String](out(3).fieldIndex("object_provides")) ==
+      Seq("Glossary term"))
+    assert(out(3).getAs[String]("term_description") == "desc 3")
+    assert(out(3).getAs[String]("term_source") == "EEA glossary")
+    assert(out(0).getAs[String]("term_description") == null)
+
+    // duplicate_info → Briefing appended + count bumped (:45-48)
+    assert(out(0).getSeq[String](out(0).fieldIndex("object_provides")) ==
+      Seq("Webpage", "Briefing"))
+    assert(out(0).getAs[Long]("items_count_object_provides") == 2L)
+    assert(out(3).getAs[Long]("items_count_object_provides") == 1L)
+    assert(out(0).getAs[String]("cluster_name") == "eea")
+    assert(out(0).getAs[String]("language") == "en") // normMissing fill
+  }
+
+  test("diceSim scores similar and dissimilar text like the dup gate needs") {
+    val df = spark.range(1).selectExpr(
+      "'shared summary of the parent report body' as a",
+      "'shared summary of the parent report body extended' as b",
+      "'completely different fiche text' as c")
+    val r = df.select(
+      diceSim(col("a"), col("b")).as("sim"),
+      diceSim(col("a"), col("c")).as("dis"),
+      diceSim(col("a"), lit(null).cast("string")).as("nul")).head
+    assert(r.getDouble(0) > 0.2)
+    assert(r.getDouble(1) < 0.2)
+    assert(r.getDouble(2) == 0.0)
+  }
 }

@@ -806,4 +806,90 @@ object SiteNormalizers {
       .withColumn("items_count_object_provides",
         size(col("object_provides")).cast("long"))
   }
+
+  // =========================================================== site: eea_en
+
+  /** `config_eea_en.attribute_to_content_type_mapping` (variables.json):
+    * a doc whose `subjects` contains the key (case-insensitive) gains the
+    * mapped content types — `update_ct_by_attr` (normalizers.py:662).
+    */
+  val eeaEnAttrMapping: Seq[(String, Seq[String])] = Seq(
+    "country fact sheet" -> Seq("Country fact sheet"),
+    "country profile" -> Seq("Country fact sheet"))
+
+  /** `normalize_eea_europa_eu`@eea_en (site_eea_europa_eu_en.py:28-70):
+    * the www.eea.europa.eu/en site — sandbox-path drop, taxonomy vocab
+    * fan-out, File/Image workflow backfill, visualization-Indicator title
+    * rule, and the attr-mapping content-type append. Expected input
+    * columns: id, type_raw (@type; NULL drops), review_state, title, text,
+    * summary, description, creation_date, topics / taxonomy_dpsir /
+    * taxonomy_typology / taxonomy_un_sdgs array<struct<title>>,
+    * subjects array<string>.
+    */
+  def normalizeEeaEn(docs: DataFrame,
+      attrMapping: Seq[(String, Seq[String])] = eeaEnAttrMapping): DataFrame = {
+    val pre = docs
+      .filter(col("type_raw").isNotNull) // :32-33
+      .withColumn("object_provides_scalar", col("type_raw"))
+
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      dropTypes = Seq("Plone Site"), // :34-35
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+        "File" -> "File", "News Item" -> "News",
+        "visualization" -> "Chart (interactive)"),
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+
+    // :41-44 — any 'sandbox' PATH SEGMENT drops the doc post-normalization
+    val pathParts = split(
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+    val opBase = array(col("object_provides_scalar"))
+    val isFileOrImage =
+      array_contains(opBase, "File") || array_contains(opBase, "Image")
+    val backfillState = isFileOrImage && col("workflow_state") === "missing"
+    val s1 = common
+      .filter(!array_contains(pathParts, "sandbox"))
+      .withColumn("cluster_name", lit("eea")) // :46
+      .withColumn("topic", vocabList(col("topics"))) // :48 add_topic
+      .withColumn("dpsir", vocabList(col("taxonomy_dpsir"))) // :50
+      .withColumn("typology", vocabList(col("taxonomy_typology")))
+      .withColumn("un_sdgs", vocabList(col("taxonomy_un_sdgs")))
+      // :56-63 — File/Image with a missing workflow state publish, issued
+      // backfills from creation_date (`issued` is optional input — the
+      // reference reads it with doc.get)
+      .withColumn("issued", {
+        val issued0 =
+          if (common.columns.contains("issued")) col("issued")
+          else lit(null).cast("string")
+        when(backfillState && issued0.isNull, col("creation_date"))
+          .otherwise(issued0)
+      })
+      .withColumn("workflow_state",
+        when(backfillState, lit("published")).otherwise(col("workflow_state")))
+      // :64-65 — a visualization whose title mentions Indicator is one
+      .withColumn("object_provides",
+        when(col("type_raw") === "visualization" &&
+          coalesce(col("title"), lit("")).contains("Indicator"),
+          concat(opBase, array(lit("Indicator")))).otherwise(opBase))
+      .drop("object_provides_scalar")
+
+    // :68 update_ct_by_attr (normalizers.py:662): case-insensitive subjects
+    // membership appends mapped types not already present
+    def appendIfAbsent(op: Column, v: String): Column =
+      when(array_contains(op, v), op).otherwise(concat(op, array(lit(v))))
+    val subjectsLc = transform(
+      coalesce(col("subjects"), array().cast("array<string>")), x => lower(x))
+    val withAttr = attrMapping.foldLeft(col("object_provides")) {
+      case (op, (key, newOps)) =>
+        val hit = array_contains(subjectsLc, key.toLowerCase)
+        newOps.foldLeft(op)((o, n) => when(hit, appendIfAbsent(o, n)).otherwise(o))
+    }
+    NormOps.addCounts(
+      s1.withColumn("object_provides", withAttr),
+      listCols = Seq("object_provides", "topic"),
+      scalarCols = Seq("cluster_name"))
+  }
 }

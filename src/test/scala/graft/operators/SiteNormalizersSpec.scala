@@ -578,6 +578,52 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(out(0).getAs[String]("language") == "en") // normMissing fill
   }
 
+  // --------------------------------------------------------------- eea_en
+
+  test("normalizeEeaEn: sandbox drop, workflow backfill, attr-mapping append") {
+    val docs = spark.range(7).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://www.eea.europa.eu/en', CASE id
+           WHEN 4 THEN '/sandbox/page4' ELSE concat('/analysis/d', id) END) as id""",
+      """CASE id WHEN 0 THEN 'Document' WHEN 1 THEN 'File'
+           WHEN 2 THEN 'visualization' WHEN 3 THEN 'Page'
+           WHEN 4 THEN 'Document' WHEN 5 THEN cast(null as string)
+           ELSE 'Plone Site' END as type_raw""",
+      "CASE WHEN id = 1 THEN cast(null as string) ELSE 'published' END as review_state",
+      """CASE WHEN id = 2 THEN 'Indicator: Air quality'
+              ELSE concat('Title ', id) END as title""",
+      "'analysis text with enough words for a body' as text",
+      "'summary' as summary",
+      "cast(null as string) as description",
+      "'2020-01-01' as creation_date",
+      "array(named_struct('title','Air pollution')) as topics",
+      "array(named_struct('title','Pressure')) as taxonomy_dpsir",
+      "array(named_struct('title','Indicator typology')) as taxonomy_typology",
+      "array(named_struct('title','SDG 13')) as taxonomy_un_sdgs",
+      """CASE WHEN id = 3 THEN array('Environment', 'Country Fact Sheet')
+              ELSE array('Environment') END as subjects""")
+    val out = byRn(normalizeEeaEn(docs))
+    // dropped: rn=4 (sandbox path), rn=5 (null type), rn=6 (Plone Site)
+    assert(out.keySet == Set(0, 1, 2, 3))
+
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    assert(op(0) == Seq("Webpage"))
+    // File with missing workflow state publishes + issued backfills (:56-63)
+    assert(out(1).getAs[String]("workflow_state") == "published")
+    assert(out(1).getAs[String]("issued") == "2020-01-01")
+    assert(out(0).getAs[String]("workflow_state") == "published")
+    // visualization titled Indicator gains the type (:64-65)
+    assert(op(2) == Seq("Chart (interactive)", "Indicator"))
+    // attr-mapping: case-insensitive subjects hit appends (:68, lib :662)
+    assert(op(3) == Seq("Webpage", "Country fact sheet"))
+    assert(out(3).getAs[Long]("items_count_object_provides") == 2L)
+    // taxonomy fan-out
+    assert(out(0).getSeq[String](out(0).fieldIndex("topic")) == Seq("Air pollution"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("dpsir")) == Seq("Pressure"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("un_sdgs")) == Seq("SDG 13"))
+    assert(out(0).getAs[String]("cluster_name") == "eea")
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_cluster" -> (GraphOps.qDedupCluster _),
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
+    "site_bise" -> (SiteNormalizers.qSiteBise _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
@@ -644,6 +645,45 @@ object SparkEntry {
         |    trim(ft_raw) AS fulltext
         |  FROM tg3)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
+    // the bise site pipeline: admission → workflow → fulltext → content
+    // types (normObj + location rules, last-match-wins incl. the glob
+    // covering its own exact root) → factsheet pairing → description
+    // fallback → counts. Fulltext assembly mirrors the norm_pipeline CTEs.
+    "site_bise" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Page'
+        |         WHEN doc_id % 4 = 1 THEN 'Document'
+        |         ELSE 'bise_factsheet' END AS type_raw,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'published' END AS review_state,
+        |    'Title ' || doc_id AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE '<p>Summary ' || doc_id || '</p>' END AS summary
+        |  FROM documents
+        |  WHERE doc_id % 4 <> 3),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE WHEN type_raw = 'bise_factsheet' THEN 'Country fact sheet|Dashboard'
+        |       WHEN doc_id % 5 IN (0, 1, 3) THEN 'Topic page|Webpage'
+        |       ELSE 'Webpage' END AS object_provides,
+        |  CASE WHEN type_raw = 'bise_factsheet' THEN 'Title ' || doc_id END AS spatial,
+        |  CASE WHEN review_state IS NULL THEN 'missing' ELSE review_state END AS workflow_state,
+        |  'bise' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(CASE WHEN type_raw = 'bise_factsheet' OR doc_id % 5 IN (0, 1, 3)
+        |       THEN 2 ELSE 1 END AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH e AS (
         |  SELECT doc_id AS src, doc_id - doc_id % 5 AS dst

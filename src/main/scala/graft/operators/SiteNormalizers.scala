@@ -892,4 +892,44 @@ object SiteNormalizers {
       listCols = Seq("object_provides", "topic"),
       scalarCols = Seq("cluster_name"))
   }
+
+  // ---------------------------------------------------- queries() wrapper
+
+  /** queries() entry: the bise site pipeline end-to-end over synthesized
+    * document columns — admission whitelist, workflow state, fulltext
+    * assembly, normObj content types, location-rule re-resolution
+    * (exact + glob, last-match-wins), factsheet spatial + Dashboard
+    * pairing, description fallback, add_counts. Array outputs join to
+    * `|`-strings so the DuckDB oracle compares scalars.
+    */
+  def qSiteBise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://biodiversity.europa.eu"),
+        when(id % 5 === 0, lit("/protected-areas"))
+          .when(id % 5 === 1, concat(lit("/threats/t"), id))
+          .when(id % 5 === 2, concat(lit("/countries/c"), id))
+          .when(id % 5 === 3, concat(lit("/ecosystems/e"), id))
+          .otherwise(concat(lit("/other/o"), id))).as("id"),
+      when(id % 4 === 0, lit("Page"))
+        .when(id % 4 === 1, lit("Document"))
+        .when(id % 4 === 2, lit("bise_factsheet"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      when(id % 7 === 0, lit(null).cast("string"))
+        .otherwise(lit("published")).as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      lit(null).cast("array<string>").as("spatial"),
+      col("text"),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("<p>Summary "), id, lit("</p>"))).as("summary"))
+    normalizeBise(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("spatial"), "|").as("spatial"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
 }

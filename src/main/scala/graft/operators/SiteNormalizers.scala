@@ -893,6 +893,437 @@ object SiteNormalizers {
       scalarCols = Seq("cluster_name"))
   }
 
+  // =================================== simple sites: industry, cab, ias…
+
+  /** The GENERIC site shape shared by the reference's small wrappers
+    * (site_industry.py:22-57, site_climate_advisory_board.py:20-45, …):
+    * whitelist admission → optional themes constant → common_normalizer →
+    * cluster_name → add_counts. Everything else in those files is logging.
+    */
+  def normalizeSimpleSite(docs: DataFrame, cluster: String,
+      themes: Seq[String] = Nil,
+      whitelist: Seq[String] = Nil,
+      normObj: Map[String, String] = Map(
+        "Document" -> "Webpage", "Page" -> "Webpage", "File" -> "File",
+        "News Item" -> "News")): DataFrame = {
+    val pre0 =
+      if (themes.isEmpty) docs
+      else docs.withColumn("themes", array(themes.map(lit): _*))
+    val pre = pre0.withColumn("object_provides_scalar", col("type_raw"))
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = normObj,
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+    NormOps.addCounts(
+      common
+        .withColumn("object_provides", array(col("object_provides_scalar")))
+        .drop("object_provides_scalar")
+        .withColumn("cluster_name", lit(cluster)),
+      listCols = Seq("object_provides"), scalarCols = Seq("cluster_name"))
+  }
+
+  /** site_industry.py:22-57 with `config_industry` (variables.json). */
+  def normalizeIndustry(docs: DataFrame): DataFrame =
+    normalizeSimpleSite(docs, cluster = "industry", themes = Seq("industry"),
+      whitelist = Seq("Document", "Page"))
+
+  /** site_climate_advisory_board.py:20-45 — empty whitelist admits all. */
+  def normalizeCab(docs: DataFrame): DataFrame =
+    normalizeSimpleSite(docs, cluster = "cab")
+
+  /** site_ias.py:20-57: the simple shape plus the european-statistics
+    * path override — a Map-titled product is a Map (interactive),
+    * anything else there is a Dashboard.
+    */
+  def normalizeIas(docs: DataFrame): DataFrame = {
+    val base = normalizeSimpleSite(docs, cluster = "ias",
+      themes = Seq("biodiversity"),
+      whitelist = Seq("Document", "Page", "News Item"))
+    val parts = split(
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+    val isStats = try_element_at(parts, lit(1)) === "products" &&
+      try_element_at(parts, lit(2)) === "european-statistics"
+    base
+      .withColumn("object_provides",
+        when(isStats && !coalesce(col("title"), lit("")).startsWith("Map"),
+          array(lit("Dashboard")))
+          .when(isStats, array(lit("Map (interactive)")))
+          .otherwise(col("object_provides")))
+      .withColumn("items_count_object_provides",
+        size(col("object_provides")).cast("long"))
+  }
+
+  // ========================================================== site: energy
+
+  val energyWhitelist: Seq[String] =
+    Seq("Document", "Page", "File", "News Item", "visualization")
+
+  val energyLocationRules: Seq[(String, Seq[String])] =
+    Seq("/countries/*" -> Seq("Country fact sheet"))
+
+  /** `normalize_energy` (site_energy.py:20-69): UNCONDITIONAL location-rule
+    * resolution (every admitted doc, not just Webpages), factsheet spatial
+    * from the title, the resource_type Data → Dashboard override, and the
+    * /topics/…/intro → Topic page rule. Expected input adds
+    * resource_type struct<token> (optional).
+    */
+  def normalizeEnergy(docs: DataFrame,
+      whitelist: Seq[String] = energyWhitelist,
+      locationRules: Seq[(String, Seq[String])] = energyLocationRules): DataFrame = {
+    val pre = docs
+      .withColumn("themes", array(lit("energy"))) // :37
+      .withColumn("object_provides_scalar", col("type_raw"))
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+        "File" -> "File", "News Item" -> "News",
+        "visualization" -> "Chart (interactive)"),
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*")) docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    val parts = split(docLoc, "/")
+    val ct0 = coalesce(byRules, array(lit("Webpage"))) // :44-48 unconditional
+    val ct = when(col("resource_type.token") === "Data", array(lit("Dashboard"))) // :52-53
+      .when(try_element_at(parts, lit(1)) === "topics" &&
+        try_element_at(parts, lit(-1)) === "intro",
+        array(lit("Topic page"))) // :55-60
+      .otherwise(ct0)
+    NormOps.addCounts(
+      common
+        .withColumn("spatial", // :49-50 — factsheet spatial is the title
+          when(try_element_at(ct0, lit(1)) === "Country fact sheet", col("title")))
+        .withColumn("object_provides", ct)
+        .drop("object_provides_scalar")
+        .withColumn("cluster_name", lit("energy")), // :63
+      listCols = Seq("object_provides"), scalarCols = Seq("cluster_name"))
+  }
+
+  // ========================================================== site: forest
+
+  val forestWhitelist: Seq[String] = Seq(
+    "Document", "Page", "News Item", "basic_data_factsheet",
+    "european_union_factsheet", "country_biodiversity_factsheet",
+    "country_bioeconomy_factsheet", "country_climate_factsheet",
+    "country_vitality_factsheet")
+
+  val forestLocationRules: Seq[(String, Seq[String])] = Seq(
+    "/topics/*" -> Seq("Topic page"),
+    "/policy/*" -> Seq("Webpage"),
+    "/countries/regions/european-union" -> Seq("Dashboard"))
+
+  /** The factsheet portal types whose spatial comes from the PARENT title
+    * (site_forest.py:39-48) — all map to "Country fact sheet" in
+    * default_normalizers.
+    */
+  val forestFactsheetTypes: Seq[String] = Seq(
+    "basic_data_factsheet", "european_union_factsheet",
+    "country_biodiversity_factsheet", "country_bioeconomy_factsheet",
+    "country_climate_factsheet", "country_vitality_factsheet")
+
+  /** `normalize_forest` (site_forest.py:21-85): data-catalogue drop,
+    * parent-title spatial for factsheets (unless the parent is 'Regions'),
+    * Webpage location rules with the topics fallback (+places=EU27), and
+    * the Country-fact-sheet → Dashboard / pair split on the EU region
+    * path. Expected input adds: about, parent struct<title>.
+    */
+  def normalizeForest(docs: DataFrame,
+      whitelist: Seq[String] = forestWhitelist,
+      locationRules: Seq[(String, Seq[String])] = forestLocationRules): DataFrame = {
+    val isFactsheet = col("type_raw").isInCollection(forestFactsheetTypes)
+    val pre = docs
+      .filter(!col("about").contains("/resources/data-catalogue")) // :37-38
+      .withColumn("spatial", // :39-48
+        when(isFactsheet && col("parent.title") =!= "Regions",
+          array(col("parent.title"))).otherwise(col("spatial")))
+      .withColumn("themes", array(lit("biodiversity"))) // :50
+      .withColumn("object_provides_scalar", col("type_raw"))
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+        "News Item" -> "News") ++
+        forestFactsheetTypes.map(_ -> "Country fact sheet").toMap,
+      normObjCols = Some(Seq("object_provides_scalar")),
+      normMissing = Seq("places" -> "unknown"),
+      descriptionCol = Some("description")))
+
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (path, ct)) =>
+        val matched =
+          if (path.endsWith("*")) docLoc.startsWith(stripSlashes(path.stripSuffix("*")))
+          else docLoc === stripSlashes(path)
+        when(matched, array(ct.map(lit): _*)).otherwise(acc)
+    }
+    val scalarOp = col("object_provides_scalar")
+    val ruleCt = coalesce(byRules, array(lit("Webpage")))
+    // :58-70 — Webpage resolves by rules; a lone-Webpage result on a
+    // /topics path upgrades to Topic page with places backfilled to EU27
+    val topicsFallback = ruleCt === array(lit("Webpage")) &&
+      docLoc.startsWith("topics")
+    val webCt = when(topicsFallback, array(lit("Topic page"))).otherwise(ruleCt)
+    // :71-79 — factsheets: EU region path → Dashboard, else the pair
+    val ct = when(scalarOp === "Webpage", webCt)
+      .when(scalarOp === "Country fact sheet",
+        when(docLoc.startsWith("countries/regions/european-union"),
+          array(lit("Dashboard")))
+          .otherwise(array(lit("Country fact sheet"), lit("Dashboard"))))
+      .otherwise(array(scalarOp))
+    NormOps.addCounts(
+      common
+        .withColumn("places",
+          when(scalarOp === "Webpage" && topicsFallback &&
+            col("places") === "unknown", lit("EU27")).otherwise(col("places")))
+        .withColumn("object_provides", ct)
+        .drop("object_provides_scalar")
+        .withColumn("cluster_name", lit("fise")), // :56
+      listCols = Seq("object_provides"), scalarCols = Seq("cluster_name"))
+  }
+
+  // ========================================================== site: eionet
+
+  val eionetWhitelist: Seq[String] = Seq(
+    "Collection", "Page", "Document", "Folder", "File", "News Item", "etc_report")
+
+  /** The etcs/<etc-*> path-segment → topic terms map
+    * (site_eionet.py:46-71).
+    */
+  val eionetTopicMap: Seq[(String, Seq[String])] = Seq(
+    "etc-atni" -> Seq("term2", "term29"),
+    "etc-bd" -> Seq("term4"),
+    "etc-cca" -> Seq("term10"),
+    "etc-cme" -> Seq("term11", "term14"),
+    "etc-icm" -> Seq("term45", "term34"),
+    "etc-uls" -> Seq("term23", "term35"))
+
+  /** `normalize_eionet` (site_eionet.py:20-80): issued from
+    * publication_date, cluster "etc", per-ETC topic terms by path segment.
+    */
+  def normalizeEionet(docs: DataFrame,
+      whitelist: Seq[String] = eionetWhitelist): DataFrame = {
+    val pre = docs.withColumn("object_provides_scalar", col("type_raw"))
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+        "Folder" -> "Webpage", "File" -> "File", "News Item" -> "News",
+        "etc_report" -> "Report"),
+      normObjCols = Some(Seq("object_provides_scalar")),
+      descriptionCol = Some("description")))
+    val parts = split(
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+    val etc = when(try_element_at(parts, lit(1)) === "etcs",
+      try_element_at(parts, lit(2)))
+    val topic = eionetTopicMap.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (seg, terms)) =>
+        when(etc === seg, array(terms.map(lit): _*)).otherwise(acc)
+    }
+    NormOps.addCounts(
+      common
+        .withColumn("issued", // :41 — publication_date wins
+          coalesce(col("publication_date"),
+            if (common.columns.contains("issued")) col("issued")
+            else lit(null).cast("string")))
+        .withColumn("cluster_name", lit("etc")) // :43
+        .withColumn("topic", topic)
+        .withColumn("object_provides", array(col("object_provides_scalar")))
+        .drop("object_provides_scalar"),
+      listCols = Seq("object_provides", "topic"), scalarCols = Seq("cluster_name"))
+  }
+
+  // ======================================================== site: discomap
+
+  /** `normalize_industry`@discomap (site_discomap.py:22-60): every doc is a
+    * forced published Page titled from its scraped html; the climatechange
+    * and atlas URL families get topic constants and home-vs-map
+    * objectProvides. Expected input: id (full URL), text, summary,
+    * web_html, modified.
+    */
+  def normalizeDiscomap(docs: DataFrame): DataFrame = {
+    val pre = docs
+      .withColumn("type_raw", lit("Page")) // :31
+      .withColumn("review_state", lit("published")) // :32
+      .withColumn("title", pageTitle(col("web_html"))) // :37
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      descriptionCol = Some("description")))
+
+    val loc = col("id")
+    val locStripped = regexp_replace(loc, "/+$", "")
+    val ccHome = locStripped.isInCollection(Seq(
+      "https://discomap.eea.europa.eu/climatechange/?page=Home",
+      "https://discomap.eea.europa.eu/climatechange"))
+    val atlasHome = locStripped.isInCollection(Seq(
+      "https://discomap.eea.europa.eu/atlas/?page=Learn-more",
+      "https://discomap.eea.europa.eu/atlas/?page=Home",
+      "https://discomap.eea.europa.eu/atlas"))
+    val isCc = loc.startsWith("https://discomap.eea.europa.eu/climatechange")
+    val isAtlas = loc.startsWith("https://discomap.eea.europa.eu/atlas")
+    NormOps.addCounts(
+      common
+        .withColumn("cluster_name", lit("discomap")) // :38
+        .withColumn("issued", col("modified")) // :40
+        .withColumn("topic", // :42-43, :49-50
+          when(isCc, array(lit("Climate change adaptation"),
+            lit("Climate change mitigation")))
+            .when(isAtlas, array(lit("Environmental health impacts"))))
+        .withColumn("object_provides", // :44-47, :51-54
+          when(isCc, when(ccHome, array(lit("Webpage")))
+            .otherwise(array(lit("Map (interactive)"))))
+            .when(isAtlas, when(atlasHome, array(lit("Webpage")))
+              .otherwise(array(lit("Map (interactive)"))))),
+      listCols = Seq("object_provides", "topic"), scalarCols = Seq("cluster_name"))
+  }
+
+  // =================================================== site: fise_resource
+
+  /** `normalize_fise` (site_fise.py:23-91): the FISE resource-catalogue
+    * companion of sdi_fise — resource_type drives objectProvides, country
+    * comes from geo_coverage geolocation labels, publicationYear from
+    * publishing_year, update frequency is pinned, topics from
+    * resource_topics; the global normObj map re-applies after the fan-out
+    * (second apply_norm_obj, :85). Expected input: id, type_raw,
+    * resource_type, review_state, title, text, summary, uid, created,
+    * subjects array<string>, resource_topics array<string>,
+    * publishing_year, geo_coverage struct<geolocation:array<struct<label>>>.
+    */
+  def normalizeFiseResource(docs: DataFrame,
+      whitelist: Seq[String] = Nil,
+      normObj: Map[String, String] = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo")): DataFrame = {
+    val common = NormOps.commonNormalizer(docs, NormConfig(
+      typeCol = "type_raw",
+      typeWhitelist = whitelist,
+      workflowStateCol = Some("review_state"),
+      joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+      descriptionCol = Some("description")))
+    val m = typedLit(normObj)
+    // :85 — the reference re-applies apply_norm_obj AFTER the site fan-out;
+    // country is the list the second pass exists for (Kosovo label)
+    def normed(c: Column): Column =
+      transform(c, x => coalesce(try_element_at(m, x), x))
+    NormOps.addCounts(
+      common
+        .withColumn("country",
+          normed(vocabList(col("geo_coverage.geolocation"), "label"))) // :66-69
+        .withColumn("cluster_name", lit("fise_sdi")) // :76
+        .withColumn("object_provides", array(col("resource_type"))) // :77
+        .withColumn("keywords", col("subjects")) // :78
+        .withColumn("publicationYear", col("publishing_year")) // :79
+        .withColumn("update_frequency_value", lit("As needed")) // :81 FORCED
+        .withColumn("topic", col("resource_topics")), // :86
+      listCols = Seq("object_provides", "country", "topic"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // ================================================= site: copernicus_land
+
+  /** `normalize_copernicus_land` (site_copernicus_land.py:47-75;
+    * site_copernicus_demo_land.py is the same function under another
+    * registry name): technical-library taxonomy facets (tree-leaf values,
+    * `»`-prefix facet groups deduped keeping first occurrence), file size,
+    * version, and the TechnicalLibrary issued/year/description overrides.
+    * Expected input: id, type_raw, review_state, title, text, summary,
+    * taxonomy_technical_library_categorization array<struct<title>>,
+    * file struct<size>, version, publication_date, creation_date, created,
+    * description.
+    */
+  def normalizeCopernicusLand(docs: DataFrame): DataFrame = {
+    val common = NormOps.commonNormalizer(
+      docs.withColumn("object_provides_scalar", col("type_raw")),
+      NormConfig(
+        typeCol = "type_raw",
+        workflowStateCol = Some("review_state"),
+        joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+        normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+          "File" -> "File", "TechnicalLibrary" -> "Technical library"),
+        normObjCols = Some(Seq("object_provides_scalar")),
+        descriptionCol = Some("description")))
+    // get_library_categories_values (:29-31): taxonomy titles, '#' leaf
+    val values = transform(
+      vocabList(col("taxonomy_technical_library_categorization")),
+      t => try_element_at(split(t, "#"), lit(-1)))
+    // get_library_categories_facet (:33-35): '»' group prefix, first-dedup
+    val facet = array_distinct(transform(values,
+      v => trim(try_element_at(split(v, "»"), lit(1)))))
+    val isTechLib = col("type_raw") === "TechnicalLibrary"
+    val techDate = coalesce( // :66-69
+      col("publication_date"), col("creation_date"), col("created"))
+    NormOps.addCounts(
+      common
+        .withColumn("cluster_name", lit("copernicus_land")) // :57
+        .withColumn("library_categories_facet", facet)
+        .withColumn("library_categories_values", values)
+        .withColumn("file_size", coalesce(col("file.size"), lit(0L))) // :35-41
+        .withColumn("version", coalesce(col("version"), lit(""))) // :44
+        .withColumn("issued", when(isTechLib, techDate))
+        .withColumn("year", when(isTechLib, techDate))
+        .withColumn("description",
+          when(isTechLib, coalesce(col("description"), lit("")))
+            .otherwise(col("description")))
+        .withColumn("object_provides", array(col("object_provides_scalar")))
+        .drop("object_provides_scalar"),
+      listCols = Seq("object_provides", "library_categories_values"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // =============================================== site: copernicus_insitu
+
+  /** `normalize_copernicus_insitu` (site_copernicus_insitu.py:33-68):
+    * five taxonomy vocab fan-outs + the preview-image download path.
+    */
+  def normalizeCopernicusInsitu(docs: DataFrame): DataFrame = {
+    val common = NormOps.commonNormalizer(
+      docs.withColumn("object_provides_scalar", col("type_raw")),
+      NormConfig(
+        typeCol = "type_raw",
+        workflowStateCol = Some("review_state"),
+        joinText = Some(JoinTextConfig("text", "title", Seq("summary"))),
+        normObj = Map("Document" -> "Webpage", "Page" -> "Webpage",
+          "File" -> "File", "News Item" -> "News"),
+        normObjCols = Some(Seq("object_provides_scalar")),
+        descriptionCol = Some("description")))
+    NormOps.addCounts(
+      common
+        .withColumn("cluster_name", lit("copernicus_insitu")) // :44
+        .withColumn("taxonomy_report_category",
+          vocabList(col("taxonomy_report_category")))
+        .withColumn("taxonomy_copernicus_components",
+          vocabList(col("taxonomy_copernicus_components")))
+        .withColumn("taxonomy_copernicus_themes",
+          vocabList(col("taxonomy_copernicus_themes")))
+        .withColumn("data_providers_list", vocabList(col("data_providers_list")))
+        .withColumn("copernicus_services", vocabList(col("copernicus_services")))
+        .withColumn("insitu_preview_image", // :62-64
+          col("preview_image.scales.preview.download"))
+        .withColumn("object_provides", array(col("object_provides_scalar")))
+        .drop("object_provides_scalar"),
+      listCols = Seq("object_provides", "copernicus_services"),
+      scalarCols = Seq("cluster_name"))
+  }
+
   // ---------------------------------------------------- queries() wrapper
 
   /** queries() entry: the bise site pipeline end-to-end over synthesized

@@ -121,6 +121,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains(bad), s"norm_pipeline plan contains $bad")
   }
 
+  test("site_bise is a pure narrow pipeline (no join, no aggregate)") {
+    // The whole site normalizer — admission, workflow, fulltext, content
+    // types, location rules, description fallback, counts — must stay a
+    // per-row projection chain at any corpus size.
+    val p = plan("site_bise")
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "HashAggregate", "SortAggregate"))
+      assert(!p.contains(bad), s"site_bise plan contains $bad")
+  }
+
+  test("plone_search joins only the broadcast robots rule table") {
+    // Every admission filter is a per-row predicate; the one join is the
+    // tiny robots rule table, broadcast — the item side must never shuffle
+    // for it.
+    val p = plan("plone_search")
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"))
+      assert(!p.contains(bad), s"plone_search plan contains $bad")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "robots rules must join as a broadcast")
+  }
+
   test("ngram_jaccard computes document frequency without a window on the gram key") {
     // A window partitioned by the gram colocates every occurrence of a hot
     // gram in one unsplittable task (no partial agg, no AQE skew split) —

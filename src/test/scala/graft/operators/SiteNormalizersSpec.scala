@@ -624,6 +624,173 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(out(0).getAs[String]("cluster_name") == "eea")
   }
 
+  // -------------------------------------- simple sites + energy + forest
+
+  test("normalizeSimpleSite covers industry and cab; empty whitelist admits all") {
+    val docs = spark.range(3).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://industry.eea.europa.eu/d/', id) as id",
+      "CASE id WHEN 0 THEN 'Page' WHEN 1 THEN 'Document' ELSE 'Collection' END as type_raw",
+      "'published' as review_state",
+      "concat('Title ', id) as title",
+      "'industry text with enough words for a body' as text",
+      "'summary' as summary")
+    val ind = byRn(normalizeIndustry(docs))
+    assert(ind.keySet == Set(0, 1)) // Collection not whitelisted
+    assert(ind(0).getSeq[String](ind(0).fieldIndex("object_provides")) == Seq("Webpage"))
+    assert(ind(0).getSeq[String](ind(0).fieldIndex("themes")) == Seq("industry"))
+    assert(ind(0).getAs[String]("cluster_name") == "industry")
+
+    val cab = byRn(normalizeCab(docs))
+    assert(cab.keySet == Set(0, 1, 2)) // cab's empty whitelist admits all
+    assert(cab(2).getSeq[String](cab(2).fieldIndex("object_provides")) == Seq("Collection"))
+    assert(cab(0).getAs[String]("cluster_name") == "cab")
+  }
+
+  test("normalizeIas: european-statistics products split Map vs Dashboard") {
+    val docs = spark.range(3).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://ias.eea.europa.eu', CASE id
+           WHEN 0 THEN '/products/european-statistics/p0'
+           WHEN 1 THEN '/products/european-statistics/p1'
+           ELSE '/about' END) as id""",
+      "'Page' as type_raw",
+      "'published' as review_state",
+      "CASE WHEN id = 1 THEN 'Map of invasive species' ELSE concat('Title ', id) END as title",
+      "'invasive species text with enough words' as text",
+      "'summary' as summary")
+    val out = byRn(normalizeIas(docs))
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    assert(op(0) == Seq("Dashboard"))
+    assert(op(1) == Seq("Map (interactive)")) // Map-titled product
+    assert(op(2) == Seq("Webpage"))
+    assert(out(0).getAs[String]("cluster_name") == "ias")
+  }
+
+  test("normalizeEnergy: unconditional rules, Data override, intro topic page") {
+    val docs = spark.range(4).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://energy.eea.europa.eu', CASE id
+           WHEN 0 THEN '/countries/italy'
+           WHEN 1 THEN '/topics/renewables/intro'
+           WHEN 2 THEN '/analysis/a2'
+           ELSE '/analysis/a3' END) as id""",
+      "CASE WHEN id = 1 THEN 'visualization' ELSE 'Page' END as type_raw",
+      "'published' as review_state",
+      "CASE WHEN id = 0 THEN 'Italy' ELSE concat('Title ', id) END as title",
+      "'energy statistics text with enough words' as text",
+      "'summary' as summary",
+      "CASE WHEN id = 3 THEN named_struct('token', 'Data') ELSE named_struct('token', 'Doc') END as resource_type")
+    val out = byRn(normalizeEnergy(docs))
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    assert(op(0) == Seq("Country fact sheet")) // /countries/* rule
+    assert(out(0).getAs[String]("spatial") == "Italy") // factsheet spatial (:49-50)
+    assert(op(1) == Seq("Topic page"))  // topics/…/intro override (:55-60)
+    assert(op(2) == Seq("Webpage"))     // fallback
+    assert(op(3) == Seq("Dashboard"))   // resource_type Data override (:52-53)
+    assert(out(2).getAs[String]("spatial") == null)
+    assert(out(0).getAs[String]("cluster_name") == "energy")
+  }
+
+  test("normalizeForest: catalogue drop, parent spatial, topics/EU splits") {
+    val docs = spark.range(6).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://forest.eea.europa.eu', CASE id
+           WHEN 0 THEN '/topics/ecosystems/state'
+           WHEN 1 THEN '/countries/italy/f1'
+           WHEN 2 THEN '/countries/regions/european-union/f2'
+           WHEN 3 THEN '/policy/eu-strategy'
+           WHEN 4 THEN '/other/page'
+           ELSE '/cat' END) as id""",
+      """CASE WHEN id IN (1, 2) THEN 'basic_data_factsheet'
+              ELSE 'Page' END as type_raw""",
+      "'published' as review_state",
+      "CASE WHEN id = 5 THEN 'https://forest.eea.europa.eu/resources/data-catalogue/x' ELSE concat('https://forest.eea.europa.eu/a', id) END as about",
+      "CASE WHEN id = 1 THEN named_struct('title', 'Italy') ELSE named_struct('title', 'Regions') END as parent",
+      "concat('Title ', id) as title",
+      "cast(null as array<string>) as spatial",
+      "'forest condition text with enough words' as text",
+      "'summary' as summary")
+    val out = byRn(normalizeForest(docs))
+    assert(out.keySet == Set(0, 1, 2, 3, 4)) // data-catalogue about dropped
+
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    // the /topics/* rule resolves first — the EU27 fallback branch is only
+    // reachable when no rule matched (the reference's code path is the same)
+    assert(op(0) == Seq("Topic page"))
+    assert(out(0).getAs[String]("places") == "unknown")
+    assert(out(4).getAs[String]("places") == "unknown")
+
+    // drop the topics rule: the lone-Webpage fallback now upgrades the
+    // topics path AND backfills places to EU27 (:58-70)
+    val fb = byRn(normalizeForest(docs, locationRules =
+      Seq("/policy/*" -> Seq("Webpage"),
+        "/countries/regions/european-union" -> Seq("Dashboard"))))
+    assert(fb(0).getSeq[String](fb(0).fieldIndex("object_provides")) ==
+      Seq("Topic page"))
+    assert(fb(0).getAs[String]("places") == "EU27")
+    // factsheet off the EU path pairs with Dashboard; parent title spatial
+    assert(op(1) == Seq("Country fact sheet", "Dashboard"))
+    assert(out(1).getSeq[String](out(1).fieldIndex("spatial")) == Seq("Italy"))
+    // 'Regions' parent leaves spatial alone (:45-48)
+    assert(out(2).getSeq[String](out(2).fieldIndex("spatial")) == null)
+    // factsheet ON the EU region path is a lone Dashboard (:72-75)
+    assert(op(2) == Seq("Dashboard"))
+    assert(op(3) == Seq("Webpage")) // /policy/* explicit Webpage rule
+    assert(op(4) == Seq("Webpage")) // fallback
+    assert(out(0).getAs[String]("cluster_name") == "fise")
+  }
+
+  test("normalizeEionet: publication_date issued and per-ETC topic terms") {
+    val docs = spark.range(3).selectExpr(
+      "cast(id as int) as rn",
+      """concat('https://www.eionet.europa.eu', CASE id
+           WHEN 0 THEN '/etcs/etc-bd/report1'
+           WHEN 1 THEN '/etcs/etc-cme/report2'
+           ELSE '/about' END) as id""",
+      "CASE WHEN id = 2 THEN 'Page' ELSE 'etc_report' END as type_raw",
+      "'published' as review_state",
+      "concat('Title ', id) as title",
+      "'european topic centre text with enough words' as text",
+      "'summary' as summary",
+      "CASE WHEN id = 0 THEN '2022-05-05' END as publication_date")
+    val out = byRn(normalizeEionet(docs))
+    assert(out(0).getAs[String]("issued") == "2022-05-05")
+    assert(out(0).getSeq[String](out(0).fieldIndex("object_provides")) == Seq("Report"))
+    assert(out(0).getSeq[String](out(0).fieldIndex("topic")) == Seq("term4"))
+    assert(out(1).getSeq[String](out(1).fieldIndex("topic")) == Seq("term11", "term14"))
+    assert(out(2).getSeq[String](out(2).fieldIndex("topic")) == null)
+    assert(out(0).getAs[String]("cluster_name") == "etc")
+  }
+
+  test("normalizeDiscomap: URL families set topic and home-vs-map types") {
+    val docs = spark.range(4).selectExpr(
+      "cast(id as int) as rn",
+      """CASE id
+           WHEN 0 THEN 'https://discomap.eea.europa.eu/climatechange'
+           WHEN 1 THEN 'https://discomap.eea.europa.eu/climatechange/?page=Adaptation'
+           WHEN 2 THEN 'https://discomap.eea.europa.eu/atlas/?page=Home'
+           ELSE 'https://discomap.eea.europa.eu/atlas/?page=Mortality'
+         END as id""",
+      "'map portal text with enough words' as text",
+      "'summary' as summary",
+      "concat('<html><head><title>Discomap ', id, '</title></head><body>x</body></html>') as web_html",
+      "'2023-03-03' as modified")
+    val out = byRn(normalizeDiscomap(docs))
+    def op(rn: Int) = out(rn).getSeq[String](out(rn).fieldIndex("object_provides"))
+    assert(op(0) == Seq("Webpage"))            // climatechange home
+    assert(op(1) == Seq("Map (interactive)"))  // climatechange map page
+    assert(op(2) == Seq("Webpage"))            // atlas home
+    assert(op(3) == Seq("Map (interactive)"))  // atlas map page
+    assert(out(0).getSeq[String](out(0).fieldIndex("topic")) ==
+      Seq("Climate change adaptation", "Climate change mitigation"))
+    assert(out(3).getSeq[String](out(3).fieldIndex("topic")) ==
+      Seq("Environmental health impacts"))
+    assert(out(0).getAs[String]("title") == "Discomap 0")
+    assert(out(0).getAs[String]("issued") == "2023-03-03")
+    assert(out(0).getAs[String]("cluster_name") == "discomap")
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

@@ -386,7 +386,7 @@ object SiteNormalizers {
     * full_config.obligations rod-link → label map (:272).
     */
   def preNormalizeSdi(docs: DataFrame, obligations: Map[String, String],
-      currentYear: Int): DataFrame = {
+      currentYear: Int, fiseIssuedChain: Boolean = true): DataFrame = {
     val c = (n: String) => col("`" + n + "`")
     // :249-252 — OrgForResource falls back to OrgForResourceObject defaults
     val withOrg =
@@ -403,11 +403,17 @@ object SiteNormalizers {
       // maps "true" → "published"
       .withColumn("isPublishedToAll", lit("true"))
       .withColumn("review_state", lit("published")) // :193-196 (forced true)
-      .withColumn("issued", // :205-212 — fallback chain to creation/create date
-        coalesce(col("issued"),
-          try_element_at(col("publicationDateForResource"), lit(1)),
-          try_element_at(col("creationDateForResource"), lit(1)),
-          col("createDate")))
+      .withColumn("issued", // :205-212 — fallback chain to creation/create date;
+        // site_sdi.py:204-209 lacks the creationDateForResource middle step
+        (if (fiseIssuedChain)
+          coalesce(col("issued"),
+            try_element_at(col("publicationDateForResource"), lit(1)),
+            try_element_at(col("creationDateForResource"), lit(1)),
+            col("createDate"))
+        else
+          coalesce(col("issued"),
+            try_element_at(col("publicationDateForResource"), lit(1)),
+            col("createDate"))))
       .withColumn("overview.url", vocabList(col("overview"), "url")) // :221
       .withColumn("sdi_rod", vocabList(c("th_rod-eionet-europa-eu"), "default")) // :224
       .withColumn("sdi_topics", { // :227-241 — two literal renames on eea-topics
@@ -514,6 +520,74 @@ object SiteNormalizers {
       .withColumn("publication_year", col("creationYearForResource")) // :495
       .withColumn("topic", vocabList(col("cl_topic"), "default")) // :497-500
     NormOps.addCounts(out, // :483
+      listCols = Seq("spatial", "topic", "time_coverage"),
+      scalarCols = Seq("cluster_name"))
+  }
+
+  // ============================================================= site: sdi
+
+  /** `normalize_sdi` (site_sdi.py:345-363), the plain-SDI registry twin of
+    * [[normalizeSdiFise]]. Deltas vs fise's pre-normalize: the issued
+    * fallback chain skips creationDateForResource (:204-209), the
+    * two-record issued hot-fix is ACTIVE (:213-215), and sdi_topics pass
+    * through the theme taxonomy (:236-239, update_from_theme_taxonomy —
+    * token → label, unmapped pass through). Post common_normalizer:
+    * cluster "sdi" (:351), string time_coverage (:352-356), add_counts
+    * (:357), add_expired (:320-330 — cl_status obsolete/superseded stamps
+    * `expires`; the reference uses today−2d, pinned via `archivedExpires`
+    * for determinism), last_modified = max(children changeDates ∪ own
+    * changeDate) (:332-343). readingTime runs inside commonNormalizer when
+    * the caller's doc carries fulltext; the SDI record has none (:360
+    * check_readingTime no-ops without a fulltext key).
+    */
+  def normalizeSdi(docs: DataFrame, obligations: Map[String, String],
+      currentYear: Int, archivedExpires: String,
+      themeTaxonomy: Map[String, String] = Map.empty): DataFrame = {
+    val issuedFixIds = Seq( // :213-215 — data-fix for two catalogue records
+      "fa8b1229-3db6-495d-b18e-9c9b3267c02b",
+      "9636827c-bd0c-40f5-814e-c4065c11c9a0")
+    val tax = typedLit(themeTaxonomy)
+    val pre = preNormalizeSdi(docs, obligations, currentYear,
+        fiseIssuedChain = false)
+      .withColumn("sdi_topics", // :236-239
+        transform(col("sdi_topics"), t => coalesce(try_element_at(tax, t), t)))
+      .withColumn("issued",
+        when(col("about").isInCollection(issuedFixIds), lit("2023-08-03T06:00:00Z"))
+          .otherwise(col("issued")))
+
+    // the `sdi` variables.json config carries the same sdi_normalizers
+    // maps as sdi_fise (site_sdi.py:1-25 header documents the mapping)
+    val common = NormOps.commonNormalizer(pre, NormConfig(
+      typeCol = "type_raw",
+      normObj = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo", "true" -> "published"),
+      normProp = Seq(
+        "type_raw" -> Seq("object_provides"),
+        "OrgForResource" -> Seq("organisation"),
+        "about" -> Seq("id", "about"),
+        "isPublishedToAll" -> Seq("hasWorkflowState"),
+        "mainLanguage" -> Seq("language"),
+        "resourceAbstractObject.default" -> Seq("description"),
+        "resourceTitleObject.default" -> Seq("title", "label"),
+        "sdi_gemet" -> Seq("gemet"),
+        "sdi_rod" -> Seq("rod"),
+        "sdi_spatial" -> Seq("spatial", "places"),
+        "sdi_spatialRepresentationType" -> Seq("spatialRepresentationType"),
+        "sdi_topics" -> Seq("topic"))))
+
+    val isObsolete = exists(col("cl_status"), // :298-317
+      s => s.getField("key").isInCollection(sdiObsoleteKeys))
+    val childMods = filter( // :332-343 — children changeDates, nulls out
+      transform(col("children"), d => d.getField("changeDate")),
+      m => m.isNotNull)
+    val out = common
+      .withColumn("cluster_name", lit("sdi")) // :351
+      .withColumn("time_coverage", // :352-356 — years as strings
+        transform(col("time_coverage"), y => y.cast("string")))
+      .withColumn("expires", when(isObsolete, lit(archivedExpires))) // :320-330
+      .withColumn("last_modified", // :332-343 — max over children ∪ self
+        array_max(concat(childMods,
+          filter(array(col("changeDate")), m => m.isNotNull))))
+    NormOps.addCounts(out,
       listCols = Seq("spatial", "topic", "time_coverage"),
       scalarCols = Seq("cluster_name"))
   }
@@ -1322,6 +1396,64 @@ object SiteNormalizers {
         .drop("object_provides_scalar"),
       listCols = Seq("object_provides", "copernicus_services"),
       scalarCols = Seq("cluster_name"))
+  }
+
+  // -------------------------------------------------------------- registry
+
+  /** Context the sdi-family normalizers need beyond the docs themselves:
+    * the full_config.obligations rod-link → label map (site_sdi.py:272),
+    * the pinned current year for open temporal ranges (:131), the pinned
+    * obsolete `expires` stamp (:326 uses today−2d; pass a fixed date for
+    * deterministic output), and the theme taxonomy (:236-239).
+    */
+  final case class SiteContext(
+      obligations: Map[String, String] = Map.empty,
+      currentYear: Int = 2026,
+      archivedExpires: String = "2026-08-10",
+      themeTaxonomy: Map[String, String] = Map.empty)
+
+  /** Registry twin of normalizers/registry.py:1-11 — the
+    * `register_facets_normalizer` name → normalizer map, one entry per
+    * name the reference registers (21 across the normalizers/sites files).
+    * "land_demo" (site_copernicus_demo_land.py:47) is the same function as
+    * "land" under a second name, exactly like the reference; "default"
+    * (site_default.py:7-9) returns None for every doc, i.e. drops all
+    * rows; "fise" is the forest site and "fise_resource" the fise one —
+    * the reference's own naming crossover, preserved.
+    */
+  def registry(ctx: SiteContext = SiteContext())
+      : Map[String, DataFrame => DataFrame] = Map(
+    "bise" -> ((d: DataFrame) => normalizeBise(d)),
+    "cab" -> ((d: DataFrame) => normalizeCab(d)),
+    "climate" -> ((d: DataFrame) => normalizeClimate(d)),
+    "default" -> ((d: DataFrame) => d.limit(0)),
+    "discomap" -> ((d: DataFrame) => normalizeDiscomap(d)),
+    "eea" -> ((d: DataFrame) => normalizeEea(d)),
+    "eea_en" -> ((d: DataFrame) => normalizeEeaEn(d)),
+    "eionet" -> ((d: DataFrame) => normalizeEionet(d)),
+    "energy" -> ((d: DataFrame) => normalizeEnergy(d)),
+    "fise" -> ((d: DataFrame) => normalizeForest(d)),
+    "fise_resource" -> ((d: DataFrame) => normalizeFiseResource(d)),
+    "ias" -> ((d: DataFrame) => normalizeIas(d)),
+    "industry" -> ((d: DataFrame) => normalizeIndustry(d)),
+    "insitu" -> ((d: DataFrame) => normalizeCopernicusInsitu(d)),
+    "land" -> ((d: DataFrame) => normalizeCopernicusLand(d)),
+    "land_demo" -> ((d: DataFrame) => normalizeCopernicusLand(d)),
+    "noise" -> ((d: DataFrame) => normalizeNoise(d)),
+    "sdi" -> ((d: DataFrame) => normalizeSdi(d, ctx.obligations,
+      ctx.currentYear, ctx.archivedExpires, ctx.themeTaxonomy)),
+    "sdi_fise" -> ((d: DataFrame) => normalizeSdiFise(d, ctx.obligations,
+      ctx.currentYear, ctx.archivedExpires)),
+    "wise_freshwater" -> ((d: DataFrame) => normalizeWiseFreshwater(d)),
+    "wise_marine" -> ((d: DataFrame) => normalizeWiseMarine(d)))
+
+  /** `get_facets_normalizer` (registry.py:26-27): unknown site ids fall
+    * back to the "eea" normalizer.
+    */
+  def normalizerFor(siteId: String, ctx: SiteContext = SiteContext())
+      : DataFrame => DataFrame = {
+    val r = registry(ctx)
+    r.getOrElse(siteId, r("eea"))
   }
 
   // ---------------------------------------------------- queries() wrapper

@@ -791,6 +791,96 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(out(0).getAs[String]("cluster_name") == "discomap")
   }
 
+  // ------------------------------------------------------------------ sdi
+
+  /** sdiDocs plus the sdi-only inputs: children changeDates (last_modified,
+    * site_sdi.py:332-343), a hot-fix record id (:213-215), and a row where
+    * ONLY creationDateForResource is set (the issued-chain delta, :204-209).
+    */
+  private lazy val sdiDocsFull = sdiDocs
+    .withColumn("children", transform(col("children"), (c, i) =>
+      c.withField("changeDate",
+        when(col("rn") === 0, when(i === 0, lit("2020-01-01")).otherwise(lit("2022-03-03")))
+          .when(col("rn") === 1 && i === 0, lit("2019-09-09")))))
+    .withColumn("metadataIdentifier",
+      when(col("rn") === 1, lit("fa8b1229-3db6-495d-b18e-9c9b3267c02b"))
+        .otherwise(col("metadataIdentifier")))
+    .withColumn("creationDateForResource",
+      when(col("rn") === 2, array(lit("2017-07-07")))
+        .otherwise(col("creationDateForResource")))
+    .withColumn("createDate",
+      when(col("rn") === 1, col("createDate")))
+
+  test("normalizeSdi: issued chain, hot-fix, taxonomy, expired, last_modified") {
+    val out = byRn(normalizeSdi(
+      sdiDocsFull, sdiObligations, currentYear = 2016,
+      archivedExpires = "2026-08-10",
+      themeTaxonomy = Map("Water" -> "water")))
+    val r0 = out(0); val r1 = out(1); val r2 = out(2)
+
+    assert(r0.getAs[String]("cluster_name") == "sdi")
+
+    // issued: publication date wins (:204-209)
+    assert(r0.getAs[String]("issued") == "2019-04-04")
+    // the two-record hot-fix overrides the createDate fallback (:213-215)
+    assert(r1.getAs[String]("issued") == "2023-08-03T06:00:00Z")
+    // the sdi chain has NO creationDateForResource step — null, where the
+    // fise chain would have picked 2017-07-07
+    assert(r2.getAs[String]("issued") == null)
+    val fisePre = byRn(preNormalizeSdi(sdiDocsFull, sdiObligations, 2016))
+    assert(fisePre(2).getAs[String]("issued") == "2017-07-07")
+
+    // theme taxonomy maps post-rename tokens; unmapped pass through
+    // (:236-239) — sdi_topics → topic via sdi_normalizers normProp
+    assert(r0.getSeq[String](r0.fieldIndex("topic")) == Seq("climate", "water"))
+
+    // time_coverage years as strings (:352-356)
+    assert(r0.getSeq[String](r0.fieldIndex("time_coverage")) ==
+      Seq("2011", "2012", "2013", "2015", "2016"))
+
+    // add_expired: obsolete cl_status stamps the pinned date (:320-330)
+    assert(r0.getAs[String]("expires") == "2026-08-10")
+    assert(r1.getAs[String]("expires") == null)
+
+    // last_modified = max(children changeDates ∪ own changeDate) (:332-343)
+    assert(r0.getAs[String]("last_modified") == "2022-03-03")
+    assert(r1.getAs[String]("last_modified") == "2019-09-09")
+    assert(r2.getAs[String]("last_modified") == null)
+
+    // the shared sdi_normalizers maps still apply (Kosovo label, renames)
+    assert(r0.getSeq[String](r0.fieldIndex("spatial")) == Seq("Kosovo", "Italy"))
+    assert(r0.getAs[String]("hasWorkflowState") == "published")
+    assert(r0.getAs[Long]("items_count_spatial") == 2L)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  test("registry: the 21 reference names, ctx plumbing, default, fallback") {
+    val ctx = SiteContext(obligations = sdiObligations, currentYear = 2016,
+      archivedExpires = "2026-08-10")
+    val r = registry(ctx)
+    // exactly the reference's register_facets_normalizer names
+    assert(r.keySet == Set(
+      "bise", "cab", "climate", "default", "discomap", "eea", "eea_en",
+      "eionet", "energy", "fise", "fise_resource", "ias", "industry",
+      "insitu", "land", "land_demo", "noise", "sdi", "sdi_fise",
+      "wise_freshwater", "wise_marine"))
+
+    // SiteContext reaches the sdi family through the closure
+    val sdiOut = r("sdi")(sdiDocsFull)
+    assert(sdiOut.count() == 3)
+    assert(sdiOut.select("cluster_name").distinct().head.getString(0) == "sdi")
+
+    // "default" drops every doc (site_default.py:7-9 returns None)
+    assert(r("default")(eeaDocs).count() == 0)
+
+    // unknown site ids fall back to the eea normalizer (registry.py:26-27)
+    val viaFallback = normalizerFor("no-such-site", ctx)(eeaDocs)
+      .orderBy("rn").collect().toSeq
+    val viaEea = r("eea")(eeaDocs).orderBy("rn").collect().toSeq
+    assert(viaFallback == viaEea)
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

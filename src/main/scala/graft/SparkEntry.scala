@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_cluster" -> (GraphOps.qDedupCluster _),
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
+    "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
     "site_bise" -> (SiteNormalizers.qSiteBise _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
@@ -572,6 +573,33 @@ object SparkEntry {
         |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
         |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // common_preprocess text assembly: html main-content extract (here a
+    // single <p> line — kept iff ≥30 chars or sentence-final punct, the
+    // boilerplate keep rule) else the join_text_fields fallback (title →
+    // whitelist prop → auto-discovered text/html struct prop; blacklisted
+    // struct stays out), then the unconditional "\n\n" + pdf append.
+    "nlp_preprocess" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+        |      CASE WHEN length(trim(text)) >= 30 OR regexp_matches(trim(text), '[.!?]$')
+        |           THEN trim(text) ELSE '' END END AS extracted,
+        |    CASE WHEN doc_id % 4 IN (0, 1) THEN 'no title'
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Abstract ' || doc_id ELSE '' END AS ab,
+        |    'Summary ' || doc_id AS sm,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'PDF body ' || doc_id ELSE '' END AS pdf
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id, extracted, pdf,
+        |    chr(10) || chr(10) || title || '.' || chr(10) || chr(10) ||
+        |    CASE WHEN ab <> '' THEN ab || '.' || chr(10) || chr(10) ELSE '' END ||
+        |    chr(10) || chr(10) || sm || '.' || chr(10) || chr(10) AS fallback
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN extracted <> '' THEN extracted ELSE fallback END ||
+        |    chr(10) || chr(10) || pdf AS nlp_text
+        |FROM fb ORDER BY doc_id""".stripMargin,
     // commonNormalizer composed from a site-shaped config: each CTE is one
     // reference step in common_normalizer's order (admission → workflow
     // state → fulltext/readingTime → black/white maps → remove-empty →

@@ -90,9 +90,21 @@ object NormOps {
     * doesn't apply at one call per line).
     */
   def boilerplateFilter(docs: DataFrame, htmlCol: String,
-      minChars: Int = 30, maxLinkDensity: Double = 0.5): DataFrame = {
+      minChars: Int = 30, maxLinkDensity: Double = 0.5): DataFrame =
+    docs
+      .withColumn("text_main", mainText(col(htmlCol), minChars, maxLinkDensity))
+      .filter(length(col("text_main")) > 0)
+      .drop(htmlCol)
+
+  /** The columnar heart of [[boilerplateFilter]] — main-content text of one
+    * HTML column (the trafilatura stand-in, SURVEY §6), reusable where the
+    * caller needs the value without the empty-doc row filter (the NLP
+    * preprocessor's extract-else-fallback chain, nlp.py:16-18).
+    */
+  def mainText(html: Column,
+      minChars: Int = 30, maxLinkDensity: Double = 0.5): Column = {
     val marked = regexp_replace(
-      regexp_replace(col(htmlCol), BlockCloseRe + "|" + BlockOpenRe, "\n"),
+      regexp_replace(html, BlockCloseRe + "|" + BlockOpenRe, "\n"),
       AnchorRe, "\u0001$1\u0002")
     // An anchor containing a <br>/block close carries a line break INSIDE
     // its sentinel span; a split would orphan the span and its text would
@@ -114,12 +126,8 @@ object NormOps {
         (length(vis) >= minChars || vis.rlike("[.!?]$"))
       struct(vis.as("t"), keep.as("keep"))
     })
-    docs
-      .withColumn("text_main",
-        trim(array_join(
-          transform(filter(scored, c => c.getField("keep")), c => c.getField("t")), "\n")))
-      .filter(length(col("text_main")) > 0)
-      .drop(htmlCol)
+    trim(array_join(
+      transform(filter(scored, c => c.getField("keep")), c => c.getField("t")), "\n"))
   }
 
   /** queries() wrapper: wraps each document's text in a page skeleton whose
@@ -593,6 +601,114 @@ object NormOps {
         .otherwise(concat(lit("Summary for doc "), id)).as("abstract_txt"))
     joinTextFields(docs, "text", "title", Seq("summary", "abstract_txt"))
       .select(id, col("fulltext"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- nlp_preprocess
+
+  /** `common_preprocess` (nlp.py:14-63) — the text-assembly half of the
+    * reference's NLP preprocessor, the per-site front door every
+    * register_nlp_preprocessor wrapper funnels through:
+    *
+    *  1. main-content text from the page HTML ([[mainText]], the
+    *     trafilatura stand-in — nlp.py:16-17);
+    *  2. if that is empty, assemble from the raw doc's fields
+    *     (join_text_fields, normalizers.py:162-202): "no title" fallback
+    *     title, then the `txtProps` whitelist in order (struct props read
+    *     `.data`), each cleaned, dotted, and appended under the
+    *     redundancy guard;
+    *  3. the auto-discovery pass (:187-202): every struct-typed prop
+    *     carrying `content-type`+`data` fields and not blacklisted —
+    *     `text/plain` data appended raw, `text/html` cleaned, others
+    *     skipped. The reference walks dict keys at runtime; a DataFrame's
+    *     schema is static, so the walk happens at PLAN time over
+    *     `docs.schema` — same semantics, zero per-row reflection;
+    *  4. append the PDF sidecar text (nlp.py:24-26, always with the
+    *     `\n\n` separator, empty or not).
+    *
+    * Pure per-row projection — zero shuffle, scales linearly.
+    */
+  def nlpPreprocess(docs: DataFrame, htmlCol: String = "web_html",
+      pdfCol: String = "pdf_text", titleCol: String = "title",
+      txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil): DataFrame = {
+    val schema = docs.schema
+    def structFields(name: String): Seq[String] = schema.find(_.name == name)
+      .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
+      .getOrElse(Nil)
+
+    // join_text_fields :167-170 — title with the "no title" double fallback
+    val title0 = if (schema.fieldNames.contains(titleCol)) col(titleCol)
+                 else lit(null).cast("string")
+    val title = when(title0.isNull || title0 === "", lit("no title")).otherwise(title0)
+    val start = concat(lit("\n\n"), title, lit(".\n\n"))
+
+    // :173-183 — whitelist pass; dict-valued props read .data
+    val afterProps = txtProps.foldLeft(start) { (acc, p) =>
+      val raw =
+        if (!schema.fieldNames.contains(p)) lit("")
+        else if (structFields(p).contains("data")) col(p).getField("data")
+        else col(p)
+      val cleaned = cleanHtml(raw)
+      val dotted = when(length(cleaned) > 0 && !cleaned.endsWith("."),
+        concat(cleaned, lit("."))).otherwise(cleaned)
+      when(length(dotted) > 0 && !contains(acc, dotted),
+        concat(acc, dotted, lit("\n\n"))).otherwise(acc)
+    }
+
+    // :187-202 — auto-discovery over the static schema, field order =
+    // the reference's dict-insertion order
+    val autoProps = schema.fields.collect {
+      case f if !txtPropsBlack.contains(f.name) &&
+        structFields(f.name).contains("content-type") &&
+        structFields(f.name).contains("data") => f.name
+    }
+    val assembled = autoProps.foldLeft(afterProps) { (acc, p) =>
+      val mime = col(p).getField("content-type")
+      val data = col(p).getField("data")
+      val txt = coalesce(
+        when(mime === "text/plain", data)
+          .when(mime === "text/html", cleanHtml(data)), lit(""))
+      val dotted = when(!txt.endsWith("."), concat(txt, lit("."))).otherwise(txt)
+      when(length(txt) > 0 && !contains(acc, txt),
+        concat(acc, lit("\n\n"), dotted, lit("\n\n"))).otherwise(acc)
+    }
+
+    val extracted =
+      if (schema.fieldNames.contains(htmlCol)) mainText(col(htmlCol))
+      else lit("")
+    val pdf =
+      if (schema.fieldNames.contains(pdfCol)) coalesce(col(pdfCol), lit(""))
+      else lit("")
+    docs.withColumn("nlp_text",
+      concat(
+        when(length(extracted) > 0, extracted).otherwise(assembled),
+        lit("\n\n"), pdf))
+  }
+
+  /** queries() wrapper: every third doc has NO page html and falls back to
+    * field assembly — null/empty titles ("no title"), a whitelisted plain
+    * prop, an auto-discovered text/html struct prop, a blacklisted struct
+    * prop that must stay out — the rest extract main content from a
+    * simple page; every fifth doc carries PDF sidecar text.
+    */
+  def qNlpPreprocess(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("<p>"), col("text"), lit("</p>"))).as("web_html"),
+      when(id % 4 === 0, lit(null).cast("string"))
+        .when(id % 4 === 1, lit(""))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      when(id % 2 === 0, concat(lit("Abstract "), id)).otherwise(lit("")).as("abstract_txt"),
+      struct(lit("text/html").as("content-type"),
+        concat(lit("<b>Summary "), id, lit("</b>")).as("data")).as("summary"),
+      struct(lit("text/plain").as("content-type"),
+        lit("INTERNAL NOTE").as("data")).as("internal_notes"),
+      when(id % 5 === 0, concat(lit("PDF body "), id)).otherwise(lit("")).as("pdf_text"))
+    nlpPreprocess(docs,
+      txtProps = Seq("abstract_txt"), txtPropsBlack = Seq("internal_notes"))
+      .select(id, col("nlp_text"))
       .orderBy("doc_id")
   }
 

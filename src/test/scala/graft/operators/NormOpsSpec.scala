@@ -365,4 +365,38 @@ class NormOpsSpec extends SparkSpec {
     assert(got(1).getSeq[String](1) === Seq.empty)
     assert(got(1).getString(2) === "en")
   }
+
+  test("nlpPreprocess: extract-else-fallback, auto-discovery, pdf append") {
+    // rn 0: html extracts → fallback fields ignored
+    // rn 1: empty html → title + whitelist + auto-discovered struct props
+    // rn 2: empty html, whitelist prop TEXT EQUAL to the auto prop's →
+    //       redundancy guard keeps only the first copy
+    // rn 3: empty html, null title → "no title"; pdf sidecar appended
+    val docs = spark.range(4).selectExpr(
+      "cast(id as int) as rn",
+      """CASE WHEN id = 0
+           THEN '<p>a prose line long enough to clear the thirty char bar</p>'
+           ELSE '' END as web_html""",
+      "CASE WHEN id = 3 THEN cast(null as string) ELSE concat('T', id) END as title",
+      """CASE WHEN id = 2 THEN 'Shared text'
+            WHEN id = 1 THEN 'White prop' ELSE '' END as wl""",
+      """named_struct('content-type', 'text/html',
+                      'data', CASE WHEN id = 2 THEN '<b>Shared text</b>'
+                                   ELSE concat('<b>Auto ', id, '</b>') END) as auto_html""",
+      "named_struct('content-type', 'text/plain', 'data', 'SECRET') as blocked",
+      "named_struct('content-type', 'application/pdf', 'data', 'BINARY') as not_text",
+      "CASE WHEN id = 3 THEN 'pdf body' ELSE '' END as pdf_text")
+    val out = NormOps.nlpPreprocess(docs,
+        txtProps = Seq("wl", "missing_prop"), txtPropsBlack = Seq("blocked"))
+      .orderBy("rn").select("nlp_text").collect().map(_.getString(0))
+
+    assert(out(0) ==
+      "a prose line long enough to clear the thirty char bar\n\n")
+    assert(out(1) == "\n\nT1.\n\nWhite prop.\n\n\n\nAuto 1.\n\n\n\n")
+    // redundancy guard: the auto prop's text already appears via whitelist
+    assert(out(2) == "\n\nT2.\n\nShared text.\n\n\n\n")
+    // "no title" fallback + pdf append; SECRET/BINARY never appear anywhere
+    assert(out(3) == "\n\nno title.\n\n\n\nAuto 3.\n\n\n\npdf body")
+    assert(!out.exists(t => t.contains("SECRET") || t.contains("BINARY")))
+  }
 }

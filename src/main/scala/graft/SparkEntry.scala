@@ -62,6 +62,7 @@ object SparkEntry {
     "norm_pipeline" -> (NormOps.qNormPipeline _),
     "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
     "site_bise" -> (SiteNormalizers.qSiteBise _),
+    "site_noise" -> (SiteNormalizers.qSiteNoise _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
@@ -673,6 +674,43 @@ object SparkEntry {
         |    trim(ft_raw) AS fulltext
         |  FROM tg3)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
+    // the noise site pipeline: <title> scrape ("no title" join-text
+    // fallback + removeEmpty NULL on titleless pages), forced
+    // Page/published, fulltext assembly (same CTE shape as site_bise),
+    // constant objectProvides/topic/issued stamps, counts.
+    "site_noise" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'Noise map ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE '<p>Summary ' || doc_id || '</p>' END AS summary
+        |  FROM documents),
+        |ft0 AS (
+        |  SELECT *,
+        |    text || chr(10) || chr(10) ||
+        |      CASE WHEN title = '' THEN 'no title' ELSE title END ||
+        |      '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  'Webpage|Map (interactive)' AS object_provides,
+        |  'Noise' AS topic,
+        |  'published' AS workflow_state,
+        |  'noise' AS cluster_name,
+        |  CASE WHEN title = '' THEN NULL ELSE title END AS title,
+        |  '2021-07-01T13:47:12.000Z' AS issued,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(2 AS BIGINT) AS items_count_object_provides,
+        |  CAST(1 AS BIGINT) AS items_count_topic
+        |FROM ft ORDER BY doc_id""".stripMargin,
     // the bise site pipeline: admission → workflow → fulltext → content
     // types (normObj + location rules, last-match-wins incl. the glob
     // covering its own exact root) → factsheet pairing → description

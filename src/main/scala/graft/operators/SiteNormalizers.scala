@@ -1495,4 +1495,30 @@ object SiteNormalizers {
         col("items_count_object_provides"))
       .orderBy("doc_id")
   }
+
+  /** queries() entry: the noise site pipeline end-to-end — <title> scrape
+    * (every fourth page has none → the join-text "no title" fallback, and
+    * removeEmpty nulls the output title), forced Page/published, fulltext
+    * assembly, the constant objectProvides/topic/issued stamps, counts.
+    */
+  def qSiteNoise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      col("text"),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("<p>Summary "), id, lit("</p>"))).as("summary"),
+      when(id % 4 === 0, lit("<html><body>untitled page</body></html>"))
+        .otherwise(concat(lit("<html><head><title> Noise map "), id,
+          lit(" </title></head><body>x</body></html>"))).as("web_html"))
+    normalizeNoise(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("topic"), "|").as("topic"),
+        col("workflow_state"), col("cluster_name"), col("title"),
+        col("issued"), col("description"),
+        col("items_count_object_provides"), col("items_count_topic"))
+      .orderBy("doc_id")
+  }
 }

@@ -1456,6 +1456,24 @@ object SiteNormalizers {
     r.getOrElse(siteId, r("eea"))
   }
 
+  /** The whole-portfolio run: one input frame per site (raw schemas
+    * genuinely differ per site, exactly as each reference DAG reads its
+    * own crawl), each through its registered normalizer, unioned by name
+    * into the one indexable corpus — the relational form of the
+    * reference's N parallel site DAGs all writing to the same index.
+    * Missing columns null-fill (sites emit different facet sets); a
+    * `site_id` column records provenance. Each branch stays a narrow
+    * per-site pipeline — the union adds no shuffle, and at 100 TB each
+    * site's branch scans only its own files.
+    */
+  def normalizePortfolio(docsBySite: Seq[(String, DataFrame)],
+      ctx: SiteContext = SiteContext()): DataFrame =
+    docsBySite
+      .map { case (site, d) =>
+        normalizerFor(site, ctx)(d).withColumn("site_id", lit(site))
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   // ---------------------------------------------------- queries() wrapper
 
   /** queries() entry: the bise site pipeline end-to-end over synthesized

@@ -131,6 +131,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains(bad), s"site_bise plan contains $bad")
   }
 
+  test("site_noise and nlp_preprocess are pure narrow pipelines") {
+    // The noise site normalizer and the NLP text-assembly front door are
+    // per-row projection chains — any join/aggregate appearing here means
+    // a regression that would shuffle the whole corpus at scale.
+    for (q <- Seq("site_noise", "nlp_preprocess")) {
+      val p = plan(q)
+      for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+          "CartesianProduct", "HashAggregate", "SortAggregate"))
+        assert(!p.contains(bad), s"$q plan contains $bad")
+    }
+  }
+
   test("plone_search joins only the broadcast robots rule table") {
     // Every admission filter is a per-row predicate; the one join is the
     // tiny robots rule table, broadcast — the item side must never shuffle

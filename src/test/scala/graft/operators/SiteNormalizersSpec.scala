@@ -881,6 +881,27 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(viaFallback == viaEea)
   }
 
+  test("normalizePortfolio unions per-site outputs by name with provenance") {
+    val noiseDocs = spark.range(2).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://noise.eea.europa.eu/p/', id) as id",
+      "'noise text with enough words for a body' as text",
+      "'summary' as summary",
+      "'<html><head><title>N</title></head><body>x</body></html>' as web_html")
+    val out = normalizePortfolio(Seq(
+      "noise" -> noiseDocs,
+      "eea" -> eeaDocs))
+    // noise rows carry topic [Noise]; eea rows null-fill it, and
+    // eea-only columns (term_description) null-fill on the noise side
+    assert(out.filter(col("site_id") === "noise").count() == 2)
+    assert(out.filter(col("site_id") === "eea").count() == 3)
+    val byId = out.filter(col("site_id") === "noise").head
+    assert(byId.getSeq[String](byId.fieldIndex("topic")) == Seq("Noise"))
+    assert(out.columns.contains("term_description"))
+    assert(out.filter(col("site_id") === "noise")
+      .filter(col("term_description").isNotNull).count() == 0)
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

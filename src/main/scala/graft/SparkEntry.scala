@@ -63,6 +63,7 @@ object SparkEntry {
     "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
     "site_bise" -> (SiteNormalizers.qSiteBise _),
     "site_noise" -> (SiteNormalizers.qSiteNoise _),
+    "sdi_children" -> (SyncOps.qSdiChildren _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
@@ -674,6 +675,28 @@ object SparkEntry {
         |    trim(ft_raw) AS fulltext
         |  FROM tg3)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
+    // SDI series child assembly: every third doc composes the next two
+    // (one listed twice — keep-first dedup; one dangling id — drops).
+    // The oracle resolves each fixed child slot with a LEFT JOIN;
+    // concat_ws skips the NULLs of unresolved slots.
+    "sdi_children" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 'md-' || doc_id AS mid,
+        |    '2021-0' || (doc_id % 9 + 1) || '-01' AS change_date
+        |  FROM documents),
+        |resolved AS (
+        |  SELECT d.doc_id, d.mid,
+        |    x1.mid AS k1, x1.change_date AS cd1,
+        |    x2.mid AS k2, x2.change_date AS cd2
+        |  FROM docs d
+        |  LEFT JOIN docs x1 ON d.doc_id % 3 = 0 AND x1.doc_id = d.doc_id + 1
+        |  LEFT JOIN docs x2 ON d.doc_id % 3 = 0 AND x2.doc_id = d.doc_id + 2)
+        |SELECT doc_id, mid AS metadataIdentifier,
+        |  concat_ws('|', k1, k2) AS child_ids,
+        |  concat_ws('|', cd1, cd2) AS child_change_dates,
+        |  CAST(CASE WHEN k1 IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN k2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS children_count
+        |FROM resolved ORDER BY doc_id""".stripMargin,
     // the noise site pipeline: <title> scrape ("no title" join-text
     // fallback + removeEmpty NULL on titleless pages), forced
     // Page/published, fulltext assembly (same CTE shape as site_bise),

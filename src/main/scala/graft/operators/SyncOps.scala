@@ -515,4 +515,78 @@ object SyncOps {
       .select("doc_id", "url", "portal_type", "modified")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------ sdi_children
+
+  /** SDI dataset-series child assembly (crawl_sdi.py:137-155 `crawl_doc`):
+    * each series doc lists component dataset ids in
+    * `agg_associated_isComposedOf`; the reference fetches each id
+    * (deduped keeping first occurrence, :144 dict.fromkeys), skips ids
+    * that resolve to nothing (:146), coerces a scalar `linkProtocol` to a
+    * list (:148-149), and attaches the docs as `children` in list order.
+    *
+    * Relationally: posexplode the (deduped) child-id list, one equi-join
+    * against the corpus keyed by metadataIdentifier, and a groupBy that
+    * re-collects `struct(pos, child)` sorted by pos — collect_list order
+    * is nondeterministic under shuffles, so the position travels with the
+    * row and the sort happens per-group. Parents keep their row even when
+    * every child id dangles (left join + outer explode). At scale: one
+    * shuffle join on the id key + one aggregation, both AQE-skew-safe; no
+    * driver-side iteration.
+    */
+  def sdiChildren(docs: DataFrame,
+      childCol: String = "agg_associated_isComposedOf"): DataFrame = {
+    val kids = docs.select(
+      col("metadataIdentifier").as("parent_id"),
+      posexplode_outer(array_distinct(col(childCol))).as(Seq("pos", "child_id")))
+    val corpus = docs.select(
+      col("metadataIdentifier").as("child_id"),
+      struct(
+        col("metadataIdentifier"),
+        col("changeDate"),
+        // :148-149 — linkProtocol normalized to a list
+        col("linkProtocol")).as("child"))
+    val joined = kids.join(corpus, Seq("child_id"), "left")
+    joined
+      .groupBy("parent_id")
+      .agg(
+        array_sort(collect_list(
+          when(col("child").isNotNull, // :146 — dangling ids drop
+            struct(col("pos"), col("child"))))).as("kids"))
+      .select(
+        col("parent_id").as("metadataIdentifier"),
+        transform(col("kids"), k => k.getField("child")).as("children"))
+  }
+
+  /** queries() wrapper: every third doc is a series composed of the next
+    * two docs (one listed twice — the keep-first dedup) plus a dangling
+    * id that must drop; linkProtocol arrives scalar and leaves a list.
+    * Children scalarize to `|`-joined id/changeDate strings for the
+    * hash compare.
+    */
+  def qSdiChildren(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      concat(lit("md-"), id).as("metadataIdentifier"),
+      concat(lit("2021-0"), id % 9 + 1, lit("-01")).as("changeDate"),
+      when(id % 2 === 0, lit("WWW:LINK")).as("linkProtocol"),
+      when(id % 3 === 0, array(
+        concat(lit("md-"), id + 1),
+        concat(lit("md-"), id + 2),
+        concat(lit("md-"), id + 1), // duplicate — keep first
+        concat(lit("md-"), id + 500000))) // dangling — drops
+        .otherwise(array().cast("array<string>"))
+        .as("agg_associated_isComposedOf"))
+    sdiChildren(docs)
+      .select(
+        substring(col("metadataIdentifier"), 4, 20).cast("long").as("doc_id"),
+        col("metadataIdentifier"),
+        array_join(transform(col("children"),
+          c => c.getField("metadataIdentifier")), "|").as("child_ids"),
+        array_join(transform(col("children"),
+          c => c.getField("changeDate")), "|").as("child_change_dates"),
+        size(col("children")).cast("long").as("children_count"))
+      .orderBy("doc_id")
+  }
 }

@@ -228,4 +228,26 @@ class SyncOpsSpec extends SparkSpec {
     assert(diff("https://s.eu/d/3") == "new")
     assert(diff("https://s.eu/d/9") == "deleted")
   }
+
+  test("sdiChildren: keep-first dedup, dangling drop, order, empty parents") {
+    val docs = spark.range(4).selectExpr(
+      "concat('md-', id) as metadataIdentifier",
+      "concat('2021-0', id + 1, '-01') as changeDate",
+      "CASE WHEN id = 1 THEN 'WWW:LINK' END as linkProtocol",
+      """CASE WHEN id = 0 THEN array('md-2', 'md-1', 'md-2', 'md-99')
+           WHEN id = 3 THEN array('md-99')
+           ELSE array() END as agg_associated_isComposedOf""")
+    val out = SyncOps.sdiChildren(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+
+    // list order preserved, duplicate md-2 kept once (first), md-99 dropped
+    assert(out("md-0").map(_.getString(0)) == Seq("md-2", "md-1"))
+    // child struct carries changeDate and the (scalar-sourced) linkProtocol
+    assert(out("md-0").map(_.getString(1)) == Seq("2021-03-01", "2021-02-01"))
+    assert(out("md-0")(1).getString(2) == "WWW:LINK")
+    // a parent whose only child dangles keeps its row with zero children
+    assert(out("md-3").isEmpty)
+    assert(out("md-1").isEmpty && out("md-2").isEmpty)
+    assert(out.size == 4)
+  }
 }

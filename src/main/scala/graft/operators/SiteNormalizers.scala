@@ -1474,6 +1474,33 @@ object SiteNormalizers {
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** The whole prepare-docs-for-searchui pass for one site
+    * (normalizer.py:18-32 admission + :40-112 preprocess_doc): drop docs
+    * that errored AND are already in the search index (a failed re-crawl
+    * must not clobber a good indexed copy; a doc that never made it in
+    * gets indexed errors-and-all), run the site's registered facets
+    * normalizer, attach `fulltext` from the NLP preprocessor
+    * ([[NormOps.nlpPreprocess]] — the raw html/pdf columns flow through
+    * the normalizer untouched), and stamp `site_id`. `searchuiIds` is the
+    * (id)-schema current index listing — corpus-sized, so the admission
+    * join is a plain shuffle equi-join, not a broadcast.
+    */
+  def prepareDocs(raw: DataFrame, searchuiIds: DataFrame, siteId: String,
+      ctx: SiteContext = SiteContext(),
+      nlpTxtProps: Seq[String] = Nil,
+      nlpTxtPropsBlack: Seq[String] = Nil): DataFrame = {
+    val admitted = raw
+      .join(searchuiIds.select(col("id").as("__searchui_id")),
+        col("id") === col("__searchui_id"), "left")
+      .filter(size(col("errors")) === 0 || col("__searchui_id").isNull)
+      .drop("__searchui_id")
+    val normalized = normalizerFor(siteId, ctx)(admitted)
+    NormOps.nlpPreprocess(normalized,
+        txtProps = nlpTxtProps, txtPropsBlack = nlpTxtPropsBlack)
+      .withColumnRenamed("nlp_text", "fulltext")
+      .withColumn("site_id", lit(siteId))
+  }
+
   // ---------------------------------------------------- queries() wrapper
 
   /** queries() entry: the bise site pipeline end-to-end over synthesized

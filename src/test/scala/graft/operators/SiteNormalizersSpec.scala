@@ -902,6 +902,31 @@ class SiteNormalizersSpec extends SparkSpec {
       .filter(col("term_description").isNotNull).count() == 0)
   }
 
+  test("prepareDocs: error admission, site normalize, fulltext, site_id") {
+    val raw = spark.range(4).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://noise.eea.europa.eu/p/', id) as id",
+      "'noise text with enough words for a body' as text",
+      "'summary' as summary",
+      """concat('<html><head><title>Page ', id,
+                '</title></head><body>body prose long enough to clear the bar</body></html>')
+         as web_html""",
+      // rn 0: clean; rn 1: errored + indexed (drop); rn 2: errored,
+      // NOT indexed (keep); rn 3: clean
+      "CASE WHEN id IN (1, 2) THEN array('web') ELSE array() END as errors")
+    val searchui = spark.range(2).selectExpr(
+      "concat('https://noise.eea.europa.eu/p/', id) as id")
+
+    val out = prepareDocs(raw, searchui, "noise")
+    val rows = out.orderBy("rn").collect()
+    assert(rows.map(_.getAs[Int]("rn")).toSeq == Seq(0, 2, 3))
+    assert(rows.forall(_.getAs[String]("site_id") == "noise"))
+    assert(rows.forall(_.getAs[String]("cluster_name") == "noise"))
+    // fulltext extracted from the page html by the NLP preprocessor
+    assert(rows.forall(
+      _.getAs[String]("fulltext").contains("body prose long enough")))
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

@@ -63,6 +63,7 @@ object SparkEntry {
     "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
     "site_bise" -> (SiteNormalizers.qSiteBise _),
     "site_noise" -> (SiteNormalizers.qSiteNoise _),
+    "site_sdi" -> (SiteNormalizers.qSiteSdi _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
@@ -675,6 +676,29 @@ object SparkEntry {
         |    trim(ft_raw) AS fulltext
         |  FROM tg3)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin,
+    // the sdi site pipeline: expected values re-derived directly from the
+    // synthesized doc_id patterns — issued via the sdi fallback chain
+    // (creationDateForResource slot yields NULL), topic renames + theme
+    // taxonomy, range years with the open-end pinned to currentYear 2016,
+    // obsolete expiry, last_modified = max(children ∪ own changeDate).
+    "site_sdi" ->
+      """SELECT doc_id,
+        |  'Map ' || doc_id AS title,
+        |  'Abstract ' || doc_id AS description,
+        |  'published' AS hasWorkflowState,
+        |  'sdi' AS cluster_name,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2019-04-04'
+        |       WHEN doc_id % 4 = 1 THEN '2010-09-09' END AS issued,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Kosovo|Italy' ELSE 'Spain' END AS spatial,
+        |  'climate|water' AS topic,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2011|2012|2013|2015|2016'
+        |       WHEN doc_id % 3 = 1 THEN '2012' END AS time_coverage,
+        |  CASE WHEN doc_id % 5 = 0 THEN '2026-08-10' END AS expires,
+        |  CASE WHEN doc_id % 14 = 0 THEN '2021-05-05'
+        |       WHEN doc_id % 2 = 0 THEN '2020-01-01'
+        |       WHEN doc_id % 7 = 0 THEN '2021-05-05' END AS last_modified,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS items_count_spatial
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // SDI series child assembly: every third doc composes the next two
     // (one listed twice — keep-first dedup; one dangling id — drops).
     // The oracle resolves each fixed child slot with a LEFT JOIN;

@@ -576,9 +576,13 @@ object SiteNormalizers {
 
     val isObsolete = exists(col("cl_status"), // :298-317
       s => s.getField("key").isInCollection(sdiObsoleteKeys))
-    val childMods = filter( // :332-343 — children changeDates, nulls out
-      transform(col("children"), d => d.getField("changeDate")),
-      m => m.isNotNull)
+    // :332-343 — children changeDates, nulls out. A doc with NO children
+    // (removeEmpty nulls the emptied list) still takes its own changeDate,
+    // so the null list degrades to empty, not to a null-poisoned concat.
+    val childMods = coalesce(
+      filter(transform(col("children"), d => d.getField("changeDate")),
+        m => m.isNotNull),
+      array().cast("array<string>"))
     val out = common
       .withColumn("cluster_name", lit("sdi")) // :351
       .withColumn("time_coverage", // :352-356 — years as strings
@@ -1538,6 +1542,78 @@ object SiteNormalizers {
         array_join(col("spatial"), "|").as("spatial"),
         col("workflow_state"), col("cluster_name"), col("description"),
         col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the sdi site pipeline end-to-end over synthesized
+    * SDI-elastic records — field mapping, topic renames + theme taxonomy,
+    * temporal-range years, the sdi-chain issued fallback (no
+    * creationDateForResource step), obsolete expiry, last_modified from
+    * children changeDates, spatial Kosovo map, counts. Arrays scalarize
+    * to `|`-strings for the hash compare.
+    */
+  def qSiteSdi(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val rangeType =
+      "array<struct<start:struct<date:string>,end:struct<date:string>>>"
+    val childType = "array<struct<format:array<string>,changeDate:string>>"
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("md-"), id).as("metadataIdentifier"),
+      lit(null).cast("string").as("issued"),
+      when(id % 4 === 0, array(lit("2019-04-04"))).as("publicationDateForResource"),
+      when(id % 4 === 2, array(lit("2017-07-07"))).as("creationDateForResource"),
+      when(id % 4 === 1, lit("2010-09-09")).as("createDate"),
+      array(struct(lit("http://o/1").as("url"))).as("overview"),
+      array(struct(lit("Obligation 1").as("default"),
+        lit("http://rod/1").as("link"))).as("th_rod-eionet-europa-eu"),
+      array(struct(lit("Climate mitigation").as("default")),
+        struct(lit("Water").as("default"))).as("th_eea-topics"),
+      array(lit("concepts^environment^water pollution")).as("th_gemet_tree.default"),
+      array(struct(lit("vector").as("default"))).as("cl_spatialRepresentationType"),
+      when(id % 2 === 0,
+        array(struct(lit("Kosovo (UNSCR 1244/99)").as("default")),
+          struct(lit("Italy").as("default"))))
+        .otherwise(array(struct(lit("Spain").as("default")))).as("th_regions"),
+      when(id % 3 === 0, array(
+          struct(struct(lit("2011-02-01").as("date")).as("start"),
+            struct(lit("2013-06-01").as("date")).as("end")),
+          struct(struct(lit("2015-01-01").as("date")).as("start"),
+            struct(lit(null).cast("string").as("date")).as("end"))))
+        .when(id % 3 === 1, array(
+          struct(struct(lit("2012-05-05").as("date")).as("start"),
+            struct(lit("2012-07-07").as("date")).as("end"))))
+        .otherwise(array().cast(rangeType))
+        .as("resourceTemporalExtentDetails"),
+      when(id % 2 === 0, array(
+          struct(array(lit("SHP")).as("format"), lit("2020-01-01").as("changeDate")),
+          struct(array(lit("CSV")).as("format"),
+            lit(null).cast("string").as("changeDate"))))
+        .otherwise(array().cast(childType)).as("children"),
+      array(struct(concat(lit("DAT-"), id).as("code"))).as("resourceIdentifier"),
+      concat(lit("Map "), id).as("resourceTitleObject.default"),
+      concat(lit("Abstract "), id).as("resourceAbstractObject.default"),
+      when(id % 5 === 0, array(struct(lit("obsolete").as("key")))).as("cl_status"),
+      when(id % 7 === 0, lit("2021-05-05")).as("changeDate"),
+      lit("eng").as("mainLanguage"),
+      array(struct(lit("EEA Org").as("default"))).as("OrgForResourceObject"))
+    normalizeSdi(docs,
+        obligations = Map("http://rod/1" -> "Reporting obligation 1"),
+        currentYear = 2016, archivedExpires = "2026-08-10",
+        themeTaxonomy = Map("Water" -> "water"))
+      .select(
+        substring(col("id"), 4, 20).cast("long").as("doc_id"),
+        col("title"),
+        col("description"),
+        col("hasWorkflowState"),
+        col("cluster_name"),
+        col("issued"),
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("topic"), "|").as("topic"),
+        array_join(col("time_coverage"), "|").as("time_coverage"),
+        col("expires"),
+        col("last_modified"),
+        col("items_count_spatial"))
       .orderBy("doc_id")
   }
 

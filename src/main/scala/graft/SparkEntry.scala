@@ -61,6 +61,7 @@ object SparkEntry {
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
     "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
+    "norm_strip_selectors" -> (NormOps.qNormStripSelectors _),
     "site_bise" -> (SiteNormalizers.qSiteBise _),
     "site_noise" -> (SiteNormalizers.qSiteNoise _),
     "site_sdi" -> (SiteNormalizers.qSiteSdi _),
@@ -575,6 +576,16 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
         |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // remove_by_selector: chrome elements (nav/banner/footer) strip whole;
+    // removed blocks have no nested same-name tags by construction, so the
+    // oracle rebuilds the stripped html as a plain concat. text_main
+    // follows the single-<p>-line keep rule as in nlp_preprocess.
+    "norm_strip_selectors" ->
+      """SELECT doc_id,
+        |  '<html><body>' || '<p>' || text || '</p>' || '</body></html>' AS stripped,
+        |  CASE WHEN length(trim(text)) >= 30 OR regexp_matches(trim(text), '[.!?]$')
+        |       THEN trim(text) ELSE '' END AS text_main
         |FROM documents ORDER BY doc_id""".stripMargin,
     // common_preprocess text assembly: html main-content extract (here a
     // single <p> line — kept iff ≥30 chars or sentence-final punct, the

@@ -25,6 +25,17 @@ object TextFns {
   /** HTML → text: strip tags, then trim (normalizers.py:208-213). */
   def cleanHtml(c: Column): Column = trim(regexp_replace(c, HtmlTagRe, ""))
 
+  /** Remove whole element subtrees by simple CSS selector (`#id` /
+    * `.class` / `.a.b`) — the `remove_by_selector` step of the
+    * trafilatura wrapper (trafilatura_extract.py:96-109), as the native
+    * [[StripHtmlSelectors]] kernel.
+    */
+  def stripSelectors(c: Column, selectors: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    GraftSqlBridge.column(
+      StripHtmlSelectors(GraftSqlBridge.expression(c), selectors))
+  }
+
   /** `\w+` match count — the reference's word counter (normalizers.py:265).
     * `(?U)` gives Java regex the Unicode word semantics Python's `re` has by
     * default, so accented/non-Latin words count as the reference counts

@@ -630,7 +630,8 @@ object NormOps {
     */
   def nlpPreprocess(docs: DataFrame, htmlCol: String = "web_html",
       pdfCol: String = "pdf_text", titleCol: String = "title",
-      txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil): DataFrame = {
+      txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil,
+      removeSelectors: Seq[String] = Nil): DataFrame = {
     val schema = docs.schema
     def structFields(name: String): Seq[String] = schema.find(_.name == name)
       .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
@@ -673,9 +674,13 @@ object NormOps {
         concat(acc, lit("\n\n"), dotted, lit("\n\n"))).otherwise(acc)
     }
 
+    // remove_by_selector runs BEFORE extraction (trafilatura_extract.py:
+    // 96-109) — matched subtrees vanish from the DOM the extractor sees
     val extracted =
-      if (schema.fieldNames.contains(htmlCol)) mainText(col(htmlCol))
-      else lit("")
+      if (!schema.fieldNames.contains(htmlCol)) lit("")
+      else if (removeSelectors.nonEmpty)
+        mainText(stripSelectors(col(htmlCol), removeSelectors))
+      else mainText(col(htmlCol))
     val pdf =
       if (schema.fieldNames.contains(pdfCol)) coalesce(col(pdfCol), lit(""))
       else lit("")
@@ -709,6 +714,30 @@ object NormOps {
     nlpPreprocess(docs,
       txtProps = Seq("abstract_txt"), txtPropsBlack = Seq("internal_notes"))
       .select(id, col("nlp_text"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() wrapper for the remove_by_selector kernel: page chrome
+    * (nav by id, banner by class compound, a sometimes-present footer)
+    * strips away; the prose survives extraction. Removed blocks carry no
+    * nested same-name tags so the DuckDB twin is a plain string rebuild —
+    * the nesting cases live in HtmlExpressionsSpec.
+    */
+  def qNormStripSelectors(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("""<html><body><nav id="portal-globalnav"><a href="/">Home</a></nav>"""),
+      lit("""<div class="eea banner">Banner text here</div>"""),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(id % 2 === 0,
+        lit("""<footer class="footer">Copyright</footer>""")).otherwise(lit("")),
+      lit("</body></html>"))
+    Tables.documents(s, d)
+      .select(id, html.as("web_html"))
+      .withColumn("stripped", stripSelectors(col("web_html"),
+        Seq("#portal-globalnav", ".eea.banner", ".footer")))
+      .withColumn("text_main", mainText(col("stripped")))
+      .select("doc_id", "stripped", "text_main")
       .orderBy("doc_id")
   }
 

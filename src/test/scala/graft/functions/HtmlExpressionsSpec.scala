@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFns.stripSelectors
+import org.apache.spark.sql.functions._
+
+/** StripHtmlSelectors — the remove_by_selector kernel
+  * (trafilatura_extract.py:96-109). The cases a regex replacement cannot
+  * express (same-name nesting) are the reason the kernel exists.
+  */
+class HtmlExpressionsSpec extends SparkSpec {
+
+  private def strip(html: String, sels: Seq[String]): String =
+    spark.range(1).select(stripSelectors(lit(html), sels).as("r"))
+      .head.getString(0)
+
+  test("removes by id and by class token, keeping surrounding text") {
+    val html = """<body><nav id="portal-globalnav"><a>Home</a></nav>""" +
+      """<p>keep me</p><div class="eea footer x">gone</div>tail</body>"""
+    assert(strip(html, Seq("#portal-globalnav", ".footer")) ==
+      "<body><p>keep me</p>tail</body>")
+  }
+
+  test("class compound .a.b requires BOTH tokens") {
+    val html = """<div class="eea">k1</div><div class="banner">k2</div>""" +
+      """<div class="eea banner">gone</div>"""
+    assert(strip(html, Seq(".eea.banner")) ==
+      """<div class="eea">k1</div><div class="banner">k2</div>""")
+  }
+
+  test("same-name nesting drops the whole subtree (the non-regex case)") {
+    val html = """<div class="footer"><div>inner</div><span>x</span></div>after"""
+    assert(strip(html, Seq(".footer")) == "after")
+    // the regex form would stop at the first </div> and leak '<span>x</span></div>'
+  }
+
+  test("matched void/self-closing elements drop without eating siblings") {
+    assert(strip("""<img class="footer" src="x"/><p>keep</p>""", Seq(".footer")) ==
+      "<p>keep</p>")
+    assert(strip("""<br class="footer"><p>keep</p>""", Seq(".footer")) ==
+      "<p>keep</p>")
+  }
+
+  test("unmatched html passes through byte-identical") {
+    val html = """<div class="content"><!-- note --><p id="a">text</p></div>"""
+    assert(strip(html, Seq("#nope", ".missing")) == html)
+  }
+
+  test("a matched element never closed drops the remainder") {
+    assert(strip("""pre<div class="footer"><p>lost""", Seq(".footer")) == "pre")
+  }
+
+  test("single-quoted and unquoted attribute values match") {
+    assert(strip("""<div class='footer'>g</div>k""", Seq(".footer")) == "k")
+    assert(strip("""<div id=nav>g</div>k""", Seq("#nav")) == "k")
+  }
+
+  test("unsupported selector grammar is rejected at plan time") {
+    intercept[IllegalArgumentException] {
+      StripHtmlSelectors.parse(Seq("div > .x"))
+    }
+    intercept[IllegalArgumentException] {
+      StripHtmlSelectors.parse(Seq("p"))
+    }
+  }
+
+  test("codegen and interpreted paths agree on a mixed document") {
+    val html = """<html><nav id="n"><a>x</a></nav><div class="a b">""" +
+      """<div>deep</div></div><p>body</p><img class="a" src="s"></html>"""
+    val df = spark.range(64).select(
+      concat(lit(html), lit("<i>"), col("id"), lit("</i>")).as("h"))
+    val viaCodegen = df.select(stripSelectors(col("h"), Seq("#n", ".a")).as("r"))
+      .collect().map(_.getString(0))
+    val expected = (0 until 64).map(i => s"<html><p>body</p></html><i>$i</i>")
+    assert(viaCodegen.toSeq == expected)
+    // interpreted path (eval): direct kernel call
+    val parsed = StripHtmlSelectors.parse(Seq("#n", ".a"))
+    val viaEval = (0 until 64).map(i => StripHtmlSelectors.strip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html + s"<i>$i</i>"),
+      parsed).toString)
+    assert(viaEval == expected)
+  }
+
+  test("nlpPreprocess applies removeSelectors before extraction") {
+    val docs = spark.range(1).selectExpr(
+      """'<html><body><nav class="main-menu"><a>A very long navigation line that would otherwise pass the length rule.</a></nav><p>the real body prose which is long enough to survive</p></body></html>' as web_html""",
+      "'T' as title", "'' as pdf_text")
+    val out = graft.operators.NormOps.nlpPreprocess(docs,
+        removeSelectors = Seq(".main-menu"))
+      .select("nlp_text").head.getString(0)
+    assert(out.contains("the real body prose"))
+    assert(!out.contains("navigation line"))
+  }
+}

@@ -131,16 +131,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains(bad), s"site_bise plan contains $bad")
   }
 
-  test("site_noise and nlp_preprocess are pure narrow pipelines") {
-    // The noise site normalizer and the NLP text-assembly front door are
-    // per-row projection chains — any join/aggregate appearing here means
-    // a regression that would shuffle the whole corpus at scale.
-    for (q <- Seq("site_noise", "nlp_preprocess")) {
+  test("site_noise, site_sdi, nlp_preprocess, norm_strip_selectors are pure narrow pipelines") {
+    // Site normalizers and the NLP text-assembly front door are per-row
+    // projection chains — any join/aggregate appearing here means a
+    // regression that would shuffle the whole corpus at scale.
+    for (q <- Seq("site_noise", "site_sdi", "nlp_preprocess", "norm_strip_selectors")) {
       val p = plan(q)
       for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
           "CartesianProduct", "HashAggregate", "SortAggregate"))
         assert(!p.contains(bad), s"$q plan contains $bad")
     }
+  }
+
+  test("sdi_children is one equi-join plus one aggregation, never cartesian") {
+    // The child assembly joins the exploded id list back to the corpus —
+    // an equi-join on the id key. A CartesianProduct/BNLJ here would be
+    // quadratic in the corpus.
+    val p = plan("sdi_children")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"sdi_children plan contains $bad")
+    assert(p.contains("Join"), "expected the corpus equi-join")
+    assert(p.contains("Aggregate") || p.contains("HashAggregate") ||
+      p.contains("SortAggregate") || p.contains("ObjectHashAggregate"),
+      "expected the re-collect aggregation")
   }
 
   test("plone_search joins only the broadcast robots rule table") {

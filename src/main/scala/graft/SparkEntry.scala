@@ -47,6 +47,7 @@ object SparkEntry {
     "norm_add_counts" -> (NormOps.qNormAddCounts _),
     "norm_maps" -> (NormOps.qNormMaps _),
     "text_passages" -> (NormOps.qTextPassages _),
+    "passage_clean" -> (NormOps.qPassageClean _),
     "flatten_json" -> (NormOps.qFlattenJson _),
     "norm_themes" -> (NormOps.qNormThemes _),
     "norm_provenance" -> (NormOps.qNormProvenance _),
@@ -576,6 +577,14 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
         |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // passage cleaning: the running header/footer lines strip from both
+    // pages, per-line blank padding strips, the 4-newline run collapses
+    // to 2 — the oracle rebuilds the expected text directly.
+    "passage_clean" ->
+      """SELECT doc_id,
+        |  trim(text) || chr(10) || chr(10) || 'mid' || chr(12) ||
+        |    'second page body' AS text_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     // remove_by_selector: chrome elements (nav/banner/footer) strip whole;
     // removed blocks have no nested same-name tags by construction, so the

@@ -419,6 +419,62 @@ object NormOps {
     provenanceDedup(prov).orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ passage_clean
+
+  /** The `clean_*` knobs the reference passes to its NLP splitter
+    * (nlp.py:70-79 — clean_header_footer / clean_whitespace /
+    * clean_empty_lines, the published haystack PreProcessor semantics),
+    * applied in the PreProcessor's order:
+    *
+    *  1. header/footer: pages split on `\f`; when the FIRST (resp. LAST)
+    *     line is identical across all pages of a multi-page doc it is a
+    *     running header (footer) and strips from every page. (haystack
+    *     matches longest common prefix/suffix char runs; line granularity
+    *     is the relational form — a running header IS a line.)
+    *  2. whitespace: leading/trailing blanks strip from every line
+    *     (`(?m)` multiline regex, one pass over the whole text).
+    *  3. empty lines: runs of 3+ newlines collapse to exactly 2.
+    *
+    * All three are per-row string expressions — zero shuffle.
+    */
+  def passageClean(docs: DataFrame, textCol: String,
+      cleanWhitespace: Boolean = true, cleanEmptyLines: Boolean = true,
+      cleanHeaderFooter: Boolean = false): DataFrame = {
+    var c: Column = col(textCol)
+    if (cleanHeaderFooter) {
+      val pages = split(c, "\f")
+      val firsts = transform(pages, p => element_at(split(p, "\n"), 1))
+      val lasts = transform(pages, p => element_at(split(p, "\n"), -1))
+      val headerDup = size(pages) > 1 && size(array_distinct(firsts)) === 1
+      val footerDup = size(pages) > 1 && size(array_distinct(lasts)) === 1
+      val stripped = transform(pages, p => {
+        val lines = split(p, "\n")
+        val start = when(headerDup, lit(2)).otherwise(lit(1))
+        val len = greatest(lit(0),
+          size(lines) - start + lit(1) - when(footerDup, lit(1)).otherwise(lit(0)))
+        array_join(slice(lines, start, len), "\n")
+      })
+      c = array_join(stripped, "\f")
+    }
+    if (cleanWhitespace) c = regexp_replace(c, "(?m)^[ \\t]+|[ \\t]+$", "")
+    if (cleanEmptyLines) c = regexp_replace(c, "\n{3,}", "\n\n")
+    docs.withColumn("text_clean", c)
+  }
+
+  /** queries() wrapper: two pages sharing a running header and footer,
+    * padded lines, and a 4-newline run — all three cleans fire.
+    */
+  def qPassageClean(s: SparkSession, d: String): DataFrame = {
+    val full = concat(
+      lit("DOC HEADER\n  "), col("text"),
+      lit("  \n\n\n\nmid\nDOC FOOTER\fDOC HEADER\nsecond page body\nDOC FOOTER"))
+    passageClean(
+      Tables.documents(s, d).select(col("doc_id"), full.as("fulltext")),
+      "fulltext", cleanHeaderFooter = true)
+      .select("doc_id", "text_clean")
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- text_passages_sent
 
   case class SentencePassage(doc_id: Long, passage_id: Int, n_words: Int, passage: String)

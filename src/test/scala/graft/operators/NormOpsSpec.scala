@@ -366,6 +366,25 @@ class NormOpsSpec extends SparkSpec {
     assert(got(1).getString(2) === "en")
   }
 
+  test("passageClean: header/footer only strip when identical across pages") {
+    def clean(text: String): String =
+      NormOps.passageClean(
+        spark.range(1).select(lit(text).as("t")), "t",
+        cleanHeaderFooter = true)
+        .head.getString(1)
+
+    // identical header+footer on both pages strip; body survives
+    assert(clean("H\na\nF\fH\nb\nF") == "a\fb")
+    // differing footer stays; identical header still strips
+    assert(clean("H\na\nF1\fH\nb\nF2") == "a\nF1\fb\nF2")
+    // single page: nothing is a running header
+    assert(clean("H\na\nF") == "H\na\nF")
+    // pages that are ONLY the shared line never go negative-length
+    assert(clean("H\fH") == "\f")
+    // whitespace + empty-line cleans still apply
+    assert(clean("  x  \n\n\n\n\ny") == "x\n\ny")
+  }
+
   test("nlpPreprocess: extract-else-fallback, auto-discovery, pdf append") {
     // rn 0: html extracts → fallback fields ignored
     // rn 1: empty html → title + whitelist + auto-discovered struct props

@@ -183,6 +183,10 @@ object StripHtmlSelectors {
     while (i < n && depth > 0) {
       val lt = s.indexOf('<', i)
       if (lt < 0) return n
+      if (s.startsWith("<!--", lt)) { // a commented-out tag must not count
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
       val close = lt + 1 < n && s.charAt(lt + 1) == '/'
       val nameFrom = if (close) lt + 2 else lt + 1
       if (nameFrom < n && isNameStart(s.charAt(nameFrom))) {
@@ -195,6 +199,7 @@ object StripHtmlSelectors {
         }
         i = tagEnd + 1
       } else i = lt + 1
+      }
     }
     i
   }

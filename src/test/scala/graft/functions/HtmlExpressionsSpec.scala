@@ -46,6 +46,11 @@ class HtmlExpressionsSpec extends SparkSpec {
     assert(strip(html, Seq("#nope", ".missing")) == html)
   }
 
+  test("a commented-out close tag inside a removed subtree does not count") {
+    val html = """<div class="footer">x<!-- </div> -->y</div>keep"""
+    assert(strip(html, Seq(".footer")) == "keep")
+  }
+
   test("a matched element never closed drops the remainder") {
     assert(strip("""pre<div class="footer"><p>lost""", Seq(".footer")) == "pre")
   }

@@ -42,8 +42,10 @@ case class StripHtmlSelectors(child: Expression, selectors: Seq[String])
     StripHtmlSelectors.strip(input.asInstanceOf[UTF8String], parsed)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("selectors", parsed,
-      classOf[Array[StripHtmlSelectors.Sel]].getName)
+    // no explicit className: CodeGenerator.typeName renders the array type
+    // in Java SOURCE syntax (Sel[]) — the JVM binary name ("[L…;") is not
+    // compilable and would silently drop the stage to interpreted eval
+    val ref = ctx.addReferenceObj("selectors", parsed)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.StripHtmlSelectors.strip($c, $ref);")
   }
@@ -70,10 +72,18 @@ object StripHtmlSelectors {
       !s.exists(c => c.isWhitespace || c == '>' || c == '[' || c == ':'),
       s"unsupported selector '$raw': only #id / .class / .a.b compounds")
     if (s.startsWith("#")) {
-      require(!s.substring(1).contains("#") && !s.substring(1).contains("."),
+      require(s.length > 1 && !s.substring(1).contains("#") &&
+        !s.substring(1).contains("."),
         s"unsupported selector '$raw'")
       new Sel(s.substring(1), Array.empty)
-    } else new Sel(null, s.substring(1).split("\\.").filter(_.nonEmpty))
+    } else {
+      // a '#' inside a class selector (".banner#main") is NOT a class
+      // token — reject rather than silently matching nothing
+      require(!s.contains("#"), s"unsupported selector '$raw'")
+      val classes = s.substring(1).split("\\.").filter(_.nonEmpty)
+      require(classes.nonEmpty, s"unsupported selector '$raw': no class tokens")
+      new Sel(null, classes)
+    }
   }.toArray
 
   private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",

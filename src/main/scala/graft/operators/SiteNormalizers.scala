@@ -1471,12 +1471,15 @@ object SiteNormalizers {
     * site's branch scans only its own files.
     */
   def normalizePortfolio(docsBySite: Seq[(String, DataFrame)],
-      ctx: SiteContext = SiteContext()): DataFrame =
+      ctx: SiteContext = SiteContext()): DataFrame = {
+    require(docsBySite.nonEmpty,
+      "normalizePortfolio needs at least one (site, docs) pair")
     docsBySite
       .map { case (site, d) =>
         normalizerFor(site, ctx)(d).withColumn("site_id", lit(site))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** The whole prepare-docs-for-searchui pass for one site
     * (normalizer.py:18-32 admission + :40-112 preprocess_doc): drop docs
@@ -1496,11 +1499,18 @@ object SiteNormalizers {
     val admitted = raw
       .join(searchuiIds.select(col("id").as("__searchui_id")),
         col("id") === col("__searchui_id"), "left")
-      .filter(size(col("errors")) === 0 || col("__searchui_id").isNull)
+      // a NULL errors column means "no errors recorded", not errored —
+      // size(NULL) is not 0 under ANSI semantics, hence the coalesce
+      .filter(coalesce(size(col("errors")), lit(0)) === 0 ||
+        col("__searchui_id").isNull)
       .drop("__searchui_id")
     val normalized = normalizerFor(siteId, ctx)(admitted)
-    NormOps.nlpPreprocess(normalized,
-        txtProps = nlpTxtProps, txtPropsBlack = nlpTxtPropsBlack)
+    // the joinText sites already carry a `fulltext` column; the reference
+    // OVERWRITES doc["fulltext"] with the preprocessor text (:77), so the
+    // old column must go before the rename or the name becomes ambiguous
+    val pre = NormOps.nlpPreprocess(normalized,
+      txtProps = nlpTxtProps, txtPropsBlack = nlpTxtPropsBlack)
+    pre.drop("fulltext")
       .withColumnRenamed("nlp_text", "fulltext")
       .withColumn("site_id", lit(siteId))
   }

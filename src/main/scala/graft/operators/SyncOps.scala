@@ -544,8 +544,12 @@ object SyncOps {
       struct(
         col("metadataIdentifier"),
         col("changeDate"),
-        // :148-149 — linkProtocol normalized to a list
-        col("linkProtocol")).as("child"))
+        // :148-149 — a scalar linkProtocol coerces to a one-element list;
+        // a missing one defaults to the empty list (crawl_sdi.py :148 /
+        // the .get(…, []) default)
+        when(col("linkProtocol").isNotNull, array(col("linkProtocol")))
+          .otherwise(array().cast("array<string>")).as("linkProtocol"))
+        .as("child"))
     val joined = kids.join(corpus, Seq("child_id"), "left")
     joined
       .groupBy("parent_id")

@@ -61,12 +61,27 @@ class HtmlExpressionsSpec extends SparkSpec {
   }
 
   test("unsupported selector grammar is rejected at plan time") {
-    intercept[IllegalArgumentException] {
-      StripHtmlSelectors.parse(Seq("div > .x"))
-    }
-    intercept[IllegalArgumentException] {
-      StripHtmlSelectors.parse(Seq("p"))
-    }
+    for (bad <- Seq("div > .x", "p", ".banner#main", ".", "#"))
+      intercept[IllegalArgumentException] {
+        StripHtmlSelectors.parse(Seq(bad))
+      }
+  }
+
+  test("stripSelectors stays inside whole-stage codegen") {
+    // the reference-object type must render in Java source syntax — a JVM
+    // binary array name fails janino and silently drops to eval. With
+    // fallback disabled a compile failure throws instead of degrading.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(4).select(
+        stripSelectors(concat(lit("<div class=\"x\">g</div>k"), col("id")),
+          Seq(".x")).as("r"))
+      assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+        "expected a whole-stage-codegen'd (*) projection")
+      assert(df.collect().map(_.getString(0)).toSeq ==
+        (0 until 4).map(i => s"k$i"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("codegen and interpreted paths agree on a mixed document") {

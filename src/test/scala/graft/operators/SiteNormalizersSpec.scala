@@ -918,6 +918,11 @@ class SiteNormalizersSpec extends SparkSpec {
       "concat('https://noise.eea.europa.eu/p/', id) as id")
 
     val out = prepareDocs(raw, searchui, "noise")
+    // exactly ONE fulltext column — the normalizer's joinText fulltext is
+    // overwritten by the preprocessor's, like the reference's
+    // normalized_doc["fulltext"] assignment (a duplicate name would make
+    // every downstream select AMBIGUOUS_REFERENCE)
+    assert(out.columns.count(_ == "fulltext") == 1)
     val rows = out.orderBy("rn").collect()
     assert(rows.map(_.getAs[Int]("rn")).toSeq == Seq(0, 2, 3))
     assert(rows.forall(_.getAs[String]("site_id") == "noise"))
@@ -925,6 +930,14 @@ class SiteNormalizersSpec extends SparkSpec {
     // fulltext extracted from the page html by the NLP preprocessor
     assert(rows.forall(
       _.getAs[String]("fulltext").contains("body prose long enough")))
+    // a NULL errors column means no errors — an indexed doc with null
+    // errors must re-admit
+    val withNullErrors = raw.withColumn("errors",
+      when(col("rn") === 0, lit(null).cast("array<string>"))
+        .otherwise(col("errors")))
+    val out2 = prepareDocs(withNullErrors, searchui, "noise")
+    assert(out2.orderBy("rn").collect().map(_.getAs[Int]("rn")).toSeq ==
+      Seq(0, 2, 3))
   }
 
   test("diceSim scores similar and dissimilar text like the dup gate needs") {

@@ -242,9 +242,11 @@ class SyncOpsSpec extends SparkSpec {
 
     // list order preserved, duplicate md-2 kept once (first), md-99 dropped
     assert(out("md-0").map(_.getString(0)) == Seq("md-2", "md-1"))
-    // child struct carries changeDate and the (scalar-sourced) linkProtocol
+    // child struct carries changeDate; the scalar linkProtocol coerces to
+    // a one-element list, a missing one to the empty list (:148-149)
     assert(out("md-0").map(_.getString(1)) == Seq("2021-03-01", "2021-02-01"))
-    assert(out("md-0")(1).getString(2) == "WWW:LINK")
+    assert(out("md-0")(1).getSeq[String](2) == Seq("WWW:LINK"))
+    assert(out("md-0")(0).getSeq[String](2) == Seq())
     // a parent whose only child dangles keeps its row with zero children
     assert(out("md-3").isEmpty)
     assert(out("md-1").isEmpty && out("md-2").isEmpty)

@@ -68,6 +68,20 @@ object ScaleProbe {
       val queries = annCorpus.filter(col("vec_id") < 1000 && col("vec_id") % 100 === 0)
       probe("ann_lsh", k, graft.operators.AnnOps.lshTopK(annCorpus, queries, k = 10))
       probe("ann_ivf", k, graft.operators.AnnOps.ivfTopK(annCorpus, queries, k = 10))
+      // the one join-shaped crawler op: child assembly = equi-join + agg;
+      // per-replica id offsets keep children within their replica, so both
+      // sides and the output grow exactly ~K — a super-linear wall means
+      // the join degenerated (broadcast of the corpus side / cartesian)
+      probe("sdi_children", k, graft.operators.SyncOps.sdiChildren(
+        corpusK(k).select(
+          concat(lit("md-"), col("doc_id")).as("metadataIdentifier"),
+          concat(lit("2021-01-0"), col("doc_id") % 9 + 1).as("changeDate"),
+          lit(null).cast("string").as("linkProtocol"),
+          when(col("doc_id") % 3 === 0, array(
+            concat(lit("md-"), col("doc_id") + 1),
+            concat(lit("md-"), col("doc_id") + 2)))
+            .otherwise(array().cast("array<string>"))
+            .as("agg_associated_isComposedOf"))))
     }
     spark.stop()
   }

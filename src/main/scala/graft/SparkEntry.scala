@@ -50,6 +50,7 @@ object SparkEntry {
     "passage_clean" -> (NormOps.qPassageClean _),
     "flatten_json" -> (NormOps.qFlattenJson _),
     "norm_themes" -> (NormOps.qNormThemes _),
+    "taxonomy_merge" -> (NormOps.qTaxonomyMerge _),
     "norm_provenance" -> (NormOps.qNormProvenance _),
     "text_passages_sent" -> (NormOps.qTextPassagesSent _),
     "norm_coverage" -> (NormOps.qNormCoverage _),
@@ -578,6 +579,19 @@ object SparkEntry {
         |       ELSE array_to_string(list_transform(range(0, CAST(doc_id % 3 + 1 AS INT)),
         |              k -> 'place' || doc_id || '_' || k), '|') END AS locations
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // theme-taxonomy build: vocabulary tokens for even ids, VDEX XML terms
+    // for thirds applied second (dict-update order) win conflicts; the en
+    // langstring is picked by language attribute, not position.
+    "taxonomy_merge" ->
+      """WITH vocab AS (
+        |  SELECT 't' || doc_id AS token, 'Vocab ' || doc_id AS label, 1 AS prio
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |x AS (
+        |  SELECT 't' || doc_id AS token, 'Xml ' || doc_id AS label, 2 AS prio
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT * FROM vocab UNION ALL SELECT * FROM x)
+        |SELECT token, max_by(label, prio) AS label
+        |FROM u GROUP BY token ORDER BY token""".stripMargin,
     // passage cleaning: the running header/footer lines strip from both
     // pages, per-line blank padding strips, the 4-newline run collapses
     // to 2 — the oracle rebuilds the expected text directly.

@@ -384,6 +384,60 @@ object NormOps {
     mergeThemes(docs, taxonomy).orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- taxonomy_merge
+
+  /** The theme-taxonomy build (d0_update_themetaxonomy.py:15-51): parse
+    * VDEX topics XML — term blocks carrying a termIdentifier and an
+    * en-language caption langstring (:22-34) — one regex pass + explode,
+    * the same idiom as sitemap parsing.
+    */
+  def taxonomyTerms(docs: DataFrame, xmlCol: String): DataFrame =
+    docs
+      .withColumn("term",
+        explode(regexp_extract_all(col(xmlCol), lit("(?s)<term>(.*?)</term>"), lit(1))))
+      .withColumn("token",
+        regexp_extract(col("term"), "<termIdentifier>([^<]*)</termIdentifier>", 1))
+      .withColumn("label", regexp_extract(col("term"),
+        "(?s)<langstring[^>]*language=\"en\"[^>]*>([^<]*)</langstring>", 1))
+      .drop(xmlCol, "term")
+
+  /** Merge the site vocabulary (token → title, :44-46) with the parsed
+    * VDEX terms — the XML terms are applied SECOND in the reference's
+    * dict update, so they win on token conflicts (:48-50). The merged
+    * (token, label) table is the broadcast side of [[mergeThemes]].
+    */
+  def mergeTaxonomy(vocab: DataFrame, xmlTerms: DataFrame): DataFrame =
+    vocab.select(col("token"), col("label"), lit(1).as("prio"))
+      .unionByName(xmlTerms.select(col("token"), col("label"), lit(2).as("prio")))
+      .groupBy("token")
+      .agg(max_by(col("label"), col("prio")).as("label"))
+
+  /** queries() wrapper: vocabulary entries for even ids, one VDEX document
+    * with terms for every third id (the en langstring sits AFTER a de one
+    * — the language filter, not position, must pick it); thirds win the
+    * token conflicts.
+    */
+  def qTaxonomyMerge(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d)
+    val vocab = docs.filter(id % 2 === 0)
+      .select(concat(lit("t"), id).as("token"),
+        concat(lit("Vocab "), id).as("label"))
+    val termXml = concat(
+      lit("<term><termIdentifier>t"), id,
+      lit("</termIdentifier><caption><langstring language=\"de\">De "), id,
+      lit("</langstring><langstring language=\"en\">Xml "), id,
+      lit("</langstring></caption></term>"))
+    val xml = docs.filter(id % 3 === 0)
+      .select(id, termXml.as("t"))
+      .groupBy()
+      .agg(concat(lit("<vdex>"),
+        array_join(array_sort(collect_list(struct(id, col("t")))).getField("t"), ""),
+        lit("</vdex>")).as("xml"))
+    mergeTaxonomy(vocab, taxonomyTerms(xml, "xml"))
+      .orderBy("token")
+  }
+
   // --------------------------------------------------------- norm_provenance
 
   /** Data-provenance dedup (normalizers.py:437 `get_data_provenance`): keep

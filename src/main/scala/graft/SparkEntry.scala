@@ -68,6 +68,7 @@ object SparkEntry {
     "site_noise" -> (SiteNormalizers.qSiteNoise _),
     "site_sdi" -> (SiteNormalizers.qSiteSdi _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
+    "site_for_url" -> (SyncOps.qSiteForUrl _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
     "semantic_search" -> (EmbedOps.qSemanticSearch _),
     // Search / indexing semantics (SURVEY §2 #24-#27)
@@ -732,6 +733,20 @@ object SparkEntry {
         |       WHEN doc_id % 2 = 0 THEN '2020-01-01'
         |       WHEN doc_id % 7 = 0 THEN '2021-05-05' END AS last_modified,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS items_count_spatial
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // url → site routing: longest PROPER prefix wins (the full url is
+    // never a candidate, so an exact base url resolves to its parent
+    // site); unknown hosts map to ''.
+    "site_for_url" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'https://noise.eea.europa.eu/page/' || doc_id
+        |       WHEN doc_id % 4 = 1 THEN 'https://water.europa.eu/freshwater/m/' || doc_id
+        |       WHEN doc_id % 4 = 2 THEN 'https://water.europa.eu/freshwater'
+        |       ELSE 'https://other.example.eu/d/' || doc_id END AS url,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'noise'
+        |       WHEN doc_id % 4 = 1 THEN 'wise'
+        |       WHEN doc_id % 4 = 2 THEN 'water'
+        |       ELSE '' END AS site_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     // SDI series child assembly: every third doc composes the next two
     // (one listed twice — keep-first dedup; one dangling id — drops).

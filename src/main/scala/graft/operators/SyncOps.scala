@@ -516,6 +516,53 @@ object SyncOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ site_for_url
+
+  /** `find_site_by_url` (tasks/helpers.py:131-145) — route a doc URL to
+    * its site id, which picks the registry normalizer. Semantics exactly
+    * as the reference: scheme and surrounding slashes strip, the path
+    * splits, and candidate prefixes drop 1..n-1 TRAILING segments
+    * (longest first — the full URL itself is never a candidate, :136);
+    * the first candidate equal to a site's scheme-stripped base URL wins;
+    * no match → empty string. The site map is a handful of entries —
+    * a `typedLit` map lookup per row, zero shuffle.
+    */
+  def siteForUrl(url: Column, siteMap: Map[String, String]): Column = {
+    val inv = siteMap.map { case (site, u) =>
+      u.replaceAll("^[a-z]+://", "").replaceAll("^/+|/+$", "") -> site
+    }
+    val m = typedLit(inv)
+    val parts = split(
+      regexp_replace(regexp_replace(url, "^[a-z]+://", ""), "^/+|/+$", ""), "/")
+    val names = when(size(parts) > 1,
+      transform(sequence(size(parts) - 1, lit(1), lit(-1)),
+        l => array_join(slice(parts, lit(1), l), "/")))
+      .otherwise(array().cast("array<string>"))
+    val hits = filter(names, nm => try_element_at(m, nm).isNotNull)
+    coalesce(try_element_at(m, try_element_at(hits, lit(1))), lit(""))
+  }
+
+  /** queries() wrapper: urls across two sites (one nested under a longer
+    * site base that must win by prefix length), an exact-base url (only
+    * proper prefixes match — resolves to the PARENT site), and unknowns.
+    */
+  def qSiteForUrl(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val siteMap = Map(
+      "noise" -> "https://noise.eea.europa.eu",
+      "wise" -> "https://water.europa.eu/freshwater",
+      "water" -> "https://water.europa.eu")
+    val url =
+      when(id % 4 === 0, concat(lit("https://noise.eea.europa.eu/page/"), id))
+        .when(id % 4 === 1, concat(lit("https://water.europa.eu/freshwater/m/"), id))
+        .when(id % 4 === 2, lit("https://water.europa.eu/freshwater"))
+        .otherwise(concat(lit("https://other.example.eu/d/"), id))
+    Tables.documents(s, d)
+      .select(id, url.as("url"))
+      .withColumn("site_id", siteForUrl(col("url"), siteMap))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ sdi_children
 
   /** SDI dataset-series child assembly (crawl_sdi.py:137-155 `crawl_doc`):

@@ -940,6 +940,34 @@ class SiteNormalizersSpec extends SparkSpec {
       Seq(0, 2, 3))
   }
 
+  test("siteForUrl routes a mixed corpus into per-site registry runs") {
+    val siteMap = Map(
+      "noise" -> "https://noise.eea.europa.eu",
+      "cab" -> "https://climate-advisory-board.europa.eu")
+    val docs = spark.range(6).selectExpr(
+      "cast(id as int) as rn",
+      """CASE WHEN id % 2 = 0
+           THEN concat('https://noise.eea.europa.eu/p/', id)
+           ELSE concat('https://climate-advisory-board.europa.eu/d/', id)
+         END as id""",
+      "'site text with enough words for a body' as text",
+      "'summary' as summary",
+      "'<html><head><title>T</title></head><body>x</body></html>' as web_html",
+      "'Page' as type_raw",
+      "'published' as review_state",
+      "concat('Title ', id) as title")
+    val routed = docs.withColumn("site_id",
+      SyncOps.siteForUrl(col("id"), siteMap))
+    // route → split per site → registry normalize → portfolio union
+    val bySite = Seq("noise", "cab").map(s =>
+      s -> routed.filter(col("site_id") === s).drop("site_id"))
+    val out = normalizePortfolio(bySite)
+    assert(out.filter(col("site_id") === "noise").count() == 3)
+    assert(out.filter(col("site_id") === "cab").count() == 3)
+    assert(out.filter(col("cluster_name").isInCollection(Seq("noise", "cab")))
+      .count() == 6)
+  }
+
   test("diceSim scores similar and dissimilar text like the dup gate needs") {
     val df = spark.range(1).selectExpr(
       "'shared summary of the parent report body' as a",

@@ -198,4 +198,26 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(0) === ((1L, 2L)), s"first closed session wrong: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("nlpPreprocess runs unchanged on a stream (pure projection)") {
+    // The NLP text-assembly front door is a per-row projection — the same
+    // call compiles into an append-mode streaming query with no state.
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, String, String, String)]
+    val docs = src.toDF().toDF("doc_id", "web_html", "title", "pdf_text")
+    val q = graft.operators.NormOps.nlpPreprocess(docs)
+      .select("doc_id", "nlp_text")
+      .writeStream.format("memory").queryName("nlp").outputMode("append").start()
+    try {
+      src.addData(
+        (1L, "<p>a prose line long enough to clear the thirty char bar</p>", "T1", ""),
+        (2L, "", "T2", "pdf body"))
+      q.processAllAvailable()
+      val got = spark.table("nlp").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got(0) ===
+        ((1L, "a prose line long enough to clear the thirty char bar\n\n")))
+      assert(got(1) === ((2L, "\n\nT2.\n\n\n\npdf body")))
+    } finally q.stop()
+  }
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.qLangId _),
     "quality_score" -> (TextAnalysis.qQualityScore _),
     "quality_gopher" -> (TextAnalysis.qQualityGopher _),
+    "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
@@ -1224,6 +1225,58 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents) t
         |WHERE rk <= 7 ORDER BY lang, rk""".stripMargin,
+    // Gopher repetition gates: planted thrice-repeated line (fifths) and a
+    // 40-token bigram run (sevenths); list histogram + map_entries compute
+    // the same gram-word-chars × occurrences statistic as the Spark pivot.
+    "quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      chr(10) || 'Call now to subscribe today' ||
+        |      chr(10) || 'Call now to subscribe today' ||
+        |      chr(10) || 'Call now to subscribe today' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      chr(10) || repeat('spam ', 39) || 'spam' ELSE '' END AS dtext
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(dtext, chr(10)), x -> length(trim(x)) > 0) AS lines,
+        |    string_split(trim(dtext), ' ') AS words,
+        |    CAST(length(dtext) AS DOUBLE) AS total_chars
+        |  FROM d),
+        |ls AS (
+        |  SELECT doc_id, words, total_chars,
+        |    COALESCE(round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4), 0.0) AS dup_line_frac,
+        |    COALESCE(round(
+        |      (list_aggregate(list_transform(lines, x -> length(x)), 'sum') -
+        |       list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum')) /
+        |      CAST(list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS DOUBLE), 4), 0.0) AS dup_line_char_frac
+        |  FROM l),
+        |g AS (
+        |  SELECT doc_id, total_chars, dup_line_frac, dup_line_char_frac,
+        |    list_max(list_transform(map_entries(list_aggregate(
+        |      list_transform(range(1, len(words)),
+        |        i -> words[i] || '_' || words[i+1]), 'histogram')),
+        |      e -> (length(e.key) - 1) * e.value)) AS t2,
+        |    list_max(list_transform(map_entries(list_aggregate(
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || '_' || words[i+1] || '_' || words[i+2]), 'histogram')),
+        |      e -> (length(e.key) - 2) * e.value)) AS t3,
+        |    list_max(list_transform(map_entries(list_aggregate(
+        |      list_transform(range(1, len(words) - 2),
+        |        i -> words[i] || '_' || words[i+1] || '_' || words[i+2] || '_' || words[i+3]), 'histogram')),
+        |      e -> (length(e.key) - 3) * e.value)) AS t4
+        |  FROM ls)
+        |SELECT doc_id, dup_line_frac, dup_line_char_frac,
+        |  COALESCE(round(t2 / total_chars, 4), 0.0) AS top_2gram_frac,
+        |  COALESCE(round(t3 / total_chars, 4), 0.0) AS top_3gram_frac,
+        |  COALESCE(round(t4 / total_chars, 4), 0.0) AS top_4gram_frac,
+        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND
+        |   COALESCE(round(t2 / total_chars, 4), 0.0) <= 0.20 AND
+        |   COALESCE(round(t3 / total_chars, 4), 0.0) <= 0.18 AND
+        |   COALESCE(round(t4 / total_chars, 4), 0.0) <= 0.16) AS repetition_keep
+        |FROM g ORDER BY doc_id""".stripMargin,
     "quality_gopher" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents),

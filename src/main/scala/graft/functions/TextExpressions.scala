@@ -260,4 +260,48 @@ object WordNgrams {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** [[build]] WITH multiplicity — every window, duplicates kept in
+    * position order. The counting form the repetition-quality gates need
+    * (a deduped gram list cannot yield occurrence counts).
+    */
+  def buildAll(arr: ArrayData, n: Int): GenericArrayData = {
+    val num = arr.numElements()
+    val len = math.max(0, num - n + 1)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i + n <= num) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[WordNgrams]] without the dedup — every n-gram window with
+  * multiplicity, for occurrence counting (top/duplicate n-gram char
+  * fractions). Same static-forwarder codegen pattern.
+  */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.buildAll(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.buildAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -157,6 +157,91 @@ object TextAnalysis {
         "alpha_frac", "stop_hits", "gopher_keep")
       .orderBy("doc_id")
 
+  // ------------------------------------------------------ quality_repetition
+
+  /** The Gopher REPETITION gates (Rae et al. 2021 §A1.1 — the other half
+    * of [[gopherQuality]]'s rule set): repetitious text signals template /
+    * spam content.
+    *  - duplicate line fraction ≤ 0.30: non-empty lines repeating an
+    *    earlier line, as a fraction of all non-empty lines;
+    *  - duplicate line CHARACTER fraction ≤ 0.20: characters inside the
+    *    repeated occurrences over all line characters;
+    *  - top n-gram character fraction for n = 2/3/4 (≤ 0.20/0.18/0.16):
+    *    word-characters covered by the most frequent n-gram (gram word
+    *    chars × occurrences) over the document's characters.
+    *
+    * Line stats are per-row expressions (bounded by lines/doc). The
+    * n-gram counts are the distributed part: one explode of the
+    * multiplicity-preserving native [[graft.functions.WordNgramsAll]]
+    * kernel for all three n at once → map-side-combined count by
+    * (doc, n, gram) → per-doc pivot max — no window on the gram key (the
+    * documented scale hazard), one join back to the per-row stats.
+    */
+  def repetitionQuality(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("double")
+    val distinctLines = array_distinct(lines)
+    val lineChars = length(array_join(lines, "")).cast("double")
+    val distinctChars = length(array_join(distinctLines, "")).cast("double")
+    val base = docs
+      .withColumn("dup_line_frac",
+        coalesce(round(lit(1.0) - size(distinctLines) / nLines, 4), lit(0.0)))
+      .withColumn("dup_line_char_frac",
+        coalesce(round((lineChars - distinctChars) / lineChars, 4), lit(0.0)))
+      .withColumn("__total_chars", length(t).cast("double"))
+
+    def gramsAll(n: Int) = GraftSqlBridge.column(
+      graft.functions.WordNgramsAll(
+        GraftSqlBridge.expression(spaceTokens(t)), n))
+    val grams = docs.select(col("doc_id"),
+      explode(flatten(array(Seq(2, 3, 4).map(n =>
+        transform(gramsAll(n), g => struct(lit(n).as("n"), g.as("gram")))): _*)))
+        .as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    val tops = grams
+      .groupBy("doc_id", "n", "gram").count()
+      .withColumn("gram_chars",
+        (length(col("gram")) - (col("n") - 1)).cast("double") * col("count"))
+      .groupBy("doc_id").pivot("n", Seq(2, 3, 4)).max("gram_chars")
+      .withColumnRenamed("2", "__top2").withColumnRenamed("3", "__top3")
+      .withColumnRenamed("4", "__top4")
+
+    def frac(c: Column): Column =
+      coalesce(round(c / col("__total_chars"), 4), lit(0.0))
+    base.join(tops, Seq("doc_id"), "left")
+      .withColumn("top_2gram_frac", frac(col("__top2")))
+      .withColumn("top_3gram_frac", frac(col("__top3")))
+      .withColumn("top_4gram_frac", frac(col("__top4")))
+      .withColumn("repetition_keep",
+        col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top_2gram_frac") <= 0.20 && col("top_3gram_frac") <= 0.18 &&
+        col("top_4gram_frac") <= 0.16)
+      .drop("__total_chars", "__top2", "__top3", "__top4")
+  }
+
+  /** queries() wrapper: every fifth doc gets a thrice-repeated line, every
+    * seventh a "spam spam …" bigram run — both trip their gates; clean
+    * prose keeps.
+    */
+  def qQualityRepetition(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val full = concat(
+      col("text"),
+      when(id % 5 === 0,
+        lit("\nCall now to subscribe today\nCall now to subscribe today\nCall now to subscribe today"))
+        .otherwise(lit("")),
+      when(id % 7 === 0, lit("\n" + Seq.fill(40)("spam").mkString(" ")))
+        .otherwise(lit("")))
+    repetitionQuality(
+      Tables.documents(s, d).select(id, full.as("full")), "full")
+      .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "repetition_keep")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- doc_fingerprint
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash every

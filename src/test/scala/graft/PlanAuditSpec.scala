@@ -143,6 +143,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("quality_repetition counts grams without a window on the gram key") {
+    // explode → partial-agg count → pivot max → one join back; a Window
+    // partitioned on the gram key would sort the whole gram corpus.
+    val p = plan("quality_repetition")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+      assert(!p.contains(bad), s"quality_repetition plan contains $bad")
+  }
+
   test("sdi_children is one equi-join plus one aggregation, never cartesian") {
     // The child assembly joins the exploded id list back to the corpus —
     // an equi-join on the id key. A CartesianProduct/BNLJ here would be

@@ -108,4 +108,38 @@ class TextExpressionsSpec extends SparkSpec {
     val got = WordNgrams.build(arr, 2).array.map(_.toString).toSeq
     assert(got === Seq("a_b", "b_c", "c_d"))
   }
+
+  test("WordNgramsAll keeps multiplicity in position order") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      Array[Any]("a", "b", "a", "b").map(s => UTF8String.fromString(s.toString)))
+    assert(WordNgrams.buildAll(arr, 2).array.map(_.toString).toSeq ===
+      Seq("a_b", "b_a", "a_b"))
+    // deduped sibling keeps first occurrences only
+    assert(WordNgrams.build(arr, 2).array.map(_.toString).toSeq ===
+      Seq("a_b", "b_a"))
+    // shorter than n → empty, not negative
+    assert(WordNgrams.buildAll(new GenericArrayData(
+      Array[Any](UTF8String.fromString("x"))), 3).array.isEmpty)
+  }
+
+  test("repetitionQuality gates fire on planted repetition") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, ('a' to 'z').combinations(2).take(60)
+        .map(_.mkString).mkString(" ")), // 60 distinct words, no repetition
+      (2L, "unique line one\nrepeat me now\nrepeat me now\nrepeat me now"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam")
+    )).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionQuality(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("repetition_keep"))
+    // 2 of 4 lines are repeats → dup_line_frac 0.5 > 0.30
+    assert(out(1).getAs[Double]("dup_line_frac") === 0.5)
+    assert(!out(1).getAs[Boolean]("repetition_keep"))
+    // one bigram covers nearly all chars → top_2gram_frac ≈ 9*8/49
+    assert(out(2).getAs[Double]("top_2gram_frac") > 0.20)
+    assert(!out(2).getAs[Boolean]("repetition_keep"))
+  }
 }

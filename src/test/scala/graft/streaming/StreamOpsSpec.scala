@@ -199,6 +199,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prepareDocs runs on a stream: stream-static admission + site pass") {
+    // The whole per-site prepare pass — errored-and-indexed drop (a
+    // stream-static LEFT join against the index listing), the registered
+    // site normalizer, fulltext attach, site_id — compiles into one
+    // append-mode streaming query: the reference's per-doc loop as a
+    // continuously-running pipeline.
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(String, String, String, String, Seq[String])]
+    val raw = src.toDF().toDF("id", "text", "summary", "web_html", "errors")
+    val searchui = spark.createDataFrame(Seq(
+      Tuple1("https://noise.eea.europa.eu/p/1"))).toDF("id")
+    val q = graft.operators.SiteNormalizers.prepareDocs(raw, searchui, "noise")
+      .select("id", "site_id", "cluster_name")
+      .writeStream.format("memory").queryName("prep").outputMode("append").start()
+    try {
+      val html = "<html><head><title>T</title></head><body>x</body></html>"
+      src.addData(
+        ("https://noise.eea.europa.eu/p/1", "t", "s", html, Seq("web")), // indexed+errored → drop
+        ("https://noise.eea.europa.eu/p/2", "t", "s", html, Seq("web")), // errored, NOT indexed → keep
+        ("https://noise.eea.europa.eu/p/3", "t", "s", html, Seq()))      // clean → keep
+      q.processAllAvailable()
+      val got = spark.table("prep").orderBy("id").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq(
+        "https://noise.eea.europa.eu/p/2", "https://noise.eea.europa.eu/p/3"))
+      assert(got.forall(r => r.getString(1) == "noise" && r.getString(2) == "noise"))
+    } finally q.stop()
+  }
+
   test("nlpPreprocess runs unchanged on a stream (pure projection)") {
     // The NLP text-assembly front door is a per-row projection — the same
     // call compiles into an append-mode streaming query with no state.

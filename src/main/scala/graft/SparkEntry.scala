@@ -96,6 +96,7 @@ object SparkEntry {
     "quality_score" -> (TextAnalysis.qQualityScore _),
     "quality_gopher" -> (TextAnalysis.qQualityGopher _),
     "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
+    "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
@@ -1225,6 +1226,29 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents) t
         |WHERE rk <= 7 ORDER BY lang, rk""".stripMargin,
+    // CCNet bucketing with the unigram-stats LM stub: mean -ln p(word),
+    // tercile cuts via quantile_cont (R-7 = Spark percentile), rounding on
+    // the SCORE before the cut compare so boundary docs agree.
+    "perplexity_bucket" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+        |t AS (SELECT SUM(cnt) AS total FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(avg(-ln(cnt / CAST(total AS DOUBLE))), 4) AS ppl_score
+        |  FROM w JOIN c USING (word) CROSS JOIN t
+        |  GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(ppl_score, 1.0/3), 4) AS c1,
+        |         round(quantile_cont(ppl_score, 2.0/3), 4) AS c2
+        |  FROM s)
+        |SELECT doc_id, ppl_score,
+        |  CASE WHEN ppl_score <= c1 THEN 'head'
+        |       WHEN ppl_score <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM s CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     // Gopher repetition gates: planted thrice-repeated line (fifths) and a
     // 40-token bigram run (sevenths); list histogram + map_entries compute
     // the same gram-word-chars × occurrences statistic as the Spark pivot.

@@ -242,6 +242,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- perplexity_bucket
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    * document with a language model and split the corpus into
+    * head / middle / tail terciles — the standard quality-stratification
+    * step before sampling training data. The LM here is honestly STUBBED
+    * as corpus unigram statistics (no external model ships in this
+    * container): score = mean −ln p(word) over the doc's tokens, with
+    * p(word) = corpus count / corpus token total — a real unigram
+    * "perplexity" computed entirely relationally.
+    *
+    * Shape at 100 TB: one explode → partial-agg word count (map-side
+    * combined), one total (1-row broadcast), doc scores via an equi-join
+    * on the word key + per-doc avg, and bucket THRESHOLDS as a 1-row
+    * exact-percentile aggregate broadcast back — NO global window/ntile
+    * (a single-partition sort of every doc score is the anti-pattern this
+    * avoids; R-7 percentile matches DuckDB quantile_cont for the oracle).
+    */
+  def perplexityBucket(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(spaceTokens(col(textCol))).as("word"))
+    val counts = words.groupBy("word").count()
+    val total = counts.agg(sum("count").as("total"))
+    val scored = words
+      .join(counts, Seq("word"))
+      .join(broadcast(total))
+      .withColumn("nll", -log(col("count") / col("total")))
+      .groupBy("doc_id")
+      .agg(round(avg(col("nll")), 4).as("ppl_score"))
+    val cuts = scored.agg(
+      round(percentile(col("ppl_score"), lit(1.0 / 3)), 4).as("c1"),
+      round(percentile(col("ppl_score"), lit(2.0 / 3)), 4).as("c2"))
+    scored.join(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col("ppl_score") <= col("c1"), "head")
+          .when(col("ppl_score") <= col("c2"), "middle")
+          .otherwise(lit("tail")))
+      .drop("c1", "c2")
+  }
+
+  def qPerplexityBucket(s: SparkSession, d: String): DataFrame =
+    perplexityBucket(Tables.documents(s, d), "text")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- doc_fingerprint
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash every

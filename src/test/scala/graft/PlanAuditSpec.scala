@@ -151,6 +151,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains(bad), s"quality_repetition plan contains $bad")
   }
 
+  test("perplexity_bucket has no global window and no cartesian") {
+    // Tercile assignment must come from a broadcast 1-row percentile
+    // aggregate, never a single-partition ntile/Window sort of every doc.
+    val p = plan("perplexity_bucket")
+    for (bad <- Seq("Window", "CartesianProduct"))
+      assert(!p.contains(bad), s"perplexity_bucket plan contains $bad")
+  }
+
   test("sdi_children is one equi-join plus one aggregation, never cartesian") {
     // The child assembly joins the exploded id list back to the corpus —
     // an equi-join on the id key. A CartesianProduct/BNLJ here would be

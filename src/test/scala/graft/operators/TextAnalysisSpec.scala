@@ -90,4 +90,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) === ((2L, 1L, true)), "a quoted 3-gram is enough to flag")
     assert(got(2) === ((3L, 0L, false)), "clean doc stays clean with an explicit zero")
   }
+
+  test("perplexityBucket: rare-word docs score tail, common-word docs head") {
+    import org.apache.spark.sql.functions._
+    // 9 docs of common filler + 3 increasingly rare-worded docs
+    val docs = spark.createDataFrame(
+      (1L to 9L).map(i => (i, "the the the and and of")) ++ Seq(
+        (10L, "the and of zyx"),
+        (11L, "qqq zyx www uuu"),
+        (12L, "ppp ooo nnn mmm kkk jjj"))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.perplexityBucket(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // identical common docs share the lowest score → head tercile
+    assert((1L to 9L).forall(out(_) == "head"))
+    // the all-singleton docs land in the tail
+    assert(out(11L) == "tail" && out(12L) == "tail")
+    assert(out(10L) != "head") // mixed doc leaves the head
+    // buckets partition the corpus
+    assert(out.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     "quality_gopher" -> (TextAnalysis.qQualityGopher _),
     "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
     "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
+    "sequence_pack" -> (TextAnalysis.qSequencePack _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
@@ -1226,6 +1227,26 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents) t
         |WHERE rk <= 7 ORDER BY lang, rk""".stripMargin,
+    // shard-local contiguous packing: cumulative token offset within the
+    // hash shard decides the pack; slot numbers restart per pack.
+    "sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c)
+        |SELECT doc_id, n_tokens, shard, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id)
+        |       AS BIGINT) AS pack_slot
+        |FROM p ORDER BY doc_id""".stripMargin,
     // CCNet bucketing with the unigram-stats LM stub: mean -ln p(word),
     // tercile cuts via quantile_cont (R-7 = Spark percentile), rounding on
     // the SCORE before the cut compare so boundary docs agree.

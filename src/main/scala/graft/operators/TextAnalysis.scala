@@ -286,6 +286,45 @@ object TextAnalysis {
     perplexityBucket(Tables.documents(s, d), "text")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------- sequence_pack
+
+  /** Sequence packing — group documents into packs of at most `maxTokens`
+    * tokens, the step between a cleaned corpus and fixed-length training
+    * batches. True first-fit-decreasing is inherently sequential; the
+    * distributed form every large pipeline uses is SHARD-LOCAL contiguous
+    * packing: docs hash into `nShards` bounded shards, and within a shard
+    * (ordered by doc_id) a doc joins the pack its cumulative token OFFSET
+    * falls in — `pack = floor((cumsum − tokens) / maxTokens)`. One
+    * window per shard (bounded partitions — never a global sort), fully
+    * deterministic. Invariant: every pack STARTS within budget; a doc
+    * straddling the boundary overflows its pack by less than its own
+    * length (the consumer chunks the concatenated token stream at
+    * `maxTokens`, so the spill is the next chunk's prefix — exactly how
+    * fixed-length batch assembly treats it), and a doc longer than the
+    * budget lands in a pack of its own instead of failing. Output:
+    * (doc_id, n_tokens, shard, pack_id, pack_slot).
+    */
+  def sequencePack(docs: DataFrame, textCol: String,
+      maxTokens: Int = 2048, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(spaceTokens(col(textCol))).cast("long")
+    val shard = pmod(col("doc_id"), lit(nShards))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), nTokens.as("n_tokens"), shard.as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", ((col("cum") - col("n_tokens")) / maxTokens)
+        .cast("long"))
+      .withColumn("pack_slot",
+        row_number().over(Window.partitionBy("shard", "pack_id").orderBy("doc_id"))
+          .cast("long"))
+      .drop("cum")
+  }
+
+  def qSequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePack(Tables.documents(s, d), "text", maxTokens = 512, nShards = 8)
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- doc_fingerprint
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash every

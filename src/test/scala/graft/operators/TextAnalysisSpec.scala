@@ -91,6 +91,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, false)), "clean doc stays clean with an explicit zero")
   }
 
+  test("sequencePack: budget respected, oversized docs isolated, stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(
+      (0L until 40L).map(i => (i, Seq.fill(if (i == 7) 50 else 6)("w").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .sequencePack(docs, "text", maxTokens = 20, nShards = 4)
+    val packs = out.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("docs"))
+      .collect()
+    // a pack only exceeds the budget when a SINGLE doc does
+    assert(packs.forall(p => p.getAs[Long]("tok") <= 20 + 50 ||
+      p.getAs[Long]("docs") == 1))
+    // every doc is packed exactly once
+    assert(out.count() == 40 && out.select("doc_id").distinct().count() == 40)
+    // deterministic under repartitioning
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = graft.operators.TextAnalysis
+      .sequencePack(docs.repartition(13), "text", maxTokens = 20, nShards = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("perplexityBucket: rare-word docs score tail, common-word docs head") {
     import org.apache.spark.sql.functions._
     // 9 docs of common filler + 3 increasingly rare-worded docs

@@ -1303,15 +1303,15 @@ object SparkEntry {
         |    list_max(list_transform(map_entries(list_aggregate(
         |      list_transform(range(1, len(words)),
         |        i -> words[i] || '_' || words[i+1]), 'histogram')),
-        |      e -> (length(e.key) - 1) * e.value)) AS t2,
+        |      e -> [e.value, (length(e.key) - 1) * e.value]))[2] AS t2,
         |    list_max(list_transform(map_entries(list_aggregate(
         |      list_transform(range(1, len(words) - 1),
         |        i -> words[i] || '_' || words[i+1] || '_' || words[i+2]), 'histogram')),
-        |      e -> (length(e.key) - 2) * e.value)) AS t3,
+        |      e -> [e.value, (length(e.key) - 2) * e.value]))[2] AS t3,
         |    list_max(list_transform(map_entries(list_aggregate(
         |      list_transform(range(1, len(words) - 2),
         |        i -> words[i] || '_' || words[i+1] || '_' || words[i+2] || '_' || words[i+3]), 'histogram')),
-        |      e -> (length(e.key) - 3) * e.value)) AS t4
+        |      e -> [e.value, (length(e.key) - 3) * e.value]))[2] AS t4
         |  FROM ls)
         |SELECT doc_id, dup_line_frac, dup_line_char_frac,
         |  COALESCE(round(t2 / total_chars, 4), 0.0) AS top_2gram_frac,

@@ -393,24 +393,34 @@ object NormOps {
     */
   def taxonomyTerms(docs: DataFrame, xmlCol: String): DataFrame =
     docs
-      .withColumn("term",
-        explode(regexp_extract_all(col(xmlCol), lit("(?s)<term>(.*?)</term>"), lit(1))))
+      .select(col(xmlCol),
+        posexplode(regexp_extract_all(col(xmlCol), lit("(?s)<term>(.*?)</term>"), lit(1)))
+          .as(Seq("term_pos", "term")))
       .withColumn("token",
         regexp_extract(col("term"), "<termIdentifier>([^<]*)</termIdentifier>", 1))
       .withColumn("label", regexp_extract(col("term"),
         "(?s)<langstring[^>]*language=\"en\"[^>]*>([^<]*)</langstring>", 1))
+      // a term with no termIdentifier or no en caption extracts "" — the
+      // reference would crash on it (findall(...)[0]); dropping it keeps a
+      // malformed term from overwriting a good vocabulary label downstream
+      .filter(col("token") =!= "" && col("label") =!= "")
       .drop(xmlCol, "term")
 
   /** Merge the site vocabulary (token → title, :44-46) with the parsed
     * VDEX terms — the XML terms are applied SECOND in the reference's
-    * dict update, so they win on token conflicts (:48-50). The merged
+    * dict update, so they win on token conflicts (:48-50), and a token
+    * repeated WITHIN the XML keeps its LAST occurrence, exactly the dict
+    * semantics (max_by alone is nondeterministic on ties; the ranking
+    * struct makes the document-order position the tie-break). The merged
     * (token, label) table is the broadcast side of [[mergeThemes]].
     */
   def mergeTaxonomy(vocab: DataFrame, xmlTerms: DataFrame): DataFrame =
-    vocab.select(col("token"), col("label"), lit(1).as("prio"))
-      .unionByName(xmlTerms.select(col("token"), col("label"), lit(2).as("prio")))
+    vocab.select(col("token"), col("label"),
+        struct(lit(1).as("prio"), lit(0L).as("pos")).as("rank"))
+      .unionByName(xmlTerms.select(col("token"), col("label"),
+        struct(lit(2).as("prio"), col("term_pos").cast("long").as("pos")).as("rank")))
       .groupBy("token")
-      .agg(max_by(col("label"), col("prio")).as("label"))
+      .agg(max_by(col("label"), col("rank")).as("label"))
 
   /** queries() wrapper: vocabulary entries for even ids, one VDEX document
     * with terms for every third id (the en langstring sits AFTER a de one

@@ -185,11 +185,15 @@ object TextAnalysis {
     val distinctLines = array_distinct(lines)
     val lineChars = length(array_join(lines, "")).cast("double")
     val distinctChars = length(array_join(distinctLines, "")).cast("double")
+    // empty / whitespace-only docs: 0/0 is NaN in double math (not NULL —
+    // coalesce would never fire), so gate the division explicitly
     val base = docs
       .withColumn("dup_line_frac",
-        coalesce(round(lit(1.0) - size(distinctLines) / nLines, 4), lit(0.0)))
+        when(size(lines) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - size(distinctLines) / nLines, 4)))
       .withColumn("dup_line_char_frac",
-        coalesce(round((lineChars - distinctChars) / lineChars, 4), lit(0.0)))
+        when(size(lines) === 0, lit(0.0))
+          .otherwise(round((lineChars - distinctChars) / lineChars, 4)))
       .withColumn("__total_chars", length(t).cast("double"))
 
     def gramsAll(n: Int) = GraftSqlBridge.column(
@@ -200,11 +204,15 @@ object TextAnalysis {
         transform(gramsAll(n), g => struct(lit(n).as("n"), g.as("gram")))): _*)))
         .as("ng"))
       .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    // the gate reads the MOST FREQUENT n-gram (Gopher's definition), not
+    // the gram maximizing chars×count — rank by (count, chars) so count
+    // wins and ties break deterministically toward the longer gram
     val tops = grams
       .groupBy("doc_id", "n", "gram").count()
       .withColumn("gram_chars",
         (length(col("gram")) - (col("n") - 1)).cast("double") * col("count"))
-      .groupBy("doc_id").pivot("n", Seq(2, 3, 4)).max("gram_chars")
+      .groupBy("doc_id").pivot("n", Seq(2, 3, 4))
+      .agg(max(struct(col("count"), col("gram_chars"))).getField("gram_chars"))
       .withColumnRenamed("2", "__top2").withColumnRenamed("3", "__top3")
       .withColumnRenamed("4", "__top4")
 
@@ -296,13 +304,15 @@ object TextAnalysis {
     * (ordered by doc_id) a doc joins the pack its cumulative token OFFSET
     * falls in — `pack = floor((cumsum − tokens) / maxTokens)`. One
     * window per shard (bounded partitions — never a global sort), fully
-    * deterministic. Invariant: every pack STARTS within budget; a doc
+    * deterministic. Invariant: every doc STARTS at an in-budget offset of
+    * its pack (`start − pack·maxTokens ∈ [0, maxTokens)`); a doc
     * straddling the boundary overflows its pack by less than its own
-    * length (the consumer chunks the concatenated token stream at
-    * `maxTokens`, so the spill is the next chunk's prefix — exactly how
-    * fixed-length batch assembly treats it), and a doc longer than the
-    * budget lands in a pack of its own instead of failing. Output:
-    * (doc_id, n_tokens, shard, pack_id, pack_slot).
+    * length — the consumer chunks the concatenated token stream at
+    * `maxTokens`, so the spill is simply the next chunk's prefix, exactly
+    * how fixed-length batch assembly treats it. (An oversized doc is NOT
+    * isolated: it shares whatever pack its start offset falls in and
+    * spills across the following chunks.) Output: (doc_id, n_tokens,
+    * shard, pack_id, pack_slot).
     */
   def sequencePack(docs: DataFrame, textCol: String,
       maxTokens: Int = 2048, nShards: Int = 64): DataFrame = {

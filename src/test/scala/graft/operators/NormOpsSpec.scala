@@ -366,6 +366,31 @@ class NormOpsSpec extends SparkSpec {
     assert(got(1).getString(2) === "en")
   }
 
+  test("taxonomy: malformed terms drop; duplicate tokens keep the LAST term") {
+    import org.apache.spark.sql.functions._
+    val xml = spark.range(1).select(lit(
+      """<vdex>
+        |<term><termIdentifier>climate</termIdentifier>
+        |  <caption><langstring language="en">Old label</langstring></caption></term>
+        |<term><termIdentifier>nolang</termIdentifier>
+        |  <caption><langstring language="de">Klima</langstring></caption></term>
+        |<term><caption><langstring language="en">No token</langstring></caption></term>
+        |<term><termIdentifier>climate</termIdentifier>
+        |  <caption><langstring language="en">New label</langstring></caption></term>
+        |</vdex>""".stripMargin).as("xml"))
+    val terms = NormOps.taxonomyTerms(xml, "xml")
+    // the de-only and token-less terms never make it out
+    assert(terms.select("token").collect().map(_.getString(0)).toSeq ==
+      Seq("climate", "climate"))
+    val vocab = spark.createDataFrame(Seq(
+      ("climate", "Vocab label"), ("water", "Water"))).toDF("token", "label")
+    val merged = NormOps.mergeTaxonomy(vocab, terms)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // dict-update order: the LAST xml term wins over both the earlier xml
+    // term and the vocabulary; vocab-only tokens survive
+    assert(merged == Map("climate" -> "New label", "water" -> "Water"))
+  }
+
   test("passageClean: header/footer only strip when identical across pages") {
     def clean(text: String): String =
       NormOps.passageClean(

@@ -91,19 +91,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, false)), "clean doc stays clean with an explicit zero")
   }
 
-  test("sequencePack: budget respected, oversized docs isolated, stable") {
+  test("sequencePack: in-budget start offsets, oversized spill, stable") {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val docs = spark.createDataFrame(
       (0L until 40L).map(i => (i, Seq.fill(if (i == 7) 50 else 6)("w").mkString(" ")))
     ).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
       .sequencePack(docs, "text", maxTokens = 20, nShards = 4)
-    val packs = out.groupBy("shard", "pack_id")
-      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("docs"))
-      .collect()
-    // a pack only exceeds the budget when a SINGLE doc does
-    assert(packs.forall(p => p.getAs[Long]("tok") <= 20 + 50 ||
-      p.getAs[Long]("docs") == 1))
+    // THE invariant: every doc starts at an in-budget offset of its pack
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val offsets = out
+      .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("off_in_pack", col("start") - col("pack_id") * 20)
+      .select("off_in_pack").collect().map(_.getLong(0))
+    assert(offsets.forall(o => o >= 0 && o < 20))
     // every doc is packed exactly once
     assert(out.count() == 40 && out.select("doc_id").distinct().count() == 40)
     // deterministic under repartitioning

@@ -109,4 +109,45 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(perCluster.filter(col("count") < 2).count() === 0L,
       "every cluster in the pair graph has at least two members")
   }
+
+  test("training-data pipeline: gates → dedup → bucket → pack end-to-end") {
+    // The whole LLM-data path over the planted-duplicate corpus: quality
+    // gates drop junk, exact dedup + components keep one copy per cluster,
+    // perplexity terciles stratify, and the survivors pack into
+    // fixed-token-budget sequences. Each stage is one of the verified
+    // operators; this pins that their schemas actually compose.
+    val corpus = DedupOps.plantedCorpus(spark, "/root/testdata/sf0.001")
+
+    // 1. quality gates (thresholds loosened to the synthetic corpus' shape
+    //    — the point is composition, the gate rules have their own specs)
+    val gated = TextAnalysis.gopherQuality(corpus, "text", minWords = 5)
+      .filter(col("gopher_keep"))
+    val clean = TextAnalysis.repetitionQuality(gated, "text")
+      .filter(col("repetition_keep"))
+    assert(clean.count() > 0)
+
+    // 2. exact dedup → components → canonical corpus
+    val marked = DedupOps.dedupExact(clean, "doc_id", "text")
+    val pairs = marked.filter(col("is_dup"))
+      .select(col("keep_id").as("src"), col("doc_id").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    val deduped = GraphOps.keepCanonical(clean, comps, "doc_id")
+    val nClean = clean.count(); val nDeduped = deduped.count()
+    assert(nDeduped < nClean, "planted exact copies must collapse")
+    // no two surviving docs share a content hash
+    assert(DedupOps.dedupExact(deduped, "doc_id", "text")
+      .filter(col("is_dup")).count() === 0L)
+
+    // 3. perplexity stratification partitions the deduped corpus
+    val buckets = TextAnalysis.perplexityBucket(deduped, "text")
+    assert(buckets.count() === nDeduped)
+
+    // 4. head+middle survivors pack within token budgets
+    val sampled = deduped.join(
+      buckets.filter(col("ppl_bucket") =!= "tail").select("doc_id"), Seq("doc_id"))
+    val packed = TextAnalysis.sequencePack(sampled, "text",
+      maxTokens = 512, nShards = 4)
+    assert(packed.count() === sampled.count())
+    assert(packed.select("shard", "pack_id").distinct().count() > 1)
+  }
 }

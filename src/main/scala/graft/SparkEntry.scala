@@ -98,6 +98,7 @@ object SparkEntry {
     "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
     "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
     "sequence_pack" -> (TextAnalysis.qSequencePack _),
+    "mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "token_count" -> (TextAnalysis.qTokenCount _),
     "doc_fingerprint" -> (TextAnalysis.qDocFingerprint _),
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
@@ -1227,6 +1228,19 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents) t
         |WHERE rk <= 7 ORDER BY lang, rk""".stripMargin,
+    // mixture sampling: per-language quotas = floor(budget × weight), the
+    // same md5 bottom-k selection as sample_stratified; the it-language
+    // stratum has no weight and contributes nothing.
+    "mixture_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+        |    CAST(CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+        |         WHEN 'fr' THEN 20 WHEN 'es' THEN 5 ELSE 0 END AS BIGINT) AS quota
+        |  FROM documents)
+        |SELECT lang, doc_id, rk, quota FROM r
+        |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
     // shard-local contiguous packing: cumulative token offset within the
     // hash shard decides the pack; slot numbers restart per pack.
     "sequence_pack" ->

@@ -529,4 +529,39 @@ object TextAnalysis {
     stratifiedSample(Tables.documents(s, d), "lang", "doc_id", k = 7)
       .select("lang", "doc_id", "rk")
       .orderBy("lang", "rk")
+
+  // ----------------------------------------------------------- mixture_sample
+
+  /** Deterministic data-MIXTURE sampling — the domain-reweighting step of
+    * training-data assembly (the published Pile / Gopher mixture tables):
+    * `weights` are target corpus fractions per stratum value, and each
+    * stratum keeps `floor(totalBudget × weight)` rows chosen by the same
+    * seedless md5 bottom-k as [[stratifiedSample]] (cross-engine
+    * reproducible, no RNG state to ship). Strata absent from `weights`
+    * contribute nothing; a stratum smaller than its quota keeps everything
+    * it has — achieved counts vs targets are the caller's check. The
+    * quota table is a handful of entries broadcast as a literal map; one
+    * window per stratum, same scale shape as stratified sampling.
+    */
+  def mixtureSample(docs: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], totalBudget: Long): DataFrame = {
+    val quota = typedLit(weights.map { case (k, w) =>
+      k -> math.floor(totalBudget * w).toLong
+    })
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("rk", row_number().over(byStratum).cast("long"))
+      .withColumn("quota",
+        coalesce(try_element_at(quota, col(stratumCol)), lit(0L)))
+      .filter(col("rk") <= col("quota"))
+  }
+
+  def qMixtureSample(s: SparkSession, d: String): DataFrame =
+    mixtureSample(Tables.documents(s, d), "lang", "doc_id",
+      weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.05),
+      totalBudget = 100)
+      .select("lang", "doc_id", "rk", "quota")
+      .orderBy("lang", "rk")
 }

@@ -516,14 +516,20 @@ object TextAnalysis {
     * window, but strata here are facet-sized. The training-data use: equal
     * per-language / per-source subsamples with no RNG state to ship.
     */
-  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+  /** The shared selection order: md5-of-id with id tie-break, ranked
+    * within the stratum — the single definition both sampling operators
+    * and their DuckDB oracles mirror character for character.
+    */
+  private def rankWithinStratum(docs: DataFrame,
+      stratumCol: String, idCol: String): DataFrame = {
     val byStratum = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs
-      .withColumn("rk", row_number().over(byStratum).cast("long"))
-      .filter(col("rk") <= k)
+    docs.withColumn("rk", row_number().over(byStratum).cast("long"))
   }
+
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame =
+    rankWithinStratum(docs, stratumCol, idCol).filter(col("rk") <= k)
 
   def qSampleStratified(s: SparkSession, d: String): DataFrame =
     stratifiedSample(Tables.documents(s, d), "lang", "doc_id", k = 7)
@@ -545,14 +551,18 @@ object TextAnalysis {
     */
   def mixtureSample(docs: DataFrame, stratumCol: String, idCol: String,
       weights: Map[String, Double], totalBudget: Long): DataFrame = {
-    val quota = typedLit(weights.map { case (k, w) =>
-      k -> math.floor(totalBudget * w).toLong
-    })
-    val byStratum = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs
-      .withColumn("rk", row_number().over(byStratum).cast("long"))
+    // +1e-9 before the floor: 10 × 0.7 is 6.999…9 in binary doubles and a
+    // bare floor would quietly hand the stratum one row less than the
+    // documented floor(budget × weight)
+    val quotas = weights.map { case (k, w) =>
+      k -> math.floor(totalBudget * w + 1e-9).toLong
+    }
+    val quota = typedLit(quotas)
+    // quota-0 strata would be fully sorted and then fully dropped — the
+    // predicate is stratum-constant, so prune them before the window
+    val weighted = docs.filter(
+      col(stratumCol).isInCollection(quotas.filter(_._2 > 0).keys.toSeq))
+    rankWithinStratum(weighted, stratumCol, idCol)
       .withColumn("quota",
         coalesce(try_element_at(quota, col(stratumCol)), lit(0L)))
       .filter(col("rk") <= col("quota"))

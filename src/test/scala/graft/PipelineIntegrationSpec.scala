@@ -116,7 +116,7 @@ class PipelineIntegrationSpec extends SparkSpec {
     // perplexity terciles stratify, and the survivors pack into
     // fixed-token-budget sequences. Each stage is one of the verified
     // operators; this pins that their schemas actually compose.
-    val corpus = DedupOps.plantedCorpus(spark, "/root/testdata/sf0.001")
+    val corpus = DedupOps.plantedCorpus(spark, sfDir)
 
     // 1. quality gates (thresholds loosened to the synthetic corpus' shape
     //    — the point is composition, the gate rules have their own specs)

@@ -116,6 +116,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixtureSample quotas survive binary-double weights (10 x 0.7 = 7)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(40).selectExpr(
+      "id as doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END as src")
+    val out = graft.operators.TextAnalysis.mixtureSample(
+      docs, "src", "doc_id", Map("a" -> 0.7), totalBudget = 10)
+    // 10 x 0.7 is 6.999...9 in doubles — the quota must still be 7
+    assert(out.count() == 7)
+    assert(out.select("quota").distinct().head.getLong(0) == 7)
+    // the unweighted stratum contributes nothing
+    assert(out.filter(col("src") === "b").count() == 0)
+  }
+
   test("perplexityBucket: rare-word docs score tail, common-word docs head") {
     import org.apache.spark.sql.functions._
     // 9 docs of common filler + 3 increasingly rare-worded docs

@@ -104,11 +104,18 @@ object StripHtmlSelectors {
       } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
         val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
         val name = tagName(s, i + 1, tagEnd)
+        val selfClosing = tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)
         if (matches(s, i + 1 + name.length, tagEnd, sels)) {
-          val selfClosing = tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
-            VoidTags.contains(name)
           i = if (selfClosing) tagEnd + 1
+              else if (RawTextTags.contains(name)) rawTextEnd(s, tagEnd + 1, name)
               else skipSubtree(s, tagEnd + 1, name)
+        } else if (!selfClosing && RawTextTags.contains(name)) {
+          // script/style content is raw text per the HTML spec: a literal
+          // '<div' inside a JS string must not be selector-matched — copy
+          // the whole element through opaquely
+          val stop = rawTextEnd(s, tagEnd + 1, name)
+          out.append(s, i, stop); i = stop
         } else {
           out.append(s, i, tagEnd + 1); i = tagEnd + 1
         }
@@ -182,9 +189,38 @@ object StripHtmlSelectors {
     false
   }
 
+  /** script/style hold RAW TEXT per the HTML parsing spec: markup inside
+    * them does not nest, and only the matching close tag terminates them.
+    * Both scanners treat their content as opaque so a literal '</div>' or
+    * '<div' inside a JS string cannot miscount nesting or match a selector.
+    */
+  private val RawTextTags = Set("script", "style")
+
+  /** Position just after the matching `</name>` of a raw-text element,
+    * scanning the content opaquely. Unclosed → end of input.
+    */
+  private def rawTextEnd(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    while (i < n) {
+      val lt = s.indexOf("</", i)
+      if (lt < 0) return n
+      // bound the name scan one char past the expected length so a longer
+      // name ("styles") cannot alias the tag we are looking for
+      val bound = math.min(lt + 2 + name.length + 1, n)
+      if (tagName(s, lt + 2, bound) == name) {
+        val e = s.indexOf('>', lt)
+        return if (e < 0) n else e + 1
+      }
+      i = lt + 2
+    }
+    n
+  }
+
   /** Skip from just after the matched open tag's '>' to just after the
     * matching close tag, counting same-name nesting. Never-closed →
-    * end of input (drops the remainder, documented).
+    * end of input (drops the remainder, documented). script/style
+    * content inside the subtree is skipped opaquely via [[rawTextEnd]].
     */
   private def skipSubtree(s: String, from: Int, name: String): Int = {
     val n = s.length
@@ -202,12 +238,14 @@ object StripHtmlSelectors {
       if (nameFrom < n && isNameStart(s.charAt(nameFrom))) {
         val tagEnd = { val e = s.indexOf('>', lt); if (e < 0) n - 1 else e }
         val t = tagName(s, nameFrom, tagEnd)
+        val selfClosing = s.charAt(tagEnd - 1) == '/' || VoidTags.contains(t)
         if (t == name) {
           if (close) depth -= 1
-          else if (!(s.charAt(tagEnd - 1) == '/' || VoidTags.contains(t)))
-            depth += 1
+          else if (!selfClosing) depth += 1
         }
-        i = tagEnd + 1
+        i = if (!close && !selfClosing && RawTextTags.contains(t))
+              rawTextEnd(s, tagEnd + 1, t) // opaque: '</div>' in JS text
+            else tagEnd + 1
       } else i = lt + 1
       }
     }

@@ -539,6 +539,18 @@ object SiteNormalizers {
     * changeDate) (:332-343). readingTime runs inside commonNormalizer when
     * the caller's doc carries fulltext; the SDI record has none (:360
     * check_readingTime no-ops without a fulltext key).
+    *
+    * DELIBERATE SCALARIZATION (documented delta, like the issued-chain
+    * note above): the reference assigns the whole
+    * `publicationDateForResource` LIST to issued (:206) and a one-element
+    * list for the hot-fix records (:213-215); graft keeps `issued` a
+    * scalar string (first element / scalar hot-fix value) because every
+    * downstream graft consumer (ES mapping, coverage, oracle queries)
+    * treats issued as a date scalar. Key-presence also differs: a present
+    * but EMPTY publicationDateForResource yields issued = the fallback
+    * here vs an empty list in the reference. Consumers diffing against
+    * reference index documents must normalize `issued` to its first
+    * element first.
     */
   def normalizeSdi(docs: DataFrame, obligations: Map[String, String],
       currentYear: Int, archivedExpires: String,
@@ -1497,7 +1509,9 @@ object SiteNormalizers {
       nlpTxtProps: Seq[String] = Nil,
       nlpTxtPropsBlack: Seq[String] = Nil): DataFrame = {
     val admitted = raw
-      .join(searchuiIds.select(col("id").as("__searchui_id")),
+      // distinct: the reference keys the index listing by id (a dict), so
+      // a duplicate id in the listing must not fan out admitted rows
+      .join(searchuiIds.select(col("id").as("__searchui_id")).distinct(),
         col("id") === col("__searchui_id"), "left")
       // a NULL errors column means "no errors recorded", not errored —
       // size(NULL) is not 0 under ANSI semantics, hence the coalesce

@@ -528,12 +528,14 @@ object SyncOps {
     * a `typedLit` map lookup per row, zero shuffle.
     */
   def siteForUrl(url: Column, siteMap: Map[String, String]): Column = {
+    // scheme-agnostic strip mirroring the reference's split("://")[-1]:
+    // HTTPS://, git+ssh:// etc. must strip too, not just [a-z]+ schemes
     val inv = siteMap.map { case (site, u) =>
-      u.replaceAll("^[a-z]+://", "").replaceAll("^/+|/+$", "") -> site
+      u.replaceAll("^[^/]*://", "").replaceAll("^/+|/+$", "") -> site
     }
     val m = typedLit(inv)
     val parts = split(
-      regexp_replace(regexp_replace(url, "^[a-z]+://", ""), "^/+|/+$", ""), "/")
+      regexp_replace(regexp_replace(url, "^[^/]*://", ""), "^/+|/+$", ""), "/")
     val names = when(size(parts) > 1,
       transform(sequence(size(parts) - 1, lit(1), lit(-1)),
         l => array_join(slice(parts, lit(1), l), "/")))
@@ -597,6 +599,11 @@ object SyncOps {
         when(col("linkProtocol").isNotNull, array(col("linkProtocol")))
           .otherwise(array().cast("array<string>")).as("linkProtocol"))
         .as("child"))
+      // the reference resolves each id to exactly ONE fetched doc; a
+      // duplicated metadataIdentifier in the corpus must not multiply
+      // child rows through the equi-join (which survivor wins is
+      // arbitrary if the uniqueness precondition is violated)
+      .dropDuplicates("child_id")
     val joined = kids.join(corpus, Seq("child_id"), "left")
     joined
       .groupBy("parent_id")

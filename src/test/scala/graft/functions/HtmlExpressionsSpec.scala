@@ -55,6 +55,28 @@ class HtmlExpressionsSpec extends SparkSpec {
     assert(strip("""pre<div class="footer"><p>lost""", Seq(".footer")) == "pre")
   }
 
+  test("a literal </div> inside a script string does not end a removed subtree") {
+    val html = """<div class="footer">x<script>var s = "</div>";</script>y</div>keep"""
+    assert(strip(html, Seq(".footer")) == "keep")
+  }
+
+  test("a literal <div inside script raw text is not selector-matched") {
+    val html = """<script>var t = '<div class="footer">';</script><p>keep</p>"""
+    assert(strip(html, Seq(".footer")) == html)
+  }
+
+  test("a matched script element removes exactly its raw-text span") {
+    val html = """<script class="footer">if (a<b) { x = "</p>"; }</script><p>keep</p>"""
+    assert(strip(html, Seq(".footer")) == "<p>keep</p>")
+    // style too, and a longer name must not alias the close scan
+    val css = """<style class="footer">.a{}</styles></style><i>k</i>"""
+    assert(strip(css, Seq(".footer")) == "<i>k</i>")
+  }
+
+  test("an unclosed script inside a removed subtree drops the remainder") {
+    assert(strip("""pre<div class="footer"><script>x""", Seq(".footer")) == "pre")
+  }
+
   test("single-quoted and unquoted attribute values match") {
     assert(strip("""<div class='footer'>g</div>k""", Seq(".footer")) == "k")
     assert(strip("""<div id=nav>g</div>k""", Seq("#nav")) == "k")

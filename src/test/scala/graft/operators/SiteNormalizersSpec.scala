@@ -938,6 +938,12 @@ class SiteNormalizersSpec extends SparkSpec {
     val out2 = prepareDocs(withNullErrors, searchui, "noise")
     assert(out2.orderBy("rn").collect().map(_.getAs[Int]("rn")).toSeq ==
       Seq(0, 2, 3))
+    // a duplicated id in the index listing must not fan out admitted rows
+    // (the reference keys the listing by id — duplicates collapse)
+    val dupListing = searchui.union(searchui)
+    val out3 = prepareDocs(raw, dupListing, "noise")
+    assert(out3.orderBy("rn").collect().map(_.getAs[Int]("rn")).toSeq ==
+      Seq(0, 2, 3))
   }
 
   test("siteForUrl routes a mixed corpus into per-site registry runs") {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 
 class SyncOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -251,5 +252,36 @@ class SyncOpsSpec extends SparkSpec {
     assert(out("md-3").isEmpty)
     assert(out("md-1").isEmpty && out("md-2").isEmpty)
     assert(out.size == 4)
+  }
+
+  test("siteForUrl strips any scheme, like the reference's split('://')") {
+    // HTTPS:// (uppercase) and git+ssh:// (digit/plus) must route the
+    // same as https:// — the reference's url.split("://")[-1] is
+    // scheme-agnostic
+    val siteMap = Map("noise" -> "HTTPS://noise.eea.europa.eu")
+    val got = Seq(
+      "HTTPS://noise.eea.europa.eu/p/1",
+      "git+ssh://noise.eea.europa.eu/p/2",
+      "https://noise.eea.europa.eu/p/3",
+      "https://other.example.eu/p/4")
+      .toDF("url")
+      .select(SyncOps.siteForUrl(col("url"),
+        siteMap).as("site"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("noise", "noise", "noise", ""))
+  }
+
+  test("sdiChildren: a duplicated corpus id does not multiply child rows") {
+    // the reference resolves each id to exactly one fetched doc; a corpus
+    // violating the uniqueness precondition must not fan out children
+    val docs = Seq(
+      ("md-0", "2021-01-01", Seq("md-1")),
+      ("md-1", "2021-02-01", Seq.empty[String]),
+      ("md-1", "2021-02-01", Seq.empty[String]) // duplicate id
+    ).toDF("metadataIdentifier", "changeDate", "agg_associated_isComposedOf")
+      .withColumn("linkProtocol", lit(null).cast("string"))
+    val out = SyncOps.sdiChildren(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(out("md-0").map(_.getString(0)) == Seq("md-1"))
   }
 }

@@ -67,6 +67,9 @@ object SparkEntry {
     "site_bise" -> (SiteNormalizers.qSiteBise _),
     "site_noise" -> (SiteNormalizers.qSiteNoise _),
     "site_sdi" -> (SiteNormalizers.qSiteSdi _),
+    "site_sdi_fise" -> (SiteNormalizers.qSiteSdiFise _),
+    "site_climate" -> (SiteNormalizers.qSiteClimate _),
+    "site_eea_en" -> (SiteNormalizers.qSiteEeaEn _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
     "site_for_url" -> (SyncOps.qSiteForUrl _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
@@ -738,6 +741,163 @@ object SparkEntry {
         |       WHEN doc_id % 7 = 0 THEN '2021-05-05' END AS last_modified,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS items_count_spatial
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the sdi_fise site pipeline (the richest SDI field mapping):
+    // FISE issued chain WITH the creationDateForResource middle step,
+    // publicationYear int fallback (2500 default), maintenance-frequency
+    // key→label (trim, pass-through, Unknown), first-contact org fields,
+    // language code → country/language names, catalogue about URL,
+    // resourceType → SDI types, obsolete expiry, last_modified =
+    // changeDate ?? dateStamp, rod-obligation lookup, DAT prod ids.
+    "site_sdi_fise" ->
+      """SELECT doc_id,
+        |  'Map ' || doc_id AS title,
+        |  'Abstract ' || doc_id AS description,
+        |  'published' AS hasWorkflowState,
+        |  'fise_sdi' AS cluster_name,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2019-04-04'
+        |       WHEN doc_id % 4 = 1 THEN '2010-09-09'
+        |       WHEN doc_id % 4 = 2 THEN '2017-07-07' END AS issued,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2001
+        |            WHEN doc_id % 4 = 1 THEN 1999
+        |            WHEN doc_id % 4 = 2 THEN 1995
+        |            ELSE 2500 END AS INTEGER) AS publicationYear,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'As needed'
+        |       WHEN doc_id % 5 = 1 THEN 'weird'
+        |       WHEN doc_id % 5 = 2 THEN 'Unknown'
+        |       ELSE 'Monthly' END AS update_frequency_value,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Org ' || doc_id END AS organisation_name,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mail' || doc_id || '@x.eu' END AS organisation_email,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Italy'
+        |       WHEN doc_id % 4 = 1 THEN 'Pan European (EEA)'
+        |       WHEN doc_id % 4 = 2 THEN 'Switzerland'
+        |       ELSE 'Unknown' END AS country,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Italian'
+        |       WHEN doc_id % 4 = 1 THEN 'English'
+        |       WHEN doc_id % 4 = 2 THEN 'German'
+        |       ELSE 'Unknown' END AS language,
+        |  'https://sdi.eea.europa.eu/catalogue/fise/api/records/md-' || doc_id AS about,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Spatial dataset'
+        |       WHEN doc_id % 4 = 1 THEN 'Data services'
+        |       WHEN doc_id % 4 = 2 THEN 'Tabular dataset'
+        |       ELSE 'SDI' END AS object_provides,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Kosovo|Italy' ELSE 'Spain' END AS spatial,
+        |  'Environment|Water' AS topic,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2011|2012|2013|2015|2016'
+        |       WHEN doc_id % 3 = 1 THEN '2012' END AS time_coverage,
+        |  'Reporting obligation 1' AS instrument,
+        |  'DAT-' || doc_id AS prod_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN '2026-08-10' END AS expires,
+        |  CASE WHEN doc_id % 7 = 0 THEN '2021-05-05' ELSE '2019-01-01' END AS last_modified,
+        |  CASE WHEN doc_id % 4 = 2 THEN '2017-07-07' END AS created,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2019-04-04' END AS date_publication,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS items_count_spatial,
+        |  CAST(2 AS BIGINT) AS items_count_topic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the climate site pipeline: whitelist admission (Collection drops),
+    // '/mission/' path flag, issued ?? cca_published ?? publication_date,
+    // cca vocab fan-out (title vs token), spatial Other-drop + country
+    // append, flags, the mission_funding_cca Yes/No block, normMissing
+    // fills, description fallback (same CTE shape as site_bise), counts.
+    "site_climate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 4),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Webpage'
+        |       WHEN doc_id % 5 = 1 THEN 'eea.climateadapt.casestudy'
+        |       WHEN doc_id % 5 = 2 THEN 'mission_funding_cca'
+        |       ELSE 'Event' END AS object_provides_scalar,
+        |  CASE WHEN doc_id % 5 = 0 THEN '2020-02-02'
+        |       WHEN doc_id % 5 = 3 THEN '2017-03-03'
+        |       ELSE '2019-05-01' END AS issued,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Italy'
+        |       WHEN doc_id % 5 = 1 THEN 'Spain' ELSE '' END AS spatial,
+        |  'Agriculture|Energy' AS cca_adaptation_sectors,
+        |  'heat-stress' AS cca_health_impacts,
+        |  'ktm1' AS cca_key_type_measure,
+        |  'LIFE' AS cca_funding_programme,
+        |  'IT|FR' AS cca_geographic_countries,
+        |  'http://img/' || doc_id || '.png' AS cca_preview_image,
+        |  'k1|k2' AS cca_keywords,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'true' ELSE 'false' END AS cca_include_in_search,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'true' ELSE 'false' END AS cca_include_in_mission,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'true' ELSE 'false' END AS cca_include_in_search_observatory,
+        |  CASE WHEN doc_id % 5 = 2 THEN 'Yes' END AS cca_is_eu_funded,
+        |  CASE WHEN doc_id % 5 = 2 THEN 'No' END AS cca_is_blended,
+        |  CASE WHEN doc_id % 5 = 2 THEN '50%' END AS cca_funding_rate,
+        |  'en' AS language,
+        |  '2018-01-01T00:00:00' AS creation_date,
+        |  'European Environment Agency (EEA)' AS creator,
+        |  'published' AS workflow_state,
+        |  'cca' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(2 AS BIGINT) AS items_count_cca_keywords,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS items_count_spatial
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the eea_en site pipeline: sandbox-path / null-type / Plone-Site
+    // drops, normObj content types, the visualization-Indicator title
+    // rule, File workflow backfill + issued from creation_date, the
+    // case-insensitive subjects attr-mapping append, taxonomy fan-out,
+    // description fallback, counts.
+    "site_eea_en" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'Document'
+        |         WHEN doc_id % 6 = 1 THEN 'File'
+        |         WHEN doc_id % 6 = 2 THEN 'visualization'
+        |         WHEN doc_id % 6 = 3 THEN 'Page' END AS type_raw,
+        |    CASE WHEN doc_id % 4 = 2 THEN 'Indicator: T' || doc_id
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    'summary' AS summary,
+        |    doc_id % 4 = 1 AS rs_null
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 0
+        |    AND doc_id % 6 NOT IN (4, 5)),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  concat_ws('|',
+        |    CASE WHEN type_raw IN ('Document', 'Page') THEN 'Webpage'
+        |         WHEN type_raw = 'File' THEN 'File'
+        |         ELSE 'Chart (interactive)' END,
+        |    CASE WHEN type_raw = 'visualization' AND doc_id % 4 = 2 THEN 'Indicator' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Country fact sheet' END) AS object_provides,
+        |  CASE WHEN rs_null AND type_raw <> 'File' THEN 'missing'
+        |       ELSE 'published' END AS workflow_state,
+        |  CASE WHEN rs_null AND type_raw = 'File' THEN '2020-01-01' END AS issued,
+        |  'Air pollution' AS topic,
+        |  'Pressure' AS dpsir,
+        |  'SDG 13' AS un_sdgs,
+        |  'eea' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 + CASE WHEN type_raw = 'visualization' AND doc_id % 4 = 2 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS items_count_object_provides,
+        |  CAST(1 AS BIGINT) AS items_count_topic
+        |FROM ft ORDER BY doc_id""".stripMargin,
     // url → site routing: longest PROPER prefix wins (the full url is
     // never a candidate, so an exact base url resolves to its parent
     // site); unknown hosts map to ''.

@@ -436,9 +436,11 @@ object SiteNormalizers {
       .withColumn("dataset_formats", // :267 — flatten children's format lists
         flatten(transform(col("children"), d => d.getField("format"))))
       .withColumn("instrument", { // :272-281 — rod links → obligation labels
+        // try_: the reference's obligations.get(link) yields None for an
+        // unmapped link (element_at would throw under ANSI mode)
         val rodLinks = vocabList(c("th_rod-eionet-europa-eu"), "link")
         array_distinct(transform(rodLinks, l =>
-          element_at(typedLit(obligations), l)))
+          try_element_at(typedLit(obligations), l)))
       })
       .withColumn("prod_id", // :284-293 — DAT-prefixed resource codes
         filter(vocabList(col("resourceIdentifier"), "code"),
@@ -1664,6 +1666,244 @@ object SiteNormalizers {
         col("workflow_state"), col("cluster_name"), col("title"),
         col("issued"), col("description"),
         col("items_count_object_provides"), col("items_count_topic"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the eea_en site pipeline end-to-end — sandbox-path
+    * drop, null-type/Plone-Site drops, normObj content types, the
+    * visualization-Indicator title rule, File workflow backfill + issued
+    * from creation_date, the attr-mapping content-type append
+    * (case-insensitive subjects), taxonomy vocab fan-out, description
+    * fallback, counts. Arrays scalarize to `|`-strings.
+    */
+  def qSiteEeaEn(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://www.eea.europa.eu/en"),
+        when(id % 5 === 0, concat(lit("/sandbox/p"), id))
+          .otherwise(concat(lit("/analysis/d"), id))).as("id"),
+      when(id % 6 === 0, lit("Document"))
+        .when(id % 6 === 1, lit("File"))
+        .when(id % 6 === 2, lit("visualization"))
+        .when(id % 6 === 3, lit("Page"))
+        .when(id % 6 === 4, lit(null).cast("string"))
+        .otherwise(lit("Plone Site")).as("type_raw"),
+      // %4 gates cut across the %6 type cycle: some Files have a missing
+      // review state (backfill fires), some don't; some visualizations
+      // carry an Indicator title, some don't
+      when(id % 4 === 1, lit(null).cast("string"))
+        .otherwise(lit("published")).as("review_state"),
+      when(id % 4 === 2, concat(lit("Indicator: T"), id))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      col("text"),
+      lit("summary").as("summary"),
+      lit(null).cast("string").as("description"),
+      lit("2020-01-01").as("creation_date"),
+      array(struct(lit("Air pollution").as("title"))).as("topics"),
+      array(struct(lit("Pressure").as("title"))).as("taxonomy_dpsir"),
+      array(struct(lit("Indicator typology").as("title"))).as("taxonomy_typology"),
+      array(struct(lit("SDG 13").as("title"))).as("taxonomy_un_sdgs"),
+      when(id % 4 === 0, array(lit("Environment"), lit("Country Fact Sheet")))
+        .otherwise(array(lit("Environment"))).as("subjects"))
+    normalizeEeaEn(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        col("workflow_state"), col("issued"),
+        array_join(col("topic"), "|").as("topic"),
+        array_join(col("dpsir"), "|").as("dpsir"),
+        array_join(col("un_sdgs"), "|").as("un_sdgs"),
+        col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_topic"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the climate site pipeline end-to-end — whitelist
+    * admission, the '/mission/' path flag override, issued chain
+    * (issued ?? cca_published ?? publication_date), cca_* vocab fan-out
+    * (title vs token fields), spatial Other-drop + country append,
+    * funding programme struct, geographic sub-lists, search/observatory/
+    * mission flags, the mission_funding_cca-gated Yes/No block,
+    * normMissing fills, description fallback, counts.
+    */
+  def qSiteClimate(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://climate-adapt.eea.europa.eu/en"),
+        when(id % 5 === 0, concat(lit("/knowledge/p"), id))
+          .when(id % 5 === 1, concat(lit("/mission/stories/"), id))
+          .when(id % 5 === 2, concat(lit("/funding/"), id))
+          .when(id % 5 === 3, concat(lit("/news/"), id))
+          .otherwise(concat(lit("/other/"), id))).as("id"),
+      when(id % 5 === 0, lit("Document"))
+        .when(id % 5 === 1, lit("eea.climateadapt.casestudy"))
+        .when(id % 5 === 2, lit("mission_funding_cca"))
+        .when(id % 5 === 3, lit("Event"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      lit("published").as("review_state"),
+      (id % 5 === 1).as("include_in_observatory"),
+      lit(false).as("include_in_mission"),
+      lit("2019-05-01").as("publication_date"),
+      concat(lit("uid-"), id).as("uid"),
+      lit("2018-01-01T00:00:00").as("created"),
+      when(id % 5 === 0, lit("2020-02-02")).as("cca_published"),
+      when(id % 5 === 3, lit("2017-03-03")).as("issued"),
+      array(lit("k1"), lit("k2"), lit("k1")).as("keywords"),
+      array(struct(lit("Agriculture").as("title")),
+        struct(lit("Energy").as("title"))).as("sectors"),
+      array(struct(lit("Flooding").as("title"))).as("climate_impacts"),
+      array(struct(lit("Observations").as("title"))).as("elements"),
+      array(struct(lit("climate-adapt").as("title"))).as("origin_website"),
+      when(id % 5 === 0, array(struct(lit("Italy").as("title")))).as("country"),
+      array(struct(lit("Drought").as("title"))).as("climate_threats"),
+      array(struct(lit("Coastal").as("title"))).as("key_system"),
+      array(struct(lit("heat-stress").as("token"),
+        lit("Heat stress").as("title"))).as("health_impacts"),
+      array(struct(lit("ktm1").as("token"),
+        lit("KTM One").as("title"))).as("key_type_measures"),
+      struct(lit("LIFE").as("title")).as("funding_programme"),
+      struct(array(lit("IT"), lit("FR")).as("countries"),
+        array(lit("Alpine")).as("transnational_region")).as("geographic"),
+      struct(struct(struct(
+        concat(lit("http://img/"), id, lit(".png")).as("download"))
+        .as("preview")).as("scales")).as("preview_image"),
+      when(id % 5 === 2, lit(true)).as("is_eu_funded"),
+      when(id % 5 === 2, lit(false)).as("is_blended"),
+      when(id % 5 === 2, lit("50%")).as("funding_rate"),
+      when(id % 5 === 0, array(lit("Other")))
+        .when(id % 5 === 1, array(lit("Spain")))
+        .otherwise(lit(null).cast("array<string>")).as("spatial"),
+      col("text"),
+      concat(lit("Title "), id).as("title"),
+      lit("summary text").as("summary"),
+      lit(null).cast("string").as("description"))
+    normalizeClimate(docs)
+      .select(
+        col("doc_id"),
+        col("object_provides_scalar"),
+        col("issued"),
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("cca_adaptation_sectors"), "|").as("cca_adaptation_sectors"),
+        array_join(col("cca_health_impacts"), "|").as("cca_health_impacts"),
+        array_join(col("cca_key_type_measure"), "|").as("cca_key_type_measure"),
+        col("cca_funding_programme"),
+        array_join(col("cca_geographic_countries"), "|").as("cca_geographic_countries"),
+        col("cca_preview_image"),
+        array_join(col("cca_keywords"), "|").as("cca_keywords"),
+        col("cca_include_in_search"), col("cca_include_in_mission"),
+        col("cca_include_in_search_observatory"),
+        col("cca_is_eu_funded"), col("cca_is_blended"), col("cca_funding_rate"),
+        col("language"), col("creation_date"), col("creator"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_cca_keywords"), col("items_count_spatial"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the sdi_fise site pipeline end-to-end — the richest
+    * SDI field mapping: FISE issued chain (WITH the
+    * creationDateForResource middle step — the delta vs site_sdi),
+    * publicationYear int fallback with the 2500 default, maintenance-
+    * frequency key→label (trimmed keys, unknown pass-through, missing →
+    * Unknown), first-contact organisation name/email, language-code →
+    * country/language names, the catalogue-record about URL, resourceType
+    * → SDI object_provides, obsolete/superseded expiry, last_modified =
+    * changeDate ?? dateStamp, created/date_publication firsts, cl_topic
+    * topics, rod-link obligations, DAT-prefixed prod ids, spatial Kosovo
+    * map, counts. Arrays scalarize to `|`-strings.
+    */
+  def qSiteSdiFise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val rangeType =
+      "array<struct<start:struct<date:string>,end:struct<date:string>>>"
+    val childType = "array<struct<format:array<string>,changeDate:string>>"
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("md-"), id).as("metadataIdentifier"),
+      lit(null).cast("string").as("issued"),
+      when(id % 4 === 0, array(lit("2019-04-04"))).as("publicationDateForResource"),
+      when(id % 4 === 2, array(lit("2017-07-07"))).as("creationDateForResource"),
+      when(id % 4 === 1, lit("2010-09-09")).as("createDate"),
+      array(struct(lit("http://o/1").as("url"))).as("overview"),
+      array(struct(lit("Obligation 1").as("default"),
+          lit("http://rod/1").as("link")),
+        struct(lit("Obligation 2").as("default"),
+          lit("http://rod/unmapped").as("link"))).as("th_rod-eionet-europa-eu"),
+      array(struct(lit("Climate mitigation").as("default"))).as("th_eea-topics"),
+      array(lit("concepts^environment^water pollution")).as("th_gemet_tree.default"),
+      array(struct(lit("vector").as("default"))).as("cl_spatialRepresentationType"),
+      when(id % 2 === 0,
+        array(struct(lit("Kosovo (UNSCR 1244/99)").as("default")),
+          struct(lit("Italy").as("default"))))
+        .otherwise(array(struct(lit("Spain").as("default")))).as("th_regions"),
+      when(id % 3 === 0, array(
+          struct(struct(lit("2011-02-01").as("date")).as("start"),
+            struct(lit("2013-06-01").as("date")).as("end")),
+          struct(struct(lit("2015-01-01").as("date")).as("start"),
+            struct(lit(null).cast("string").as("date")).as("end"))))
+        .when(id % 3 === 1, array(
+          struct(struct(lit("2012-05-05").as("date")).as("start"),
+            struct(lit("2012-07-07").as("date")).as("end"))))
+        .otherwise(array().cast(rangeType))
+        .as("resourceTemporalExtentDetails"),
+      when(id % 2 === 0, array(
+          struct(array(lit("SHP")).as("format"), lit("2020-01-01").as("changeDate"))))
+        .otherwise(array().cast(childType)).as("children"),
+      array(struct(concat(lit("DAT-"), id).as("code")),
+        struct(concat(lit("XYZ-"), id).as("code"))).as("resourceIdentifier"),
+      concat(lit("Map "), id).as("resourceTitleObject.default"),
+      concat(lit("Abstract "), id).as("resourceAbstractObject.default"),
+      when(id % 5 === 0, array(struct(lit("superseded").as("key")))).as("cl_status"),
+      when(id % 7 === 0, lit("2021-05-05")).as("changeDate"),
+      lit("2019-01-01").as("dateStamp"),
+      element_at(array(lit("ita"), lit("eng"), lit("ger"), lit("xxx")),
+        (id % 4 + 1).cast("int")).as("mainLanguage"),
+      array(struct(lit("EEA Org").as("default"))).as("OrgForResourceObject"),
+      when(id % 4 === 0, lit("2001")).as("publicationYearForResource"),
+      when(id % 4 === 1, lit("1999")).as("creationYearForResource"),
+      when(id % 4 === 2, array(lit("1990"), lit("1995")))
+        .as("revisionYearForResource"),
+      when(id % 5 === 0, array(struct(lit(" asNeeded ").as("key"))))
+        .when(id % 5 === 1, array(struct(lit("weird").as("key"))))
+        .when(id % 5 === 2, lit(null).cast("array<struct<key:string>>"))
+        .otherwise(array(struct(lit("monthly").as("key"))))
+        .as("cl_maintenanceAndUpdateFrequency"),
+      when(id % 2 === 0, array(struct(
+          struct(concat(lit("Org "), id).as("default")).as("organisationObject"),
+          concat(lit("mail"), id, lit("@x.eu")).as("email"))))
+        .otherwise(lit(null)
+          .cast("array<struct<organisationObject:struct<default:string>,email:string>>"))
+        .as("contact"),
+      when(id % 4 === 0, array(lit("dataset")))
+        .when(id % 4 === 1, array(lit("service")))
+        .when(id % 4 === 2, array(lit("nonGeographicDataset")))
+        .otherwise(array(lit("other"))).as("resourceType"),
+      array(struct(lit("Environment").as("default")),
+        struct(lit("Water").as("default"))).as("cl_topic"))
+    normalizeSdiFise(docs,
+        obligations = Map("http://rod/1" -> "Reporting obligation 1"),
+        currentYear = 2016, archivedExpires = "2026-08-10")
+      .select(
+        substring(col("id"), 4, 20).cast("long").as("doc_id"),
+        col("title"), col("description"),
+        col("hasWorkflowState"), col("cluster_name"),
+        col("issued"),
+        col("publicationYear"),
+        col("update_frequency_value"),
+        col("organisation_name"), col("organisation_email"),
+        array_join(col("country"), "|").as("country"),
+        array_join(col("language"), "|").as("language"),
+        col("about"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("topic"), "|").as("topic"),
+        array_join(col("time_coverage"), "|").as("time_coverage"),
+        array_join(col("instrument"), "|").as("instrument"),
+        array_join(col("prod_id"), "|").as("prod_id"),
+        col("expires"), col("last_modified"),
+        col("created"), col("date_publication"),
+        col("items_count_spatial"), col("items_count_topic"))
       .orderBy("doc_id")
   }
 }

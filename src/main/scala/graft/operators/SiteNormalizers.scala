@@ -343,6 +343,32 @@ object SiteNormalizers {
   /** `OBSOLETE_KEYS` (site_sdi_fise.py:301). */
   val sdiObsoleteKeys: Seq[String] = Seq("obsolete", "superseded")
 
+  /** The `sdi_normalizers` variable (variables.json): normObj + normProp
+    * in the reference dict's insertion order (renames are
+    * order-sensitive). "true" → "published" exists to map the pinned
+    * isPublishedToAll value after its rename to hasWorkflowState.
+    * `@type`/`objectProvides` land on graft's type_raw/object_provides
+    * columns ([[graft.config.AirflowVariables]] graftAliases). Shared by
+    * [[normalizeSdiFise]] and [[normalizeSdi]] (site_sdi.py:1-25 header
+    * documents the same mapping).
+    */
+  val sdiNormalizersConfig: NormConfig = NormConfig(
+    typeCol = "type_raw",
+    normObj = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo", "true" -> "published"),
+    normProp = Seq(
+      "type_raw" -> Seq("object_provides"),
+      "OrgForResource" -> Seq("organisation"),
+      "about" -> Seq("id", "about"),
+      "isPublishedToAll" -> Seq("hasWorkflowState"),
+      "mainLanguage" -> Seq("language"),
+      "resourceAbstractObject.default" -> Seq("description"),
+      "resourceTitleObject.default" -> Seq("title", "label"),
+      "sdi_gemet" -> Seq("gemet"),
+      "sdi_rod" -> Seq("rod"),
+      "sdi_spatial" -> Seq("spatial", "places"),
+      "sdi_spatialRepresentationType" -> Seq("spatialRepresentationType"),
+      "sdi_topics" -> Seq("topic")))
+
   /** `get_years_from_ranges` (site_sdi_fise.py:125-141): temporal-extent
     * ranges → sorted distinct years, missing ends defaulting to 2010 /
     * `currentYear` (the reference uses datetime.now(); a pinned parameter
@@ -456,27 +482,7 @@ object SiteNormalizers {
   def normalizeSdiFise(docs: DataFrame, obligations: Map[String, String],
       currentYear: Int, archivedExpires: String): DataFrame = {
     val pre = preNormalizeSdi(docs, obligations, currentYear)
-
-    // the sdi_normalizers variable: normObj + normProp (variables.json),
-    // in the reference dict's insertion order (renames are order-sensitive).
-    // "true" → "published" exists to map the pinned isPublishedToAll value
-    // after its rename to hasWorkflowState.
-    val common = NormOps.commonNormalizer(pre, NormConfig(
-      typeCol = "type_raw",
-      normObj = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo", "true" -> "published"),
-      normProp = Seq(
-        "type_raw" -> Seq("object_provides"),
-        "OrgForResource" -> Seq("organisation"),
-        "about" -> Seq("id", "about"),
-        "isPublishedToAll" -> Seq("hasWorkflowState"),
-        "mainLanguage" -> Seq("language"),
-        "resourceAbstractObject.default" -> Seq("description"),
-        "resourceTitleObject.default" -> Seq("title", "label"),
-        "sdi_gemet" -> Seq("gemet"),
-        "sdi_rod" -> Seq("rod"),
-        "sdi_spatial" -> Seq("spatial", "places"),
-        "sdi_spatialRepresentationType" -> Seq("spatialRepresentationType"),
-        "sdi_topics" -> Seq("topic"))))
+    val common = NormOps.commonNormalizer(pre, sdiNormalizersConfig)
 
     val freq = try_element_at(col("cl_maintenanceAndUpdateFrequency"), lit(1)).getField("key")
     val isObsolete = exists(col("cl_status"), // :304-323
@@ -571,22 +577,7 @@ object SiteNormalizers {
 
     // the `sdi` variables.json config carries the same sdi_normalizers
     // maps as sdi_fise (site_sdi.py:1-25 header documents the mapping)
-    val common = NormOps.commonNormalizer(pre, NormConfig(
-      typeCol = "type_raw",
-      normObj = Map("Kosovo (UNSCR 1244/99)" -> "Kosovo", "true" -> "published"),
-      normProp = Seq(
-        "type_raw" -> Seq("object_provides"),
-        "OrgForResource" -> Seq("organisation"),
-        "about" -> Seq("id", "about"),
-        "isPublishedToAll" -> Seq("hasWorkflowState"),
-        "mainLanguage" -> Seq("language"),
-        "resourceAbstractObject.default" -> Seq("description"),
-        "resourceTitleObject.default" -> Seq("title", "label"),
-        "sdi_gemet" -> Seq("gemet"),
-        "sdi_rod" -> Seq("rod"),
-        "sdi_spatial" -> Seq("spatial", "places"),
-        "sdi_spatialRepresentationType" -> Seq("spatialRepresentationType"),
-        "sdi_topics" -> Seq("topic"))))
+    val common = NormOps.commonNormalizer(pre, sdiNormalizersConfig)
 
     val isObsolete = exists(col("cl_status"), // :298-317
       s => s.getField("key").isInCollection(sdiObsoleteKeys))

@@ -267,14 +267,33 @@ object TextAnalysis {
     * exact-percentile aggregate broadcast back — NO global window/ntile
     * (a single-partition sort of every doc score is the anti-pattern this
     * avoids; R-7 percentile matches DuckDB quantile_cont for the oracle).
+    *
+    * Zipf de-skew: the word key is maximally skewed ("the" appears in
+    * every doc), so the token⋈counts join would funnel the hottest keys
+    * into single shuffle partitions at scale. The `hotWords` highest
+    * counts ship as a BROADCAST instead — a hot token resolves its count
+    * map-side and never shuffles; only the long tail (which is flat by
+    * construction: every remaining key's count is below the broadcast
+    * floor) equi-joins on the word key.
     */
-  def perplexityBucket(docs: DataFrame, textCol: String): DataFrame = {
+  def perplexityBucket(docs: DataFrame, textCol: String,
+      hotWords: Int = 1 << 16): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(spaceTokens(col(textCol))).as("word"))
     val counts = words.groupBy("word").count()
     val total = counts.agg(sum("count").as("total"))
-    val scored = words
-      .join(counts, Seq("word"))
+    val hot = broadcast(
+      counts.orderBy(col("count").desc, col("word")).limit(hotWords)
+        .withColumnRenamed("count", "hot_count"))
+    val tagged = words.join(hot, Seq("word"), "left")
+    val hotResolved = tagged.filter(col("hot_count").isNotNull)
+      .select(col("doc_id"), col("hot_count").as("count"))
+    val tailResolved = tagged.filter(col("hot_count").isNull).drop("hot_count")
+      // shuffle_hash: the tail slice is count-bounded per key — never let
+      // a size misestimate pick a sort-merge of the full token table
+      .join(counts.hint("shuffle_hash"), Seq("word"))
+      .select(col("doc_id"), col("count"))
+    val scored = hotResolved.unionByName(tailResolved)
       .join(broadcast(total))
       .withColumn("nll", -log(col("count") / col("total")))
       .groupBy("doc_id")

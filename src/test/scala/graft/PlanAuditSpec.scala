@@ -157,6 +157,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("perplexity_bucket")
     for (bad <- Seq("Window", "CartesianProduct"))
       assert(!p.contains(bad), s"perplexity_bucket plan contains $bad")
+    // Zipf de-skew: the hot-word counts must resolve through a broadcast
+    // join (tokens of the hottest keys never shuffle on the word key).
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the hot-word counts to join as a broadcast")
   }
 
   test("sdi_children is one equi-join plus one aggregation, never cartesian") {

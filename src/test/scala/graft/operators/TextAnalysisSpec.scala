@@ -148,4 +148,22 @@ class TextAnalysisSpec extends SparkSpec {
     // buckets partition the corpus
     assert(out.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
+
+  test("perplexityBucket: broadcast-hot fast path matches the all-tail result") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(
+      (1L to 9L).map(i => (i, "the the the and and of")) ++ Seq(
+        (10L, "the and of zyx"),
+        (11L, "qqq zyx www uuu"),
+        (12L, "ppp ooo nnn mmm kkk jjj"))
+    ).toDF("doc_id", "text")
+    def run(hot: Int) = graft.operators.TextAnalysis
+      .perplexityBucket(docs, "text", hotWords = hot)
+      .orderBy("doc_id").collect().toSeq
+    // hotWords=2 splits tokens across BOTH branches ("the"/"and" resolve
+    // from the broadcast, the rest shuffle); the scores and buckets must
+    // be identical to the everything-hot and everything-tail extremes
+    assert(run(2) == run(1 << 16))
+    assert(run(0) == run(1 << 16))
+  }
 }

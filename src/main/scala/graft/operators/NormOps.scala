@@ -763,12 +763,15 @@ object NormOps {
     val title = when(title0.isNull || title0 === "", lit("no title")).otherwise(title0)
     val start = concat(lit("\n\n"), title, lit(".\n\n"))
 
-    // :173-183 — whitelist pass; dict-valued props read .data
+    // :173-183 — whitelist pass; dict-valued props read .data. Props are
+    // LITERAL column names — flattened docs carry dotted keys like
+    // `resourceTitleObject.default` (the sdi nlp whitelist), which bare
+    // col() would misparse as struct access.
     val afterProps = txtProps.foldLeft(start) { (acc, p) =>
       val raw =
         if (!schema.fieldNames.contains(p)) lit("")
-        else if (structFields(p).contains("data")) col(p).getField("data")
-        else col(p)
+        else if (structFields(p).contains("data")) col("`" + p + "`").getField("data")
+        else col("`" + p + "`")
       val cleaned = cleanHtml(raw)
       val dotted = when(length(cleaned) > 0 && !cleaned.endsWith("."),
         concat(cleaned, lit("."))).otherwise(cleaned)

@@ -1465,6 +1465,65 @@ object SiteNormalizers {
     r.getOrElse(siteId, r("eea"))
   }
 
+  /** Registry twin of the SECOND reference registry —
+    * `register_nlp_preprocessor` (registry.py:14-21), one entry per name
+    * the normalizers/sites files register (20: the facets list minus
+    * "eea_en", whose file registers its preprocessor under "eea",
+    * site_eea_europa_eu_en.py:72, so eea_en docs resolve through the
+    * fallback exactly as the reference does). Every registered body is
+    * `common_preprocess` ([[NormOps.nlpPreprocess]]) with the site's
+    * nlp_preprocessing props, except the sdi pair (site_sdi.py /
+    * site_sdi_fise.py), which run `pre_normalize_sdi` on the RAW record
+    * first; "default" (site_default.py:12-14) returns None for every
+    * doc, i.e. drops all rows. Like the reference's composition
+    * (normalizer.py:70-76), these expect the RAW frame — [[prepareDocs]]
+    * applies the common body after the facets normalizer instead, which
+    * is equivalent because the html/pdf/title columns it reads flow
+    * through the normalizers untouched.
+    */
+  def nlpRegistry(ctx: SiteContext = SiteContext(),
+      txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil,
+      removeSelectors: Seq[String] = Nil)
+      : Map[String, DataFrame => DataFrame] = {
+    val common = (d: DataFrame) => NormOps.nlpPreprocess(d,
+      txtProps = txtProps, txtPropsBlack = txtPropsBlack,
+      removeSelectors = removeSelectors)
+    def sdiThenCommon(fise: Boolean) = (d: DataFrame) =>
+      common(preNormalizeSdi(d, ctx.obligations, ctx.currentYear,
+        fiseIssuedChain = fise))
+    Map(
+      "bise" -> common,
+      "cab" -> common,
+      "climate" -> common,
+      "default" -> ((d: DataFrame) => d.limit(0)),
+      "discomap" -> common,
+      "eea" -> common,
+      "eionet" -> common,
+      "energy" -> common,
+      "fise" -> common,
+      "fise_resource" -> common,
+      "ias" -> common,
+      "industry" -> common,
+      "insitu" -> common,
+      "land" -> common,
+      "land_demo" -> common,
+      "noise" -> common,
+      "sdi" -> sdiThenCommon(fise = false),
+      "sdi_fise" -> sdiThenCommon(fise = true),
+      "wise_freshwater" -> common,
+      "wise_marine" -> common)
+  }
+
+  /** `get_nlp_preprocessor` (registry.py:30): unknown site ids — eea_en
+    * included — fall back to the "eea" preprocessor.
+    */
+  def nlpPreprocessorFor(siteId: String, ctx: SiteContext = SiteContext(),
+      txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil,
+      removeSelectors: Seq[String] = Nil): DataFrame => DataFrame = {
+    val r = nlpRegistry(ctx, txtProps, txtPropsBlack, removeSelectors)
+    r.getOrElse(siteId, r("eea"))
+  }
+
   /** The whole-portfolio run: one input frame per site (raw schemas
     * genuinely differ per site, exactly as each reference DAG reads its
     * own crawl), each through its registered normalizer, unioned by name

@@ -881,6 +881,65 @@ class SiteNormalizersSpec extends SparkSpec {
     assert(viaFallback == viaEea)
   }
 
+  test("nlpRegistry: the reference names, sdi pre-normalize, default, fallback") {
+    val r = nlpRegistry()
+    // exactly the register_nlp_preprocessor names: the facets list minus
+    // eea_en (site_eea_europa_eu_en.py registers its preprocessor under
+    // "eea", :72)
+    assert(r.keySet == Set(
+      "bise", "cab", "climate", "default", "discomap", "eea",
+      "eionet", "energy", "fise", "fise_resource", "ias", "industry",
+      "insitu", "land", "land_demo", "noise", "sdi", "sdi_fise",
+      "wise_freshwater", "wise_marine"))
+    assert(registry().keySet -- r.keySet == Set("eea_en"))
+
+    val docs = spark.range(2).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://noise.eea.europa.eu/p/', id) as id",
+      "concat('Title ', id) as title",
+      """concat('<html><head><title>T</title></head><body>page body ',
+                id, ' with prose</body></html>') as web_html""")
+    // every common entry IS common_preprocess (NormOps.nlpPreprocess)
+    val viaNoise = r("noise")(docs).orderBy("rn").collect().toSeq
+    val direct = NormOps.nlpPreprocess(docs).orderBy("rn").collect().toSeq
+    assert(viaNoise == direct)
+
+    // "default" drops every doc; unknown ids (eea_en included) fall back
+    // to the eea preprocessor (registry.py:30)
+    assert(r("default")(docs).count() == 0)
+    val viaFallback = nlpPreprocessorFor("eea_en")(docs)
+      .orderBy("rn").collect().toSeq
+    assert(viaFallback == r("eea")(docs).orderBy("rn").collect().toSeq)
+
+    // the sdi pair pre-normalizes the RAW record first (site_sdi.py /
+    // site_sdi_fise.py): the whitelisted raw text props reach nlp_text,
+    // and a pre-normalize output column (site_id) appears
+    val sdiRaw = spark.range(1).selectExpr(
+      "'md-1' as metadataIdentifier",
+      "cast(null as string) as issued",
+      "array('2019-04-04') as publicationDateForResource",
+      "array('2017-07-07') as creationDateForResource",
+      "cast(null as string) as createDate",
+      "cast(null as array<struct<url:string>>) as overview",
+      "cast(null as array<struct<default:string,link:string>>) as `th_rod-eionet-europa-eu`",
+      "cast(null as array<struct<default:string>>) as `th_eea-topics`",
+      "cast(null as array<string>) as `th_gemet_tree.default`",
+      "cast(null as array<struct<default:string>>) as cl_spatialRepresentationType",
+      "cast(null as array<struct<default:string>>) as th_regions",
+      "cast(null as array<struct<start:struct<date:string>,end:struct<date:string>>>) as resourceTemporalExtentDetails",
+      "cast(null as array<struct<format:array<string>,changeDate:string>>) as children",
+      "cast(null as array<struct<code:string>>) as resourceIdentifier",
+      "'Series title' as `resourceTitleObject.default`",
+      "'Series abstract' as `resourceAbstractObject.default`")
+    val sdiOut = nlpPreprocessorFor("sdi",
+      txtProps = Seq("resourceTitleObject.default", "resourceAbstractObject.default"))(
+      sdiRaw).head
+    val nlp = sdiOut.getAs[String]("nlp_text")
+    assert(nlp.contains("Series title") && nlp.contains("Series abstract"))
+    assert(sdiOut.getAs[String]("site_id") == "sdi") // pre-normalize ran
+    assert(sdiOut.getAs[String]("issued") == "2019-04-04") // fise=false chain
+  }
+
   test("normalizePortfolio unions per-site outputs by name with provenance") {
     val noiseDocs = spark.range(2).selectExpr(
       "cast(id as int) as rn",

@@ -52,6 +52,14 @@ object ScaleProbe {
       println(f"""{"op":"$op","k":$k,"sec":$sec%.2f,"rows":$rows}""")
     }
 
+    // count() prunes derived columns — a narrow per-row pipeline would
+    // time as a scan. Hash every output column into a filter so the whole
+    // projection is computed, then count the (unchanged) row set.
+    def probeForced(op: String, k: Int, df: => DataFrame): Unit = probe(op, k, {
+      val d = df
+      d.filter(xxhash64(d.columns.map(c => col("`" + c + "`")): _*).isNotNull)
+    })
+
     // warmup at k=1 so codegen/scan setup is not attributed to the first op
     DedupOps.minhashPairs(corpusK(1)).count()
 
@@ -82,6 +90,35 @@ object ScaleProbe {
             concat(lit("md-"), col("doc_id") + 2)))
             .otherwise(array().cast("array<string>"))
             .as("agg_associated_isComposedOf"))))
+
+      // ---- round-8 operators (forced: their outputs are derived per-row
+      // columns that a bare count() would prune away)
+
+      // word-count corpus LM + broadcast-hot join + 1-row percentile cuts:
+      // the word-key join and both aggs must all track corpus size ~K
+      probeForced("perplexity_bucket", k,
+        graft.operators.TextAnalysis.perplexityBucket(corpusK(k), "text"))
+      // shard-local windows: nShards bounds every sort partition, so the
+      // pack assignment must stay ~K at any replication
+      probeForced("sequence_pack", k,
+        graft.operators.TextAnalysis.sequencePack(corpusK(k), "text"))
+      // per-stratum bottom-k with a K-scaled budget → output rows ~K and
+      // the stratum windows stay bounded by the per-stratum slice
+      probeForced("mixture_sample", k,
+        graft.operators.TextAnalysis.mixtureSample(corpusK(k), "lang", "doc_id",
+          weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.05),
+          totalBudget = 20000L * k))
+      // line stats per-row + gram-count partial aggs, no gram-key window
+      probeForced("quality_repetition", k,
+        graft.operators.TextAnalysis.repetitionQuality(corpusK(k), "text"))
+      // the full sdi site pipeline over synthesized records — a pure
+      // narrow projection chain; super-linear growth would mean a plan
+      // regression (the pipeline has no joins at all)
+      probeForced("site_sdi", k, graft.operators.SiteNormalizers.normalizeSdi(
+        graft.operators.SiteNormalizers.sdiSyntheticDocs(corpusK(k)),
+        obligations = Map("http://rod/1" -> "Reporting obligation 1"),
+        currentYear = 2016, archivedExpires = "2026-08-10",
+        themeTaxonomy = Map("Water" -> "water")))
     }
     spark.stop()
   }

@@ -1621,19 +1621,22 @@ object SiteNormalizers {
       .orderBy("doc_id")
   }
 
-  /** queries() entry: the sdi site pipeline end-to-end over synthesized
-    * SDI-elastic records — field mapping, topic renames + theme taxonomy,
-    * temporal-range years, the sdi-chain issued fallback (no
-    * creationDateForResource step), obsolete expiry, last_modified from
-    * children changeDates, spatial Kosovo map, counts. Arrays scalarize
-    * to `|`-strings for the hash compare.
+  /** The qSiteSdi synthesized SDI-elastic record set over ANY frame with
+    * a `doc_id` column — shared with `graft.ScaleProbe` so scale growth
+    * is measured on the same record shape the oracle checks. The qSiteSdi
+    * query runs the sdi site pipeline end-to-end over these records —
+    * field mapping, topic renames + theme taxonomy, temporal-range years,
+    * the sdi-chain issued fallback (no creationDateForResource step),
+    * obsolete expiry, last_modified from children changeDates, spatial
+    * Kosovo map, counts; arrays scalarize to `|`-strings for the hash
+    * compare.
     */
-  def qSiteSdi(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  def sdiSyntheticDocs(base: DataFrame): DataFrame = {
     val id = col("doc_id")
     val rangeType =
       "array<struct<start:struct<date:string>,end:struct<date:string>>>"
     val childType = "array<struct<format:array<string>,changeDate:string>>"
-    val docs = graft.Tables.documents(s, d).select(
+    base.select(
       id,
       concat(lit("md-"), id).as("metadataIdentifier"),
       lit(null).cast("string").as("issued"),
@@ -1673,7 +1676,10 @@ object SiteNormalizers {
       when(id % 7 === 0, lit("2021-05-05")).as("changeDate"),
       lit("eng").as("mainLanguage"),
       array(struct(lit("EEA Org").as("default"))).as("OrgForResourceObject"))
-    normalizeSdi(docs,
+  }
+
+  def qSiteSdi(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    normalizeSdi(sdiSyntheticDocs(graft.Tables.documents(s, d)),
         obligations = Map("http://rod/1" -> "Reporting obligation 1"),
         currentYear = 2016, archivedExpires = "2026-08-10",
         themeTaxonomy = Map("Water" -> "water"))
@@ -1691,7 +1697,6 @@ object SiteNormalizers {
         col("last_modified"),
         col("items_count_spatial"))
       .orderBy("doc_id")
-  }
 
   /** queries() entry: the noise site pipeline end-to-end — <title> scrape
     * (every fourth page has none → the join-text "no title" fallback, and

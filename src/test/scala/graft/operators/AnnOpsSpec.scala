@@ -30,6 +30,27 @@ class AnnOpsSpec extends SparkSpec {
     assert(got(0).getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("corpus smaller than k returns every corpus row per query, no errors") {
+    // the k > |corpus| boundary: top-k must degrade to "all neighbors",
+    // identically for brute force and both ANN paths
+    // every path excludes the query's self-match (queries are corpus
+    // members by construction), so k=10 over a 3-vector corpus caps at 2
+    val vecs = AnnOps.corpus(spark, sfDir).filter(col("vec_id") < 3)
+    val queries = vecs.filter(col("vec_id") === 0)
+    val brute = AnnOps.bruteTopK(vecs, queries, k = 10).collect()
+    assert(brute.length == 2 &&
+      brute.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
+    // full-width IVF (nprobe = nlist) sees every cell → both other rows
+    assert(AnnOps.ivfTopK(vecs, queries, k = 10, nlist = 2, nprobe = 2)
+      .count() == 2)
+    // LSH stays approximate even here: near-random vectors may share no
+    // bucket with the query in any table — a subset of the exact result,
+    // never more, and no error
+    val lsh = AnnOps.lshTopK(vecs, queries, k = 10).collect()
+    assert(lsh.length <= 2 &&
+      lsh.map(_.getAs[Long]("neighbor_id")).toSet.subsetOf(Set(1L, 2L)))
+  }
+
   test("brute-force top-1 of a planted duplicate is the duplicate itself") {
     val vecs = AnnOps.corpus(spark, sfDir)
     val spark2 = spark

@@ -84,6 +84,69 @@ class DedupOpsSpec extends SparkSpec {
       "boilerplate bucket (30 > maxBucket) must be dropped")
   }
 
+  test("minhash tau boundary: a pair at exactly its Jaccard is kept, just above dropped") {
+    // the exact-verify filter is rounded-jaccard >= tau — measure the
+    // planted pair's TRUE gram Jaccard and probe both sides of it
+    val base = doc(13, 100)
+    val near = base.split(" ").drop(10).mkString(" ")
+    val df = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val sets = df.withColumn("w", split(col("text"), " "))
+      .withColumn("grams", graft.functions.TextFns.wordNgrams(col("w"), 3))
+      .orderBy("doc_id").select("grams").collect()
+      .map(_.getSeq[String](0).toSet)
+    val j = sets(0).intersect(sets(1)).size.toDouble /
+      sets(0).union(sets(1)).size
+    val jr = math.rint(j * 1e6) / 1e6 // the operator rounds to 6 decimals
+    assert(DedupOps.minhashPairs(df, tau = jr).count() == 1,
+      "equality at the threshold must keep the pair")
+    assert(DedupOps.minhashPairs(df, tau = jr + 1e-6).count() == 0,
+      "one ulp above the pair's similarity must drop it")
+  }
+
+  test("sub-n-gram docs produce no minhash candidates and no errors") {
+    // 1- and 2-word docs have no 3-grams: they must vanish from banding
+    // (never pair, not even with each other) while normal dups still pair
+    val base = doc(21, 80)
+    val near = base.split(" ").drop(2).mkString(" ")
+    val df = Seq(
+      (1L, "one"), (2L, "two words"), (3L, "two words"),
+      (4L, base), (5L, near)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(df, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)))
+  }
+
+  test("simhash hamming boundary: exactly maxHamming kept, one below dropped") {
+    val base = doc(17, 80)
+    val mutated = {
+      val w = base.split(" ")
+      w(5) = "alpha"; w(25) = "beta"; w(45) = "gamma"
+      w.mkString(" ")
+    }
+    val df = Seq((1L, base), (2L, mutated)).toDF("doc_id", "text")
+    // measure the pair's true hamming with an unconstrained budget
+    val h = DedupOps.simhashPairs(df, maxHamming = 64)
+      .head.getAs[Long]("hamming")
+    assert(h >= 1, s"a 3-word mutation must flip at least one bit (got $h)")
+    assert(DedupOps.simhashPairs(df, maxHamming = h.toInt).count() == 1,
+      "equality at the hamming budget must keep the pair")
+    assert(DedupOps.simhashPairs(df, maxHamming = h.toInt - 1).count() == 0,
+      "one below the pair's hamming must drop it")
+  }
+
+  test("docs shorter than the fingerprint k-gram produce no pairs and no errors") {
+    // k=30 chars: a doc shorter than one k-gram has no fingerprints;
+    // a genuine shared-passage pair must still be found alongside them
+    val shared = doc(31, 60)
+    val df = Seq(
+      (1L, "tiny"), (2L, "short doc"),
+      (3L, s"${doc(32, 40)} $shared"),
+      (4L, s"$shared ${doc(33, 40)}")).toDF("doc_id", "text")
+    val pairs = DedupOps.fingerprintPairs(df, k = 30, w = 10, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)))
+  }
+
   test("identical docs have identical simhash (hamming 0)") {
     val rows = Seq((1L, doc(9)), (2L, doc(9))).toDF("doc_id", "text")
     val got = DedupOps.simhashPairs(rows, maxHamming = 0).collect()

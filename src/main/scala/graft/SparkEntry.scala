@@ -70,6 +70,9 @@ object SparkEntry {
     "site_sdi_fise" -> (SiteNormalizers.qSiteSdiFise _),
     "site_climate" -> (SiteNormalizers.qSiteClimate _),
     "site_eea_en" -> (SiteNormalizers.qSiteEeaEn _),
+    "site_wise_marine" -> (SiteNormalizers.qSiteWiseMarine _),
+    "site_energy" -> (SiteNormalizers.qSiteEnergy _),
+    "site_eionet" -> (SiteNormalizers.qSiteEionet _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
     "site_for_url" -> (SyncOps.qSiteForUrl _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
@@ -897,6 +900,123 @@ object SparkEntry {
         |  CAST(1 + CASE WHEN type_raw = 'visualization' AND doc_id % 4 = 2 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS items_count_object_provides,
         |  CAST(1 AS BIGINT) AS items_count_topic
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the wise_marine site pipeline: location rules (last-match-wins),
+    // factsheet spatial=title, Data-set/Webpage pruning, the SPM block
+    // (exclude flag, issued backfill, wm_spm_* fan-out), vocab
+    // flattening, Indicator description override.
+    "site_wise_marine" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 1 THEN 'Country ' || doc_id
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 6),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 7 WHEN 0 THEN 'Webpage'
+        |    WHEN 1 THEN 'Country fact sheet|Dashboard'
+        |    WHEN 2 THEN 'Shipping and Ports Measure'
+        |    WHEN 3 THEN 'Topic page'
+        |    WHEN 4 THEN 'Data set'
+        |    ELSE 'Indicator' END AS object_provides,
+        |  CASE WHEN doc_id % 7 = 1 THEN 'Country ' || doc_id
+        |       ELSE 'Baltic' END AS spatial,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'True' END AS exclude_from_globalsearch,
+        |  CASE WHEN doc_id % 7 = 2 THEN '2023-09-04T07:17:00' END AS issued,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'Title ' || doc_id END AS wm_spm_title,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'S' || doc_id END AS wm_spm_sector,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'C' || doc_id END AS wm_spm_code,
+        |  'MSFD' AS legislative_reference,
+        |  'marine|water' AS wm_theme,
+        |  'Pressure' AS wm_dpsir_type,
+        |  CASE WHEN doc_id % 7 = 5 THEN 'Title ' || doc_id
+        |       ELSE array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ')
+        |  END AS description,
+        |  CASE WHEN doc_id % 7 = 5 THEN 'Pressure' END AS dpsir,
+        |  'published' AS workflow_state,
+        |  'wise-marine' AS cluster_name,
+        |  CAST(CASE WHEN doc_id % 7 = 1 THEN 2 ELSE 1 END AS BIGINT) AS items_count_object_provides,
+        |  CAST(1 AS BIGINT) AS items_count_wm_dpsir_type
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the energy site pipeline: UNCONDITIONAL location rules, factsheet
+    // spatial from title, resource_type Data → Dashboard, topics/intro →
+    // Topic page.
+    "site_energy" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 6 <> 5),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 1 THEN 'Country fact sheet'
+        |    WHEN 2 THEN 'Dashboard'
+        |    WHEN 3 THEN 'Topic page'
+        |    ELSE 'Webpage' END AS object_provides,
+        |  CASE WHEN doc_id % 6 = 1 THEN 'Title ' || doc_id END AS spatial,
+        |  'published' AS workflow_state,
+        |  'energy' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the eionet site pipeline: per-ETC topic terms by path segment,
+    // issued = publication_date ?? issued, etc_report → Report.
+    "site_eionet" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 6 <> 5),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'Webpage' WHEN 1 THEN 'Report'
+        |    WHEN 2 THEN 'File' WHEN 3 THEN 'Webpage'
+        |    ELSE 'News' END AS object_provides,
+        |  CASE doc_id % 6 WHEN 0 THEN 'term4' WHEN 1 THEN 'term11|term14'
+        |    WHEN 4 THEN 'term10' END AS topic,
+        |  CASE doc_id % 6 WHEN 0 THEN '2022-02-02'
+        |    WHEN 1 THEN '2021-01-01' END AS issued,
+        |  'published' AS workflow_state,
+        |  'etc' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides,
+        |  CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |    WHEN 4 THEN 1 END AS BIGINT) AS items_count_topic
         |FROM ft ORDER BY doc_id""".stripMargin,
     // url → site routing: longest PROPER prefix wins (the full url is
     // never a candidate, so an exact base url resolves to its parent

@@ -1961,4 +1961,140 @@ object SiteNormalizers {
         col("items_count_spatial"), col("items_count_topic"))
       .orderBy("doc_id")
   }
+
+  /** queries() entry: the wise_marine site pipeline end-to-end — location
+    * rules (last-match-wins incl. the state-of-europe-seas glob), the
+    * factsheet spatial=title rule, the Data-set/Webpage pruning, the
+    * Shipping-and-Ports-Measure block (exclude flag, issued backfill,
+    * wm_spm_* fan-out), vocab flattening, and the Indicator description
+    * override. Whitelist/rules are extended like the reference's
+    * variables.json config (the lists are config data).
+    */
+  def qSiteWiseMarine(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://water.europa.eu"),
+        when(id % 7 === 0, concat(lit("/marine/policy-and-reporting/reports/r"), id))
+          .when(id % 7 === 1,
+            concat(lit("/marine/countries-and-regional-seas/country-profiles/c"), id))
+          .when(id % 7 === 2, concat(lit("/marine/measures/m"), id))
+          .when(id % 7 === 3, concat(lit("/marine/state-of-europe-seas/s"), id))
+          .when(id % 7 === 4, concat(lit("/marine/datasets/d"), id))
+          .when(id % 7 === 5, concat(lit("/marine/indicators/i"), id))
+          .otherwise(concat(lit("/marine/x"), id))).as("id"),
+      when(id % 7 === 0, lit("Document"))
+        .when(id % 7 === 1, lit("country_factsheet"))
+        .when(id % 7 === 2, lit("measure"))
+        .when(id % 7 === 3, lit("Page"))
+        .when(id % 7 === 4, lit("Document"))
+        .when(id % 7 === 5, lit("Page"))
+        .otherwise(lit("Folder")).as("type_raw"),
+      lit("published").as("review_state"),
+      when(id % 7 === 1, concat(lit("Country "), id))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      array(lit("Baltic")).as("spatial"),
+      lit(null).cast("string").as("issued"),
+      col("text"),
+      lit("summary text").as("summary"),
+      array(lit("marine"), lit("water")).as("theme"),
+      array(struct(lit("Pressure").as("title"))).as("dpsir_type"),
+      array(struct(lit("MSFD").as("title"))).as("legislative_reference"),
+      concat(lit("S"), id).as("sector"),
+      concat(lit("C"), id).as("code"))
+    normalizeWiseMarine(docs,
+        whitelist = wiseMarineWhitelist :+ "measure",
+        locationRules = wiseMarineLocationRules ++ Seq(
+          "/marine/datasets/*" -> Seq("Data set", "Webpage"),
+          "/marine/indicators/*" -> Seq("Indicator")))
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("exclude_from_globalsearch"), "|")
+          .as("exclude_from_globalsearch"),
+        col("issued"),
+        col("wm_spm_title"), col("wm_spm_sector"), col("wm_spm_code"),
+        array_join(col("legislative_reference"), "|").as("legislative_reference"),
+        array_join(col("wm_theme"), "|").as("wm_theme"),
+        array_join(col("wm_dpsir_type"), "|").as("wm_dpsir_type"),
+        col("description"),
+        array_join(col("dpsir"), "|").as("dpsir"),
+        col("workflow_state"), col("cluster_name"),
+        col("items_count_object_provides"), col("items_count_wm_dpsir_type"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the energy site pipeline end-to-end — UNCONDITIONAL
+    * location-rule resolution (every admitted doc, not just Webpages),
+    * factsheet spatial from the title, the resource_type Data → Dashboard
+    * override, and the /topics/…/intro → Topic page rule.
+    */
+  def qSiteEnergy(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      when(id % 6 === 0, concat(lit("https://energy.ec/en/page/p"), id))
+        .when(id % 6 === 1, concat(lit("https://energy.ec/countries/at"), id))
+        .when(id % 6 === 2, concat(lit("https://energy.ec/x/v"), id))
+        .when(id % 6 === 3, concat(lit("https://energy.ec/topics/t"), id, lit("/intro")))
+        .otherwise(concat(lit("https://energy.ec/news/n"), id)).as("id"),
+      when(id % 6 === 0, lit("Document"))
+        .when(id % 6 === 1, lit("Page"))
+        .when(id % 6 === 2, lit("visualization"))
+        .when(id % 6 === 3, lit("Document"))
+        .when(id % 6 === 4, lit("News Item"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      when(id % 6 === 2, struct(lit("Data").as("token")))
+        .as("resource_type"))
+    normalizeEnergy(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        col("spatial"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the eionet site pipeline end-to-end — per-ETC topic
+    * terms by path segment, issued = publication_date ?? issued, the
+    * etc_report → Report content type, cluster "etc".
+    */
+  def qSiteEionet(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://www.eionet.europa.eu"),
+        when(id % 6 === 0, concat(lit("/etcs/etc-bd/p"), id))
+          .when(id % 6 === 1, concat(lit("/etcs/etc-cme/r"), id))
+          .when(id % 6 === 2, concat(lit("/etcs/etc-unknown/f"), id))
+          .when(id % 6 === 3, concat(lit("/other/p"), id))
+          .otherwise(concat(lit("/etcs/etc-cca/n"), id))).as("id"),
+      when(id % 6 === 0, lit("Document"))
+        .when(id % 6 === 1, lit("etc_report"))
+        .when(id % 6 === 2, lit("File"))
+        .when(id % 6 === 3, lit("Page"))
+        .when(id % 6 === 4, lit("News Item"))
+        .otherwise(lit("Image")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      when(id % 6 === 0, lit("2022-02-02")).as("publication_date"),
+      when(id % 6 === 1, lit("2021-01-01")).as("issued"))
+    normalizeEionet(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("topic"), "|").as("topic"),
+        col("issued"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_topic"))
+      .orderBy("doc_id")
+  }
 }

@@ -73,6 +73,9 @@ object SparkEntry {
     "site_wise_marine" -> (SiteNormalizers.qSiteWiseMarine _),
     "site_energy" -> (SiteNormalizers.qSiteEnergy _),
     "site_eionet" -> (SiteNormalizers.qSiteEionet _),
+    "site_forest" -> (SiteNormalizers.qSiteForest _),
+    "site_discomap" -> (SiteNormalizers.qSiteDiscomap _),
+    "site_ias" -> (SiteNormalizers.qSiteIas _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
     "site_for_url" -> (SyncOps.qSiteForUrl _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
@@ -980,6 +983,112 @@ object SparkEntry {
         |  CASE WHEN doc_id % 6 = 1 THEN 'Title ' || doc_id END AS spatial,
         |  'published' AS workflow_state,
         |  'energy' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the forest ("fise") site pipeline: data-catalogue drop, factsheet
+    // spatial from the PARENT title (Regions parent excepted), location
+    // rules, the bare-/topics Topic-page fallback with EU27 places,
+    // EU-region factsheet → Dashboard vs the CFS+Dashboard pair.
+    "site_forest" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 8 NOT IN (6, 7)),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'Topic page' WHEN 1 THEN 'Topic page'
+        |    WHEN 2 THEN 'Webpage'
+        |    WHEN 3 THEN 'Country fact sheet|Dashboard'
+        |    WHEN 4 THEN 'Dashboard'
+        |    ELSE 'News' END AS object_provides,
+        |  CASE WHEN doc_id % 8 = 3 THEN 'Parent ' || doc_id END AS spatial,
+        |  CASE WHEN doc_id % 8 IN (0, 1) THEN 'EU27' ELSE 'unknown' END AS places,
+        |  'published' AS workflow_state,
+        |  'fise' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(CASE WHEN doc_id % 8 = 3 THEN 2 ELSE 1 END AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the discomap site pipeline: forced published Page titled from the
+    // scraped html, climatechange/atlas URL-family topics and
+    // home-vs-map objectProvides, issued from modified.
+    "site_discomap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Disco ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  'Disco ' || doc_id AS title,
+        |  '2024-01-0' || (doc_id % 9 + 1) AS issued,
+        |  CASE WHEN doc_id % 5 IN (0, 1)
+        |         THEN 'Climate change adaptation|Climate change mitigation'
+        |       WHEN doc_id % 5 IN (2, 3)
+        |         THEN 'Environmental health impacts' END AS topic,
+        |  CASE doc_id % 5 WHEN 0 THEN 'Webpage'
+        |    WHEN 1 THEN 'Map (interactive)'
+        |    WHEN 2 THEN 'Webpage'
+        |    WHEN 3 THEN 'Map (interactive)' END AS object_provides,
+        |  'published' AS workflow_state,
+        |  'discomap' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 END AS BIGINT) AS items_count_object_provides,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 2
+        |            WHEN doc_id % 5 IN (2, 3) THEN 1 END AS BIGINT) AS items_count_topic
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the ias site pipeline: simple-site shape + the european-statistics
+    // Map-vs-Dashboard split.
+    "site_ias" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Map of s' || doc_id
+        |         ELSE 'Title ' || doc_id END AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 4),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'Map (interactive)'
+        |    WHEN 1 THEN 'Dashboard'
+        |    WHEN 2 THEN 'Webpage'
+        |    ELSE 'News' END AS object_provides,
+        |  'biodiversity' AS themes,
+        |  'published' AS workflow_state,
+        |  'ias' AS cluster_name,
         |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
         |  CAST(1 AS BIGINT) AS items_count_object_provides
         |FROM ft ORDER BY doc_id""".stripMargin,

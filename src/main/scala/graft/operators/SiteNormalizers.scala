@@ -2097,4 +2097,118 @@ object SiteNormalizers {
         col("items_count_object_provides"), col("items_count_topic"))
       .orderBy("doc_id")
   }
+
+  /** queries() entry: the forest ("fise" registry name) site pipeline —
+    * data-catalogue drop, factsheet spatial from the PARENT title (except
+    * the Regions parent), location rules, the bare-/topics Topic-page
+    * fallback with the EU27 places backfill, the EU-region factsheet →
+    * Dashboard vs the Country-fact-sheet+Dashboard pair.
+    */
+  def qSiteForest(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://forest.eea.europa.eu"),
+        when(id % 8 === 0, lit("/topics"))
+          .when(id % 8 === 1, concat(lit("/topics/forests/t"), id))
+          .when(id % 8 === 2, concat(lit("/policy/p"), id))
+          .when(id % 8 === 3, concat(lit("/countries/austria/c"), id))
+          .when(id % 8 === 4,
+            concat(lit("/countries/regions/european-union?d="), id))
+          .when(id % 8 === 5, concat(lit("/news/n"), id))
+          .when(id % 8 === 6, concat(lit("/resources/data-catalogue/x"), id))
+          .otherwise(concat(lit("/other/o"), id))).as("id"),
+      when(id % 8 === 3, lit("basic_data_factsheet"))
+        .when(id % 8 === 4, lit("european_union_factsheet"))
+        .when(id % 8 === 5, lit("News Item"))
+        .when(id % 8 === 7, lit("Collection"))
+        .when(id % 8 === 2, lit("Page"))
+        .otherwise(lit("Document")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      lit(null).cast("array<string>").as("spatial"),
+      when(id % 8 === 4, struct(lit("Regions").as("title")))
+        .otherwise(struct(concat(lit("Parent "), id).as("title"))).as("parent"),
+      col("text"),
+      lit("summary text").as("summary"))
+      .withColumn("about", col("id"))
+    // rules WITHOUT the /topics/* entry (config data in the reference):
+    // the lone-Webpage fallback then upgrades topics paths to Topic page
+    // AND backfills places to EU27 — the branch the default rule shadows
+    normalizeForest(docs, locationRules = Seq(
+        "/policy/*" -> Seq("Webpage"),
+        "/countries/regions/european-union" -> Seq("Dashboard")))
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("spatial"), "|").as("spatial"),
+        col("places"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the discomap site pipeline — every doc a forced
+    * published Page titled from its scraped html, the climatechange and
+    * atlas URL families' topic constants and home-vs-map objectProvides,
+    * issued from modified.
+    */
+  def qSiteDiscomap(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      when(id % 5 === 0, lit("https://discomap.eea.europa.eu/climatechange"))
+        .when(id % 5 === 1,
+          concat(lit("https://discomap.eea.europa.eu/climatechange/?page=M"), id))
+        .when(id % 5 === 2, lit("https://discomap.eea.europa.eu/atlas/?page=Home"))
+        .when(id % 5 === 3,
+          concat(lit("https://discomap.eea.europa.eu/atlas/?page=M"), id))
+        .otherwise(concat(lit("https://other.example.eu/o"), id)).as("id"),
+      col("text"),
+      lit("summary text").as("summary"),
+      concat(lit("<html><head><title>Disco "), id,
+        lit("</title></head><body>x</body></html>")).as("web_html"),
+      concat(lit("2024-01-0"), id % 9 + 1).as("modified"))
+    normalizeDiscomap(docs)
+      .select(
+        col("doc_id"), col("title"), col("issued"),
+        array_join(col("topic"), "|").as("topic"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_topic"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the ias site pipeline — the simple-site shape plus
+    * the european-statistics path override (Map-titled products are
+    * Map (interactive), the rest Dashboards).
+    */
+  def qSiteIas(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://ias.eea.europa.eu"),
+        when(id % 5 <= 1, concat(lit("/products/european-statistics/s"), id))
+          .when(id % 5 === 2, concat(lit("/other/p"), id))
+          .when(id % 5 === 3, concat(lit("/news/n"), id))
+          .otherwise(concat(lit("/x/"), id))).as("id"),
+      when(id % 5 === 0, lit("Document"))
+        .when(id % 5 === 1, lit("Page"))
+        .when(id % 5 === 2, lit("Document"))
+        .when(id % 5 === 3, lit("News Item"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      lit("published").as("review_state"),
+      when(id % 5 === 0, concat(lit("Map of s"), id))
+        .otherwise(concat(lit("Title "), id)).as("title"),
+      col("text"),
+      lit("summary text").as("summary"))
+    normalizeIas(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("themes"), "|").as("themes"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
 }

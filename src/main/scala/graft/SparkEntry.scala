@@ -76,6 +76,11 @@ object SparkEntry {
     "site_forest" -> (SiteNormalizers.qSiteForest _),
     "site_discomap" -> (SiteNormalizers.qSiteDiscomap _),
     "site_ias" -> (SiteNormalizers.qSiteIas _),
+    "site_simple" -> (SiteNormalizers.qSiteSimple _),
+    "site_wise_freshwater" -> (SiteNormalizers.qSiteWiseFreshwater _),
+    "site_fise_resource" -> (SiteNormalizers.qSiteFiseResource _),
+    "site_insitu" -> (SiteNormalizers.qSiteInsitu _),
+    "site_land" -> (SiteNormalizers.qSiteLand _),
     "sdi_children" -> (SyncOps.qSdiChildren _),
     "site_for_url" -> (SyncOps.qSiteForUrl _),
     "embed_attach" -> (EmbedOps.qEmbedAttach _),
@@ -1091,6 +1096,178 @@ object SparkEntry {
         |  'ias' AS cluster_name,
         |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
         |  CAST(1 AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // industry + cab in one result: same generic site shape, opposite
+    // admission (industry whitelists Document/Page; cab's empty whitelist
+    // admits all, unmapped types passing through).
+    "site_simple" ->
+      """WITH ind AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 IN (0, 1) THEN 'Webpage' END AS object_provides,
+        |    'industry' AS themes, 'industry' AS cluster_name,
+        |    'published' AS workflow_state,
+        |    CAST(1 AS BIGINT) AS items_count_object_provides
+        |  FROM documents
+        |  WHERE doc_id % 3 <> 2),
+        |cab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 IN (0, 1) THEN 'Webpage'
+        |         ELSE 'Collection' END AS object_provides,
+        |    CAST(NULL AS VARCHAR) AS themes, 'cab' AS cluster_name,
+        |    'published' AS workflow_state,
+        |    CAST(1 AS BIGINT) AS items_count_object_provides
+        |  FROM documents)
+        |SELECT * FROM (SELECT * FROM ind UNION ALL SELECT * FROM cab)
+        |ORDER BY cluster_name, doc_id""".stripMargin,
+    // the wise_freshwater site pipeline: country-profile spatial=title,
+    // Webpage-only rule re-resolution, lone-Data-set → Webpage collapse,
+    // the Measure exclude flag, bep code-prefix strip, country →
+    // wise_country, Measure description from measure_summary html.
+    "site_wise_freshwater" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 6 <> 5),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'Topic page'
+        |    WHEN 1 THEN 'Country fact sheet'
+        |    WHEN 2 THEN 'Measure'
+        |    WHEN 3 THEN 'Webpage'
+        |    ELSE 'Briefing' END AS object_provides,
+        |  CASE WHEN doc_id % 6 = 1 THEN 'Title ' || doc_id
+        |       ELSE 'Rhine' END AS spatial,
+        |  CASE WHEN doc_id % 6 = 2 THEN 'True' END AS exclude_from_globalsearch,
+        |  'Flood regulation|Other impact' AS biophysical_impacts,
+        |  'Water purification' AS ecosystem_services,
+        |  'Good status' AS policy_objectives,
+        |  'WFD' AS legislative_reference,
+        |  'AT' AS wise_country,
+        |  'published' AS workflow_state,
+        |  'wise-freshwater' AS cluster_name,
+        |  CASE WHEN doc_id % 6 = 2 THEN 'Measure summary ' || doc_id
+        |       ELSE array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ')
+        |  END AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides,
+        |  CAST(1 AS BIGINT) AS items_count_policy_objectives
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the fise_resource site pipeline: resource_type → objectProvides raw,
+    // geo labels with the Kosovo second-pass map, keywords/year/topic
+    // renames, forced update frequency.
+    "site_fise_resource" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Dataset' WHEN 1 THEN 'Map'
+        |    WHEN 2 THEN 'Document' ELSE 'Report' END AS object_provides,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Kosovo|Italy'
+        |       ELSE 'Spain' END AS country,
+        |  's1|s2' AS keywords,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2015' END AS publicationYear,
+        |  'As needed' AS update_frequency_value,
+        |  'forest' AS topic,
+        |  'published' AS workflow_state,
+        |  'fise_sdi' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS items_count_country,
+        |  CAST(1 AS BIGINT) AS items_count_topic
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the copernicus_insitu site pipeline: five taxonomy fan-outs + the
+    // preview-image path.
+    "site_insitu" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Webpage' WHEN 1 THEN 'Webpage'
+        |    WHEN 2 THEN 'News' ELSE 'File' END AS object_provides,
+        |  'State of play' AS taxonomy_report_category,
+        |  'CLMS' AS taxonomy_copernicus_components,
+        |  'Atmosphere' AS taxonomy_copernicus_themes,
+        |  'EEA' AS data_providers_list,
+        |  'Land|Marine' AS copernicus_services,
+        |  'http://img/' || doc_id || '.png' AS insitu_preview_image,
+        |  'published' AS workflow_state,
+        |  'copernicus_insitu' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides,
+        |  CAST(2 AS BIGINT) AS items_count_copernicus_services
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the copernicus_land site pipeline: technical-library taxonomy
+    // facets ('#' leaves, '»' groups first-deduped), file size/version
+    // defaults, the TechnicalLibrary issued/year date chain.
+    "site_land" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Technical library'
+        |    WHEN 1 THEN 'Webpage' WHEN 2 THEN 'Webpage'
+        |    ELSE 'File' END AS object_provides,
+        |  'Products » Global|Products » Local|Docs » Manuals' AS library_categories_values,
+        |  'Products|Docs' AS library_categories_facet,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1024 ELSE 0 END AS BIGINT) AS file_size,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END AS version,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2020-05-05' END AS issued,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2020-05-05' END AS year,
+        |  'published' AS workflow_state,
+        |  'copernicus_land' AS cluster_name,
+        |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
+        |  CAST(1 AS BIGINT) AS items_count_object_provides,
+        |  CAST(3 AS BIGINT) AS items_count_library_categories_values
         |FROM ft ORDER BY doc_id""".stripMargin,
     // the eionet site pipeline: per-ETC topic terms by path segment,
     // issued = publication_date ?? issued, etc_report → Report.

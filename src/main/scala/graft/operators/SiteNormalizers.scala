@@ -2211,4 +2211,224 @@ object SiteNormalizers {
         col("items_count_object_provides"))
       .orderBy("doc_id")
   }
+
+  /** queries() entry: the industry and cab simple-site pipelines in one
+    * result (same generic shape, opposite admission: industry whitelists
+    * Document/Page while cab's EMPTY whitelist admits everything,
+    * unmapped types passing through normObj).
+    */
+  def qSiteSimple(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://site.eea.europa.eu/d/"), id).as("id"),
+      when(id % 3 === 0, lit("Document"))
+        .when(id % 3 === 1, lit("Page"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"))
+    val ind = normalizeIndustry(docs)
+      .select(col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("themes"), "|").as("themes"),
+        col("cluster_name"), col("workflow_state"),
+        col("items_count_object_provides"))
+    val cab = normalizeCab(docs)
+      .select(col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        lit(null).cast("string").as("themes"),
+        col("cluster_name"), col("workflow_state"),
+        col("items_count_object_provides"))
+    ind.unionByName(cab).orderBy("cluster_name", "doc_id")
+  }
+
+  /** queries() entry: the wise_freshwater site pipeline — country-profile
+    * spatial=title, Webpage-only location-rule re-resolution, the
+    * lone-Data-set → Webpage collapse, the Measure/Source/Case-study
+    * exclude flag, bep code-prefix strip (BP/ES/PO), country →
+    * wise_country move, and the Measure description from measure_summary
+    * html.
+    */
+  def qSiteWiseFreshwater(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://water.europa.eu"),
+        when(id % 6 === 0, concat(lit("/freshwater/europe-freshwater/e"), id))
+          .when(id % 6 === 1, concat(lit("/freshwater/countries/c"), id))
+          .when(id % 6 === 2, concat(lit("/freshwater/measures/m"), id))
+          .when(id % 6 === 3, concat(lit("/freshwater/data/d"), id))
+          .when(id % 6 === 4, concat(lit("/freshwater/briefings/b"), id))
+          .otherwise(concat(lit("/freshwater/x"), id))).as("id"),
+      when(id % 6 === 0, lit("Document"))
+        .when(id % 6 === 1, lit("country_profile"))
+        .when(id % 6 === 2, lit("measure"))
+        .when(id % 6 === 3, lit("dataset"))
+        .when(id % 6 === 4, lit("briefing"))
+        .otherwise(lit("Collection")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      array(lit("Rhine")).as("spatial"),
+      col("text"),
+      lit("summary text").as("summary"),
+      struct(array(struct(lit("BP12 - Flood regulation").as("name")),
+        struct(lit("Other impact").as("name"))).as("value"))
+        .as("biophysical_impacts"),
+      struct(array(struct(lit("ES3 - Water purification").as("name")))
+        .as("value")).as("ecosystem_services"),
+      struct(array(struct(lit("PO1 - Good status").as("name")))
+        .as("value")).as("policy_objectives"),
+      array(struct(lit("WFD").as("title"))).as("legislative_reference"),
+      array(lit("AT")).as("country"),
+      struct(concat(lit("<p>Measure summary "), id, lit("</p>")).as("data"))
+        .as("measure_summary"))
+    normalizeWiseFreshwater(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("spatial"), "|").as("spatial"),
+        array_join(col("exclude_from_globalsearch"), "|")
+          .as("exclude_from_globalsearch"),
+        array_join(col("biophysical_impacts"), "|").as("biophysical_impacts"),
+        array_join(col("ecosystem_services"), "|").as("ecosystem_services"),
+        array_join(col("policy_objectives"), "|").as("policy_objectives"),
+        array_join(col("legislative_reference"), "|").as("legislative_reference"),
+        array_join(col("wise_country"), "|").as("wise_country"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_policy_objectives"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the fise_resource site pipeline — resource_type
+    * drives objectProvides raw, country from geo_coverage geolocation
+    * labels with the Kosovo second-pass map, keywords/publicationYear/
+    * topic renames, forced update frequency.
+    */
+  def qSiteFiseResource(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://forest.eea.europa.eu/r/"), id).as("id"),
+      lit("fise_resource").as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      when(id % 4 === 0, lit("Dataset"))
+        .when(id % 4 === 1, lit("Map"))
+        .when(id % 4 === 2, lit("Document"))
+        .otherwise(lit("Report")).as("resource_type"),
+      struct(
+        when(id % 2 === 0,
+          array(struct(lit("Kosovo (UNSCR 1244/99)").as("label")),
+            struct(lit("Italy").as("label"))))
+          .otherwise(array(struct(lit("Spain").as("label"))))
+          .as("geolocation")).as("geo_coverage"),
+      array(lit("s1"), lit("s2")).as("subjects"),
+      when(id % 3 === 0, lit("2015")).as("publishing_year"),
+      array(lit("forest")).as("resource_topics"))
+    normalizeFiseResource(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("country"), "|").as("country"),
+        array_join(col("keywords"), "|").as("keywords"),
+        col("publicationYear"),
+        col("update_frequency_value"),
+        array_join(col("topic"), "|").as("topic"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_country"),
+        col("items_count_topic"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the copernicus_insitu site pipeline — five taxonomy
+    * vocab fan-outs + the preview-image download path.
+    */
+  def qSiteInsitu(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://insitu.copernicus.eu/d/"), id).as("id"),
+      when(id % 4 === 0, lit("Document"))
+        .when(id % 4 === 1, lit("Page"))
+        .when(id % 4 === 2, lit("News Item"))
+        .otherwise(lit("File")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      array(struct(lit("State of play").as("title"))).as("taxonomy_report_category"),
+      array(struct(lit("CLMS").as("title"))).as("taxonomy_copernicus_components"),
+      array(struct(lit("Atmosphere").as("title"))).as("taxonomy_copernicus_themes"),
+      array(struct(lit("EEA").as("title"))).as("data_providers_list"),
+      array(struct(lit("Land").as("title")),
+        struct(lit("Marine").as("title"))).as("copernicus_services"),
+      struct(struct(struct(
+        concat(lit("http://img/"), id, lit(".png")).as("download"))
+        .as("preview")).as("scales")).as("preview_image"))
+    normalizeCopernicusInsitu(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("taxonomy_report_category"), "|").as("taxonomy_report_category"),
+        array_join(col("taxonomy_copernicus_components"), "|")
+          .as("taxonomy_copernicus_components"),
+        array_join(col("taxonomy_copernicus_themes"), "|")
+          .as("taxonomy_copernicus_themes"),
+        array_join(col("data_providers_list"), "|").as("data_providers_list"),
+        array_join(col("copernicus_services"), "|").as("copernicus_services"),
+        col("insitu_preview_image"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"), col("items_count_copernicus_services"))
+      .orderBy("doc_id")
+  }
+
+  /** queries() entry: the copernicus_land site pipeline ("land" +
+    * "land_demo" registry names) — technical-library taxonomy facets
+    * ('#' tree leaves, '»' group prefixes deduped keeping first), file
+    * size/version defaults, and the TechnicalLibrary issued/year date
+    * chain.
+    */
+  def qSiteLand(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://land.copernicus.eu/d/"), id).as("id"),
+      when(id % 4 === 0, lit("TechnicalLibrary"))
+        .when(id % 4 === 1, lit("Document"))
+        .when(id % 4 === 2, lit("Page"))
+        .otherwise(lit("File")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      lit(null).cast("string").as("description"),
+      array(struct(lit("root#Products » Global").as("title")),
+        struct(lit("root#Products » Local").as("title")),
+        struct(lit("x#Docs » Manuals").as("title")))
+        .as("taxonomy_technical_library_categorization"),
+      when(id % 2 === 0, struct(lit(1024L).as("size")))
+        .as("file"),
+      when(id % 3 === 0, lit("v2")).as("version"),
+      lit(null).cast("string").as("publication_date"),
+      when(id % 4 === 0, lit("2020-05-05")).as("creation_date"),
+      lit("2019-01-01").as("created"))
+    normalizeCopernicusLand(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        array_join(col("library_categories_values"), "|")
+          .as("library_categories_values"),
+        array_join(col("library_categories_facet"), "|")
+          .as("library_categories_facet"),
+        col("file_size"), col("version"),
+        col("issued"), col("year"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"),
+        col("items_count_library_categories_values"))
+      .orderBy("doc_id")
+  }
 }

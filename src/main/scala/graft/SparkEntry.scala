@@ -77,6 +77,7 @@ object SparkEntry {
     "site_discomap" -> (SiteNormalizers.qSiteDiscomap _),
     "site_ias" -> (SiteNormalizers.qSiteIas _),
     "site_simple" -> (SiteNormalizers.qSiteSimple _),
+    "site_eea" -> (SiteNormalizers.qSiteEea _),
     "site_wise_freshwater" -> (SiteNormalizers.qSiteWiseFreshwater _),
     "site_fise_resource" -> (SiteNormalizers.qSiteFiseResource _),
     "site_insitu" -> (SiteNormalizers.qSiteInsitu _),
@@ -1096,6 +1097,47 @@ object SparkEntry {
         |  'ias' AS cluster_name,
         |  array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ') AS description,
         |  CAST(1 AS BIGINT) AS items_count_object_provides
+        |FROM ft ORDER BY doc_id""".stripMargin,
+    // the flagship eea site pipeline: the Fiche parent-duplicate Dice
+    // gate (identical descriptions drop at dice 1.0 > 0.2; disjoint ones
+    // keep at 0.0 and map to Briefing), the post-normalization
+    // English-FAQ drop with the language normMissing fill, glossary-term
+    // raw description/source, the duplicate-info Briefing append.
+    "site_eea" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 'Title ' || doc_id AS title,
+        |    'summary text' AS summary
+        |  FROM documents
+        |  WHERE doc_id % 7 NOT IN (1, 5)),
+        |ft0 AS (
+        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+        |  FROM base),
+        |ft1 AS (
+        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+        |                 THEN c1 || '.' ELSE c1 END AS x1
+        |  FROM ft0),
+        |ft AS (
+        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+        |  FROM ft1)
+        |SELECT doc_id,
+        |  CASE doc_id % 7 WHEN 0 THEN 'Webpage'
+        |    WHEN 2 THEN 'Briefing'
+        |    WHEN 3 THEN 'Glossary term'
+        |    WHEN 4 THEN 'FAQ'
+        |    ELSE 'Webpage|Briefing' END AS object_provides,
+        |  CASE WHEN doc_id % 7 = 4 THEN 'fr' ELSE 'en' END AS language,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'Term desc ' || doc_id END AS term_description,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'EEA glossary' END AS term_source,
+        |  'published' AS workflow_state,
+        |  'eea' AS cluster_name,
+        |  CASE doc_id % 7
+        |    WHEN 2 THEN 'Alpha beta gamma ' || doc_id
+        |    WHEN 3 THEN 'Term desc ' || doc_id
+        |    ELSE array_to_string(list_slice(string_split(trim(ft_raw), ' '), 1, 100), ' ')
+        |  END AS description,
+        |  CAST(CASE WHEN doc_id % 7 = 6 THEN 2 ELSE 1 END AS BIGINT) AS items_count_object_provides
         |FROM ft ORDER BY doc_id""".stripMargin,
     // industry + cab in one result: same generic site shape, opposite
     // admission (industry whitelists Document/Page; cab's empty whitelist

@@ -2431,4 +2431,47 @@ object SiteNormalizers {
         col("items_count_library_categories_values"))
       .orderBy("doc_id")
   }
+
+  /** queries() entry: the flagship eea site pipeline — the Fiche
+    * parent-duplicate Dice gate (identical descriptions drop, disjoint
+    * ones keep and map to Briefing), the post-normalization English-FAQ
+    * drop with the normMissing language fill, glossary-term raw
+    * description/source, and the duplicate-info Briefing append with its
+    * count bump.
+    */
+  def qSiteEea(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = graft.Tables.documents(s, d).select(
+      id,
+      concat(lit("https://www.eea.europa.eu/d/"), id).as("id"),
+      when(id % 7 === 0, lit("Document"))
+        .when(id % 7 === 1, lit("Fiche"))
+        .when(id % 7 === 2, lit("Fiche"))
+        .when(id % 7 === 3, lit("Term"))
+        .when(id % 7 === 4, lit("helpcenter_faq"))
+        .when(id % 7 === 5, lit("helpcenter_faq"))
+        .otherwise(lit("Page")).as("type_raw"),
+      lit("published").as("review_state"),
+      concat(lit("Title "), id).as("title"),
+      col("text"),
+      lit("summary text").as("summary"),
+      when(id % 7 === 1, concat(lit("Dup text "), id))
+        .when(id % 7 === 2, concat(lit("Alpha beta gamma "), id))
+        .when(id % 7 === 3, concat(lit("Term desc "), id)).as("description"),
+      when(id % 7 === 1 || id % 7 === 2, lit("Report")).as("parent_type"),
+      when(id % 7 === 1, concat(lit("Dup text "), id))
+        .when(id % 7 === 2, lit("zeta eta theta")).as("parent_description"),
+      lit("EEA glossary").as("source"),
+      when(id % 7 === 4, lit("fr")).as("language"),
+      when(id % 7 === 6, lit(true)).as("has_duplicate"))
+    normalizeEea(docs)
+      .select(
+        col("doc_id"),
+        array_join(col("object_provides"), "|").as("object_provides"),
+        col("language"),
+        col("term_description"), col("term_source"),
+        col("workflow_state"), col("cluster_name"), col("description"),
+        col("items_count_object_provides"))
+      .orderBy("doc_id")
+  }
 }

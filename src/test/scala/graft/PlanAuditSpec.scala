@@ -143,6 +143,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("every round-9 site pipeline is a pure narrow pipeline") {
+    // All fifteen site queries added in round 9 — including the union-
+    // shaped site_simple and the flagship site_eea Dice gate — are
+    // per-row projection chains over one scan: no join, no aggregate, no
+    // cartesian anywhere. At 100 TB each is one embarrassingly-parallel
+    // pass.
+    for (q <- Seq("site_sdi_fise", "site_climate", "site_eea_en",
+        "site_wise_marine", "site_energy", "site_eionet", "site_forest",
+        "site_discomap", "site_ias", "site_simple", "site_wise_freshwater",
+        "site_fise_resource", "site_insitu", "site_land", "site_eea")) {
+      val p = plan(q)
+      for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+          "CartesianProduct", "HashAggregate", "SortAggregate"))
+        assert(!p.contains(bad), s"$q plan contains $bad")
+    }
+  }
+
   test("quality_repetition counts grams without a window on the gram key") {
     // explode → partial-agg count → pivot max → one join back; a Window
     // partitioned on the gram key would sort the whole gram corpus.

@@ -1545,6 +1545,30 @@ object SiteNormalizers {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Config-as-data end to end: run the portfolio for one APP of a parsed
+    * variables.json-shaped document ([[graft.config.AirflowVariables]]) —
+    * the sites come from `app_<name>.Sites` in document order, the
+    * SiteContext's obligations/theme taxonomy from the document's global
+    * lookups, exactly what get_all_variables hands each reference DAG.
+    * `docsBySite` supplies the raw frame per site id; registry names
+    * absent from it are skipped (a site with no crawl this run).
+    */
+  def portfolioFromVariables(v: graft.config.AirflowVariables.Variables,
+      app: String, docsBySite: Map[String, DataFrame],
+      currentYear: Int = 2026,
+      archivedExpires: String = "2026-08-10"): DataFrame = {
+    val ctx = SiteContext(
+      obligations = v.obligations,
+      currentYear = currentYear,
+      archivedExpires = archivedExpires,
+      themeTaxonomy = v.themeTaxonomy)
+    val pairs = v.sites(app).collect {
+      case (siteId, _) if docsBySite.contains(siteId) =>
+        siteId -> docsBySite(siteId)
+    }
+    normalizePortfolio(pairs, ctx)
+  }
+
   /** The whole prepare-docs-for-searchui pass for one site
     * (normalizer.py:18-32 admission + :40-112 preprocess_doc): drop docs
     * that errored AND are already in the search index (a failed re-crawl

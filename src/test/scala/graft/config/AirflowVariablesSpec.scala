@@ -329,6 +329,53 @@ class AirflowVariablesSpec extends SparkSpec {
     assert(ct.fallback == "Webpage")
   }
 
+  test("portfolioFromVariables runs the app's sites off the parsed document") {
+    import org.apache.spark.sql.functions.col
+    val noiseDocs = spark.range(2).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://noise.eea.europa.eu/p/', id) as id",
+      "'noise text with enough words for a body' as text",
+      "'summary' as summary",
+      "'<html><head><title>N</title></head><body>x</body></html>' as web_html")
+    val climateDocs = spark.range(2).selectExpr(
+      "cast(id as int) as rn",
+      "concat('https://climate-adapt.eea.europa.eu/en/k/', id) as id",
+      "'Document' as type_raw", "'published' as review_state",
+      "false as include_in_observatory", "false as include_in_mission",
+      "'2019-05-01' as publication_date", "concat('uid-', id) as uid",
+      "'2018-01-01' as created", "cast(null as string) as cca_published",
+      "cast(null as string) as issued",
+      "array('k1') as keywords",
+      "array(named_struct('title','Agriculture')) as sectors",
+      "cast(null as array<struct<title:string>>) as climate_impacts",
+      "cast(null as array<struct<title:string>>) as elements",
+      "cast(null as array<struct<title:string>>) as origin_website",
+      "cast(null as array<struct<title:string>>) as country",
+      "cast(null as array<struct<title:string>>) as climate_threats",
+      "cast(null as array<struct<title:string>>) as key_system",
+      "cast(null as array<struct<token:string,title:string>>) as health_impacts",
+      "cast(null as array<struct<token:string,title:string>>) as key_type_measures",
+      "cast(null as struct<title:string>) as funding_programme",
+      "cast(null as struct<countries:array<string>,transnational_region:array<string>>) as geographic",
+      "cast(null as struct<scales:struct<preview:struct<download:string>>>) as preview_image",
+      "cast(null as boolean) as is_eu_funded",
+      "cast(null as boolean) as is_blended",
+      "cast(null as string) as funding_rate",
+      "cast(null as array<string>) as spatial",
+      "'climate text with enough words for a body' as text",
+      "concat('Title ', id) as title", "'summary' as summary",
+      "cast(null as string) as description")
+    // only two of the app's five sites have a crawl this run — the rest
+    // skip, exactly like a reference DAG with nothing fetched
+    val out = graft.operators.SiteNormalizers.portfolioFromVariables(
+      v, "global_search",
+      Map("noise" -> noiseDocs, "climate" -> climateDocs))
+    assert(out.select("site_id").distinct().collect()
+      .map(_.getString(0)).toSet == Set("noise", "climate"))
+    assert(out.filter(col("cluster_name") === "noise").count() == 2)
+    assert(out.filter(col("cluster_name") === "cca").count() == 2)
+  }
+
   test("the loaded bise config drives normalizeBise to identical output") {
     val docs = spark.range(8).selectExpr(
       "cast(id as int) as rn",

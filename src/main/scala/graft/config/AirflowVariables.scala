@@ -85,6 +85,18 @@ object AirflowVariables {
       fulltextField: String,
       destFieldName: String)
 
+  /** One field of a hand-authored `elastic_mapping_*` variable (see
+    * [[Variables.elasticMapping]]); renders back to index DDL via
+    * [[graft.sources.EsIndexDdl.mappingPropertiesFromConfig]].
+    */
+  final case class EsMappingField(
+      name: String,
+      fieldType: String,
+      analyzer: Option[String],
+      copyTo: Seq[String],
+      hasKeywordSub: Boolean,
+      fielddata: Boolean)
+
   def parse(json: String): Variables =
     new Variables(new ObjectMapper().readTree(json))
 
@@ -223,6 +235,22 @@ object AirflowVariables {
       Option(root.get("theme_taxonomy")).map(m =>
         fieldSeq(m).map { case (k, v) => k -> v.get("label").asText }.toMap)
         .getOrElse(Map.empty)
+
+    /** One field of an `elastic_mapping_*` variable — the hand-authored
+      * per-field index mapping (elastic_mapping_default in
+      * variables.json): ES type, optional analyzer, `copy_to` fan-in
+      * targets, whether a `.keyword` sub-field exists, fielddata.
+      */
+    def elasticMapping(name: String): Seq[EsMappingField] =
+      fieldSeq(node(name)).map { case (field, n) =>
+        EsMappingField(
+          name = field,
+          fieldType = opt(n, "type").map(_.asText).getOrElse("text"),
+          analyzer = opt(n, "analyzer").map(_.asText),
+          copyTo = opt(n, "copy_to").map(strSeq).getOrElse(Nil),
+          hasKeywordSub = opt(n, "fields").exists(_.has("keyword")),
+          fielddata = opt(n, "fielddata").exists(_.asBoolean))
+      }
 
     /** The passage-splitter parameters (nlp_services_default.split). */
     def passageSplit(nlpVariable: String): PassageSplitConfig = {

@@ -89,4 +89,28 @@ object EsIndexDdl {
     */
   def blockWrite(readOnly: Boolean): String =
     s"""{"settings":{"index.blocks.write":$readOnly}}"""
+
+  /** The `properties` mapping rendered from a LOADED `elastic_mapping_*`
+    * variable ([[graft.config.AirflowVariables.Variables.elasticMapping]])
+    * instead of a Spark schema — for creating an index with the
+    * reference's exact hand-authored mapping (analyzers, copy_to fan-in,
+    * keyword sub-fields) rather than the schema-derived one. Document
+    * field order, stable key order per field — byte-deterministic like
+    * the schema path.
+    */
+  def mappingPropertiesFromConfig(
+      fields: Seq[graft.config.AirflowVariables.EsMappingField]): String = {
+    val rendered = fields.map { f =>
+      val parts = Seq.newBuilder[String]
+      parts += s""""type":"${f.fieldType}""""
+      f.analyzer.foreach(a => parts += s""""analyzer":"$a"""")
+      if (f.copyTo.nonEmpty)
+        parts += f.copyTo.map(t => s""""$t"""").mkString(""""copy_to":[""", ",", "]")
+      if (f.hasKeywordSub)
+        parts += """"fields":{"keyword":{"type":"keyword","ignore_above":256}}"""
+      if (f.fielddata) parts += """"fielddata":true"""
+      s""""${f.name}":${parts.result().mkString("{", ",", "}")}"""
+    }
+    rendered.mkString("{", ",", "}")
+  }
 }

@@ -216,6 +216,27 @@ class AirflowVariablesSpec extends SparkSpec {
       "02sx2jjmd4": {"label": "Fisheries and aquaculture"},
       "07723e8f6t": {"label": "Pollution"}
     },
+    "elastic_mapping_default": {
+      "SearchableText": {
+        "copy_to": ["did_you_mean", "all_fields_for_freetext"],
+        "fielddata": true,
+        "type": "text"
+      },
+      "about": {
+        "copy_to": ["all_fields_for_freetext"],
+        "fielddata": true,
+        "fields": {"keyword": {"ignore_above": 256, "type": "keyword"}},
+        "type": "text"
+      },
+      "cluster_name": {
+        "analyzer": "none",
+        "copy_to": ["did_you_mean", "all_fields_for_freetext"],
+        "fielddata": true,
+        "type": "text"
+      },
+      "issued": {"type": "date"},
+      "readingTime": {"type": "float"}
+    },
     "nlp_services_default": {
       "converter": {"host": "nlp-searchlib", "path": "api/converter", "port": "8000"},
       "embedding": {"dest_field_name": "nlp_250", "host": "nlp-searchlib",
@@ -327,6 +348,26 @@ class AirflowVariablesSpec extends SparkSpec {
     val ct = v.contentTypeConfigFor("config_bise", locCol = "loc", attrsCol = "attrs")
     assert(ct.rules == SiteNormalizers.biseLocationRules)
     assert(ct.fallback == "Webpage")
+  }
+
+  test("elastic mapping loads and renders back to deterministic index DDL") {
+    val fields = v.elasticMapping("elastic_mapping_default")
+    assert(fields.map(_.name) == Seq("SearchableText", "about",
+      "cluster_name", "issued", "readingTime")) // document order
+    val about = fields.find(_.name == "about").get
+    assert(about.fieldType == "text" && about.hasKeywordSub && about.fielddata)
+    assert(about.copyTo == Seq("all_fields_for_freetext"))
+    assert(fields.find(_.name == "cluster_name").get.analyzer.contains("none"))
+    assert(fields.find(_.name == "issued").get.fieldType == "date")
+
+    val json = graft.sources.EsIndexDdl.mappingPropertiesFromConfig(fields)
+    assert(json == graft.sources.EsIndexDdl.mappingPropertiesFromConfig(fields),
+      "must be byte-deterministic")
+    assert(json.contains(
+      """"about":{"type":"text","copy_to":["all_fields_for_freetext"],""" +
+        """"fields":{"keyword":{"type":"keyword","ignore_above":256}},"fielddata":true}"""))
+    assert(json.contains(""""issued":{"type":"date"}"""))
+    assert(json.contains(""""cluster_name":{"type":"text","analyzer":"none","""))
   }
 
   test("portfolioFromVariables runs the app's sites off the parsed document") {

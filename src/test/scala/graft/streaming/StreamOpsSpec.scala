@@ -25,6 +25,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_window_counts: a window closes in append mode only once the watermark passes it") {
+    // the late-data boundary: in append mode a window's row is emitted
+    // exactly when the watermark (max event time − horizon) moves past the
+    // window end — and data older than the watermark no longer lands
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowCounts(src.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wcb").outputMode("append").start()
+    try {
+      src.addData((ts(0), "view", 1.0), (ts(10), "view", 2.0))
+      q.processAllAvailable()
+      // watermark = ts(10) − 1h < window end ts(60): nothing emits yet
+      assert(spark.table("wcb").count() == 0L)
+      // advance event time far enough that the first window's end + the
+      // 1h horizon is passed → exactly that window emits, with BOTH rows
+      src.addData((ts(130), "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("wcb")
+        .select("n", "total").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((2L, 3.0)),
+        s"first window must close with both pre-watermark rows: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate event ids within the watermark are dropped") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]

@@ -122,6 +122,27 @@ object SparkEntry {
     "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 
+  /** The shared DuckDB CTE chain for the join-text description fallback
+    * every site-pipeline oracle reuses — the oracle twin of
+    * `NormOps.joinText`: expects a `base` CTE providing
+    * (doc_id, text, title, summary, ...) and yields `ft` with `ft_raw`.
+    * The two empty-title variants (site_noise, nlp_preprocess) inline
+    * their own copy with the 'no title' fallback.
+    */
+  private val ftCtes: String =
+    """ft0 AS (
+      |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
+      |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
+      |  FROM base),
+      |ft1 AS (
+      |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
+      |                 THEN c1 || '.' ELSE c1 END AS x1
+      |  FROM ft0),
+      |ft AS (
+      |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
+      |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
+      |  FROM ft1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -811,23 +832,12 @@ object SparkEntry {
     // append, flags, the mission_funding_cca Yes/No block, normMissing
     // fills, description fallback (same CTE shape as site_bise), counts.
     "site_climate" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 5 <> 4),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN 'Webpage'
         |       WHEN doc_id % 5 = 1 THEN 'eea.climateadapt.casestudy'
@@ -866,7 +876,7 @@ object SparkEntry {
     // case-insensitive subjects attr-mapping append, taxonomy fan-out,
     // description fallback, counts.
     "site_eea_en" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 6 = 0 THEN 'Document'
         |         WHEN doc_id % 6 = 1 THEN 'File'
@@ -879,18 +889,7 @@ object SparkEntry {
         |  FROM documents
         |  WHERE doc_id % 5 <> 0
         |    AND doc_id % 6 NOT IN (4, 5)),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  concat_ws('|',
         |    CASE WHEN type_raw IN ('Document', 'Page') THEN 'Webpage'
@@ -915,25 +914,14 @@ object SparkEntry {
     // (exclude flag, issued backfill, wm_spm_* fan-out), vocab
     // flattening, Indicator description override.
     "site_wise_marine" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 7 = 1 THEN 'Country ' || doc_id
         |         ELSE 'Title ' || doc_id END AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 7 <> 6),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 7 WHEN 0 THEN 'Webpage'
         |    WHEN 1 THEN 'Country fact sheet|Dashboard'
@@ -964,23 +952,12 @@ object SparkEntry {
     // spatial from title, resource_type Data → Dashboard, topics/intro →
     // Topic page.
     "site_energy" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 6 <> 5),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 6 WHEN 1 THEN 'Country fact sheet'
         |    WHEN 2 THEN 'Dashboard'
@@ -997,23 +974,12 @@ object SparkEntry {
     // rules, the bare-/topics Topic-page fallback with EU27 places,
     // EU-region factsheet → Dashboard vs the CFS+Dashboard pair.
     "site_forest" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 8 NOT IN (6, 7)),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 8 WHEN 0 THEN 'Topic page' WHEN 1 THEN 'Topic page'
         |    WHEN 2 THEN 'Webpage'
@@ -1031,22 +997,11 @@ object SparkEntry {
     // scraped html, climatechange/atlas URL-family topics and
     // home-vs-map objectProvides, issued from modified.
     "site_discomap" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Disco ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  'Disco ' || doc_id AS title,
         |  '2024-01-0' || (doc_id % 9 + 1) AS issued,
@@ -1068,25 +1023,14 @@ object SparkEntry {
     // the ias site pipeline: simple-site shape + the european-statistics
     // Map-vs-Dashboard split.
     "site_ias" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 5 = 0 THEN 'Map of s' || doc_id
         |         ELSE 'Title ' || doc_id END AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 5 <> 4),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 5 WHEN 0 THEN 'Map (interactive)'
         |    WHEN 1 THEN 'Dashboard'
@@ -1104,23 +1048,12 @@ object SparkEntry {
     // English-FAQ drop with the language normMissing fill, glossary-term
     // raw description/source, the duplicate-info Briefing append.
     "site_eea" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 7 NOT IN (1, 5)),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 7 WHEN 0 THEN 'Webpage'
         |    WHEN 2 THEN 'Briefing'
@@ -1166,23 +1099,12 @@ object SparkEntry {
     // the Measure exclude flag, bep code-prefix strip, country →
     // wise_country, Measure description from measure_summary html.
     "site_wise_freshwater" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 6 <> 5),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 6 WHEN 0 THEN 'Topic page'
         |    WHEN 1 THEN 'Country fact sheet'
@@ -1209,22 +1131,11 @@ object SparkEntry {
     // geo labels with the Kosovo second-pass map, keywords/year/topic
     // renames, forced update frequency.
     "site_fise_resource" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'Dataset' WHEN 1 THEN 'Map'
         |    WHEN 2 THEN 'Document' ELSE 'Report' END AS object_provides,
@@ -1244,22 +1155,11 @@ object SparkEntry {
     // the copernicus_insitu site pipeline: five taxonomy fan-outs + the
     // preview-image path.
     "site_insitu" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'Webpage' WHEN 1 THEN 'Webpage'
         |    WHEN 2 THEN 'News' ELSE 'File' END AS object_provides,
@@ -1279,22 +1179,11 @@ object SparkEntry {
     // facets ('#' leaves, '»' groups first-deduped), file size/version
     // defaults, the TechnicalLibrary issued/year date chain.
     "site_land" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'Technical library'
         |    WHEN 1 THEN 'Webpage' WHEN 2 THEN 'Webpage'
@@ -1314,23 +1203,12 @@ object SparkEntry {
     // the eionet site pipeline: per-ETC topic terms by path segment,
     // issued = publication_date ?? issued, etc_report → Report.
     "site_eionet" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, 'Title ' || doc_id AS title,
         |    'summary text' AS summary
         |  FROM documents
         |  WHERE doc_id % 6 <> 5),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE doc_id % 6 WHEN 0 THEN 'Webpage' WHEN 1 THEN 'Report'
         |    WHEN 2 THEN 'File' WHEN 3 THEN 'Webpage'
@@ -1424,7 +1302,7 @@ object SparkEntry {
     // covering its own exact root) → factsheet pairing → description
     // fallback → counts. Fulltext assembly mirrors the norm_pipeline CTEs.
     "site_bise" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 4 = 0 THEN 'Page'
         |         WHEN doc_id % 4 = 1 THEN 'Document'
@@ -1435,18 +1313,7 @@ object SparkEntry {
         |         ELSE '<p>Summary ' || doc_id || '</p>' END AS summary
         |  FROM documents
         |  WHERE doc_id % 4 <> 3),
-        |ft0 AS (
-        |  SELECT *, text || chr(10) || chr(10) || title || '.' || chr(10) || chr(10) AS t0,
-        |    trim(regexp_replace(summary, '<.*?>', '', 'g')) AS c1
-        |  FROM base),
-        |ft1 AS (
-        |  SELECT *, CASE WHEN length(c1) > 0 AND NOT ends_with(c1, '.')
-        |                 THEN c1 || '.' ELSE c1 END AS x1
-        |  FROM ft0),
-        |ft AS (
-        |  SELECT *, CASE WHEN length(x1) > 0 AND NOT contains(t0, x1)
-        |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
-        |  FROM ft1)
+        |$ftCtes
         |SELECT doc_id,
         |  CASE WHEN type_raw = 'bise_factsheet' THEN 'Country fact sheet|Dashboard'
         |       WHEN doc_id % 5 IN (0, 1, 3) THEN 'Topic page|Webpage'

@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
+    "dedup_semantic" -> (DedupOps.qDedupSemantic _),
     "dedup_fingerprint" -> (DedupOps.qDedupFingerprint _),
     "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),

@@ -497,6 +497,52 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    * the embeddings with the IVF quantizer, expand candidate pairs ONLY
+    * within a cluster cell, exact-verify by cosine ≥ τ — the published
+    * recipe for pruning semantically redundant web-scale training data.
+    *
+    * Centroid blocking vs [[embeddingPairsLsh]]'s hyperplane blocking:
+    * identical verify stage, different candidate generator. Clusters
+    * follow the DATA's density (Lloyd iterations on the corpus), where
+    * hyperplanes are data-blind — a near-dup pair that straddles an
+    * unlucky hyperplane still shares a cell. A planted exact duplicate
+    * (cos = 1) maps to the same centroid deterministically, so recall on
+    * exact dups is 1 by construction; `label` stays in the cell key so
+    * candidates never cross labels (same semantics as the exact blocked
+    * [[embeddingPairs]], which the equivalence spec compares against).
+    *
+    * At scale: the trained centroid table is nlist rows riding into a
+    * narrow assignment projection (no join), the ONLY shuffle is the cell
+    * groupBy, `maxBucket` sheds degenerate density cells (the same guard
+    * as the minhash/simhash/LSH family), and within-cell pair expansion
+    * uses the native SortedIdPairs kernel ([[bucketPairs]]).
+    */
+  def semanticDedupPairs(vecs: DataFrame, tau: Double, nlist: Int = 64,
+      iters: Int = 2, dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val cents = AnnOps.centroidArrays(AnnOps.ivfCentroids(vecs, nlist, iters, dim))
+    val cand = vecs
+      .select(col("vec_id"), col("label"),
+        AnnOps.nearestCentroid(col("v"), cents).as("cell"))
+      .groupBy("cell", "label")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(bucketPairs(array_sort(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
+      .filter(col("cos_sim") >= tau)
+      .select("id1", "id2", "cos_sim")
+  }
+
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame =
+    semanticDedupPairs(plantedEmbeddings(s, d), tau = 0.95)
+      .orderBy("id1", "id2")
+
   // -------------------------------------------------------- dedup_fingerprint
 
   /** Substring-level near-dup pairs: documents sharing ≥ `minShared`

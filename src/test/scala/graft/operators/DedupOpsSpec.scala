@@ -207,6 +207,22 @@ class DedupOpsSpec extends SparkSpec {
       result(gen, DedupOps.ngramJaccardPairs))
   }
 
+  test("semanticDedupPairs: a subset of the exact pairs with full recall on planted dups") {
+    // SemDeDup centroid blocking: every emitted pair must also be in the
+    // exact blocked result (the verify stage is identical, candidates can
+    // only shrink), and planted exact duplicates — cos = 1, same centroid
+    // by construction — must ALL surface.
+    val vecs = DedupOps.plantedEmbeddings(spark, sfDir)
+    val exact = DedupOps.embeddingPairs(vecs, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = DedupOps.semanticDedupPairs(vecs, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), s"semantic pairs not a subset: ${(sem -- exact).take(3)}")
+    val planted = exact.filter { case (a, b) => b == a + 100000 }
+    assert(planted.nonEmpty && planted.subsetOf(sem),
+      s"planted duplicates missing: ${(planted -- sem).take(3)}")
+  }
+
   test("LSH equivalence: embeddingPairsLsh == exact blocked embeddingPairs") {
     val planted = DedupOps.plantedEmbeddings(spark, sfDir)
     def res(df: org.apache.spark.sql.DataFrame) =

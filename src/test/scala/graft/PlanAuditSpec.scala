@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     // is exempt by design — it is the bounded-query-side exact baseline and
     // broadcasts 8 vectors against one corpus scan.)
     for (q <- Seq("ngram_jaccard", "dedup_embedding", "dedup_minhash",
-        "dedup_simhash", "ann_lsh")) {
+        "dedup_simhash", "dedup_semantic", "ann_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")

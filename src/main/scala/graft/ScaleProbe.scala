@@ -69,6 +69,9 @@ object ScaleProbe {
       probe("ngram_prefix", k,
         DedupOps.ngramJaccardPairsPrefix(corpusK(k), 3, 0.4, Seq("lang", "source")))
       probe("embedding_lsh", k, DedupOps.embeddingPairsLsh(embeddingsK(k), 0.95))
+      // SemDeDup centroid blocking: training + assignment are linear
+      // passes and candidates are cell-bounded — wall must track ~K
+      probe("dedup_semantic", k, DedupOps.semanticDedupPairs(embeddingsK(k), 0.95))
       // ANN: the query side stays FIXED while the corpus grows — per-query
       // cost must track corpus size linearly (bucket/cell membership), so
       // total wall should grow ~K, not K².

@@ -54,10 +54,15 @@ object ScaleProbe {
 
     // count() prunes derived columns — a narrow per-row pipeline would
     // time as a scan. Hash every output column into a filter so the whole
-    // projection is computed, then count the (unchanged) row set.
+    // projection is computed, then count the row set. The predicate must
+    // be one the optimizer cannot fold away: xxhash64 is non-nullable, so
+    // isNotNull would constant-fold to true and the filter (and with it
+    // every derived column) would vanish from the plan; comparing the
+    // hash against a constant is non-provable and survives. (Odds of the
+    // sentinel value actually occurring: 2^-64 per row.)
     def probeForced(op: String, k: Int, df: => DataFrame): Unit = probe(op, k, {
       val d = df
-      d.filter(xxhash64(d.columns.map(c => col("`" + c + "`")): _*).isNotNull)
+      d.filter(xxhash64(d.columns.map(c => col("`" + c + "`")): _*) =!= lit(42L))
     })
 
     // warmup at k=1 so codegen/scan setup is not attributed to the first op

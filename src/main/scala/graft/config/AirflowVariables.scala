@@ -113,6 +113,15 @@ object AirflowVariables {
       n
     }
 
+    /** A REQUIRED sub-key — fails with the offending path instead of the
+      * bare NPE Jackson iteration would throw on a malformed document.
+      */
+    private def req(n: JsonNode, name: String, where: String): JsonNode = {
+      val v = n.get(name)
+      require(v != null && !v.isNull, s"$where has no '$name' key")
+      v
+    }
+
     private def opt(n: JsonNode, name: String): Option[JsonNode] =
       Option(n.get(name)).filter(!_.isNull)
 
@@ -134,7 +143,7 @@ object AirflowVariables {
       * name (airflow_variables.py:63-69 iterates this to load configs).
       */
     def sites(app: String): Seq[(String, String)] =
-      fieldSeq(node(s"app_$app").get("Sites")).map { case (k, v) => k -> v.asText }
+      fieldSeq(req(node(s"app_$app"), "Sites", s"app_$app")).map { case (k, v) => k -> v.asText }
 
     /** error_retry thresholds with the reference's defaults
       * (airflow_variables.py:20-25: 3 / 10).
@@ -159,7 +168,8 @@ object AirflowVariables {
           whitelist = opt(n, "whitelist").map(strSeq).getOrElse(Nil),
           blacklist = opt(n, "blacklist").map(strSeq).getOrElse(Nil),
           locationRules = opt(n, "location_rules").map(_.elements().asScala.map { r =>
-            r.get("path").asText -> strOrSeq(r.get("ct"))
+            req(r, "path", s"a location_rules entry of $name").asText ->
+              strOrSeq(req(r, "ct", s"a location_rules entry of $name"))
           }.toSeq).getOrElse(Nil),
           locationRulesFallback = opt(n, "location_rules_fallback").map(_.asText))
       }
@@ -177,7 +187,8 @@ object AirflowVariables {
         typesBlacklist = opt(c, "types_blacklist").map(strSeq).getOrElse(Nil),
         portalTypes = opt(c, "portal_types").map(strSeq).getOrElse(Nil),
         fixItemsUrl = opt(c, "fix_items_url").map(f =>
-          f.get("with_api").asText -> f.get("without_api").asText),
+          req(f, "with_api", s"$name.fix_items_url").asText ->
+            req(f, "without_api", s"$name.fix_items_url").asText),
         attrMapping = attr.flatMap(opt(_, "mapping")).map(m =>
           fieldSeq(m).map { case (k, v) => k -> strOrSeq(v) }).getOrElse(Nil),
         attrMappingName = attr.flatMap(opt(_, "name")).map(_.asText),
@@ -225,7 +236,7 @@ object AirflowVariables {
       */
     def obligations: Map[String, String] =
       Option(root.get("obligations")).map(m =>
-        fieldSeq(m).map { case (k, v) => k -> v.get("label").asText }.toMap)
+        fieldSeq(m).map { case (k, v) => k -> req(v, "label", s"obligations[$k]").asText }.toMap)
         .getOrElse(Map.empty)
 
     /** theme token → label (normalizeSdi's `themeTaxonomy`;
@@ -233,7 +244,7 @@ object AirflowVariables {
       */
     def themeTaxonomy: Map[String, String] =
       Option(root.get("theme_taxonomy")).map(m =>
-        fieldSeq(m).map { case (k, v) => k -> v.get("label").asText }.toMap)
+        fieldSeq(m).map { case (k, v) => k -> req(v, "label", s"theme_taxonomy[$k]").asText }.toMap)
         .getOrElse(Map.empty)
 
     /** One field of an `elastic_mapping_*` variable — the hand-authored

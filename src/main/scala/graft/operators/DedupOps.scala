@@ -529,7 +529,10 @@ object DedupOps {
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
-      .distinct()
+    // no distinct(): each vec_id lands in exactly ONE (cell, label) group,
+    // so candidate pairs are unique by construction — unlike the multi-
+    // table LSH path, where the same pair surfaces from several tables and
+    // the dedup shuffle is load-bearing
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")

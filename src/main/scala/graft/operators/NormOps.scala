@@ -758,7 +758,9 @@ object NormOps {
       .getOrElse(Nil)
 
     // join_text_fields :167-170 — title with the "no title" double fallback
-    val title0 = if (schema.fieldNames.contains(titleCol)) col(titleCol)
+    // (backticks: every by-name read in here treats the name as LITERAL —
+    // flattened docs carry dotted keys that bare col() would misparse)
+    val title0 = if (schema.fieldNames.contains(titleCol)) col("`" + titleCol + "`")
                  else lit(null).cast("string")
     val title = when(title0.isNull || title0 === "", lit("no title")).otherwise(title0)
     val start = concat(lit("\n\n"), title, lit(".\n\n"))
@@ -787,8 +789,8 @@ object NormOps {
         structFields(f.name).contains("data") => f.name
     }
     val assembled = autoProps.foldLeft(afterProps) { (acc, p) =>
-      val mime = col(p).getField("content-type")
-      val data = col(p).getField("data")
+      val mime = col("`" + p + "`").getField("content-type")
+      val data = col("`" + p + "`").getField("data")
       val txt = coalesce(
         when(mime === "text/plain", data)
           .when(mime === "text/html", cleanHtml(data)), lit(""))
@@ -802,10 +804,10 @@ object NormOps {
     val extracted =
       if (!schema.fieldNames.contains(htmlCol)) lit("")
       else if (removeSelectors.nonEmpty)
-        mainText(stripSelectors(col(htmlCol), removeSelectors))
-      else mainText(col(htmlCol))
+        mainText(stripSelectors(col("`" + htmlCol + "`"), removeSelectors))
+      else mainText(col("`" + htmlCol + "`"))
     val pdf =
-      if (schema.fieldNames.contains(pdfCol)) coalesce(col(pdfCol), lit(""))
+      if (schema.fieldNames.contains(pdfCol)) coalesce(col("`" + pdfCol + "`"), lit(""))
       else lit("")
     docs.withColumn("nlp_text",
       concat(

@@ -100,16 +100,29 @@ object EsIndexDdl {
     */
   def mappingPropertiesFromConfig(
       fields: Seq[graft.config.AirflowVariables.EsMappingField]): String = {
+    // names/analyzers/copy_to targets come from an ARBITRARY external
+    // document (hand-authored config), unlike the schema path's Spark
+    // identifiers — escape them or a quote in a value corrupts the DDL
+    def esc(s: String): String = {
+      val b = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
     val rendered = fields.map { f =>
       val parts = Seq.newBuilder[String]
-      parts += s""""type":"${f.fieldType}""""
-      f.analyzer.foreach(a => parts += s""""analyzer":"$a"""")
+      parts += s""""type":"${esc(f.fieldType)}""""
+      f.analyzer.foreach(a => parts += s""""analyzer":"${esc(a)}"""")
       if (f.copyTo.nonEmpty)
-        parts += f.copyTo.map(t => s""""$t"""").mkString(""""copy_to":[""", ",", "]")
+        parts += f.copyTo.map(t => s""""${esc(t)}"""").mkString(""""copy_to":[""", ",", "]")
       if (f.hasKeywordSub)
         parts += """"fields":{"keyword":{"type":"keyword","ignore_above":256}}"""
       if (f.fielddata) parts += """"fielddata":true"""
-      s""""${f.name}":${parts.result().mkString("{", ",", "}")}"""
+      s""""${esc(f.name)}":${parts.result().mkString("{", ",", "}")}"""
     }
     rendered.mkString("{", ",", "}")
   }

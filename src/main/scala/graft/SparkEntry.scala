@@ -103,6 +103,7 @@ object SparkEntry {
     "ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
     "dedup_semantic" -> (DedupOps.qDedupSemantic _),
+    "line_dedup" -> (TextAnalysis.qLineDedup _),
     "dedup_fingerprint" -> (DedupOps.qDedupFingerprint _),
     "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
@@ -1679,6 +1680,18 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     // patterns are Java/RE2-portable (no lookaround); counts on the ORIGINAL
     // text, scrub order email -> ip -> phone on both sides.
+    // corpus-level line dedup: the universal banner and the every-second-
+    // doc footer cross the minDocs=5 threshold and vanish from every doc;
+    // the line planted in exactly 4 docs (threshold − 1) survives, as do
+    // the unique corpus/middle/tail lines. Survivors re-join in order.
+    "line_dedup" ->
+      """SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 2 = 1 THEN chr(10) || 'Unique middle ' || doc_id
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id < 4 THEN chr(10) || 'Rare notice line'
+        |       ELSE chr(10) || 'Unique tail ' || doc_id END AS text_deduped
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       """WITH b AS (
         |  SELECT doc_id,

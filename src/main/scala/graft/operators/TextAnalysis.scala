@@ -593,4 +593,65 @@ object TextAnalysis {
       totalBudget = 100)
       .select("lang", "doc_id", "rk", "quota")
       .orderBy("lang", "rk")
+
+  // --------------------------------------------------------------- line_dedup
+
+  /** Corpus-level LINE deduplication — the RefinedWeb/C4 boilerplate
+    * pass: a line whose exact text appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (cookie banners, nav, footers — the
+    * crawler-scale failure mode [[NormOps.passageClean]]'s WITHIN-doc
+    * running-header filter cannot see) and is removed from every
+    * document; surviving lines re-join in their original order.
+    *
+    * Shape at 100 TB: posexplode lines (narrow) → per-line distinct-doc
+    * count (two-phase aggregate, map-side combined) → the hot-line table
+    * is SMALL by construction (only lines crossing the threshold — real
+    * boilerplate is a few thousand strings, not the corpus) and meets the
+    * line table in a LEFT ANTI join → per-doc re-assembly is one groupBy
+    * with the position travelling in the collected struct (array_sort on
+    * (pos, line) — collect_list order is shuffle-nondeterministic, the
+    * same discipline as [[SyncOps.sdiChildren]]). Two shuffles total
+    * (line key, doc key), no windows, no driver-side state.
+    */
+  def lineDedup(docs: DataFrame, textCol: String,
+      minDocs: Int = 5): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("line")
+    val rebuilt = lines
+      .join(hot, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_deduped"))
+    // a doc whose every line was boilerplate keeps its row, emptied —
+    // dropping it silently would desynchronize downstream id joins
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+  }
+
+  /** queries() wrapper: every doc carries a universal banner line (hot),
+    * every second doc a footer line (hot at minDocs=5 over 250+ docs),
+    * every doc its corpus text and a unique line (both kept); one line is
+    * planted in exactly minDocs−1 documents and must SURVIVE — the
+    * threshold boundary.
+    */
+  def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id,
+      concat_ws("\n",
+        lit("Accept cookies to continue"),
+        col("text"),
+        when(id % 2 === 0, lit("Contact us via the footer"))
+          .otherwise(concat(lit("Unique middle "), id)),
+        when(id < 4, lit("Rare notice line"))
+          .otherwise(concat(lit("Unique tail "), id))).as("text"))
+    lineDedup(docs, "text", minDocs = 5)
+      .orderBy("doc_id")
+  }
 }

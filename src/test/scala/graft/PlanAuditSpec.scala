@@ -180,6 +180,15 @@ class PlanAuditSpec extends SparkSpec {
       "expected the hot-word counts to join as a broadcast")
   }
 
+  test("line_dedup shuffles only on the line and doc keys — no window, no cartesian") {
+    // explode → per-line distinct-doc count → LEFT ANTI against the small
+    // hot-line table → per-doc re-collect; a Window or cartesian here
+    // would sort/square the whole line corpus.
+    val p = plan("line_dedup")
+    for (bad <- Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"line_dedup plan contains $bad")
+  }
+
   test("sdi_children is one equi-join plus one aggregation, never cartesian") {
     // The child assembly joins the exploded id list back to the corpus —
     // an equi-join on the id key. A CartesianProduct/BNLJ here would be

@@ -149,6 +149,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("lineDedup: boilerplate lines vanish corpus-wide, threshold boundary holds") {
+    import org.apache.spark.sql.functions._
+    // banner in 6 docs (>= minDocs=5: removed), near-miss in exactly 4
+    // (kept), unique body lines kept in order; doc 9 is ALL boilerplate
+    // and must keep its row, emptied
+    val docs = spark.createDataFrame((0L to 9L).map { i =>
+      val banner = "ACCEPT COOKIES"
+      val nearMiss = if (i < 4) "\nrare but repeated" else ""
+      val body = if (i == 9L) "" else s"\nbody line $i\nsecond body $i"
+      (i, banner + nearMiss + body)
+    }).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lineDedup(docs, "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "rare but repeated\nbody line 0\nsecond body 0")
+    assert(out(5L) == "body line 5\nsecond body 5") // order preserved
+    assert(out(9L) == "") // fully-boilerplate doc keeps an emptied row
+    assert(out.size == 10)
+    assert(!out.values.exists(_.contains("ACCEPT COOKIES")))
+  }
+
   test("perplexityBucket: broadcast-hot fast path matches the all-tail result") {
     import org.apache.spark.sql.functions._
     val docs = spark.createDataFrame(

@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_embedding" -> (DedupOps.qDedupEmbedding _),
     "dedup_semantic" -> (DedupOps.qDedupSemantic _),
     "line_dedup" -> (TextAnalysis.qLineDedup _),
+    "dsir_select" -> (TextAnalysis.qDsirSelect _),
     "dedup_fingerprint" -> (DedupOps.qDedupFingerprint _),
     "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
@@ -1680,6 +1681,39 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     // patterns are Java/RE2-portable (no lookaround); counts on the ORIGINAL
     // text, scrub order email -> ip -> phone on both sides.
+    // DSIR importance selection recomputed end-to-end: hashed-bigram
+    // buckets via the shared md5 recipe (CAST('0x'||substr(md5,1,8)) ==
+    // Spark's conv base-16), Laplace-smoothed target/raw log-ratios,
+    // per-doc score sums, the 0.75-quantile cutoff, strict-> selection.
+    "dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_t,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, is_t,
+        |          UNNEST(list_transform(range(1, len(w)),
+        |                                i -> w[i] || '_' || w[i + 1])) AS g
+        |        FROM d)),
+        |counts AS (
+        |  SELECT b,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tcnt,
+        |    count(*) AS rcnt
+        |  FROM grams GROUP BY b),
+        |tots AS (SELECT sum(tcnt) AS ttot, sum(rcnt) AS rtot FROM counts),
+        |ratio AS (
+        |  SELECT b,
+        |    ln((tcnt + CAST(1 AS DOUBLE)) / (ttot + CAST(64 AS DOUBLE))) -
+        |    ln((rcnt + CAST(1 AS DOUBLE)) / (rtot + CAST(64 AS DOUBLE))) AS lr
+        |  FROM counts, tots),
+        |scored AS (
+        |  SELECT doc_id, round(sum(lr), 4) AS dsir_score
+        |  FROM grams JOIN ratio USING (b) GROUP BY doc_id),
+        |cut AS (SELECT round(quantile_cont(dsir_score, 0.75), 4) AS c FROM scored)
+        |SELECT doc_id, dsir_score, dsir_score > c AS selected
+        |FROM scored, cut ORDER BY doc_id""".stripMargin,
     // corpus-level line dedup: the universal banner and the every-second-
     // doc footer cross the minDocs=5 threshold and vanish from every doc;
     // the line planted in exactly 4 docs (threshold − 1) survives, as do

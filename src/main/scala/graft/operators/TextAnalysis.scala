@@ -594,6 +594,75 @@ object TextAnalysis {
       .select("lang", "doc_id", "rk", "quota")
       .orderBy("lang", "rk")
 
+  // -------------------------------------------------------------- dsir_select
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each document
+    * by how much more likely its hashed-bigram features are under a
+    * TARGET distribution than under the raw corpus, and keep the top
+    * `keepFraction` by score — the published recipe for selecting
+    * in-domain pretraining data from n-gram statistics alone.
+    *
+    * Features are word bigrams (multiplicity-preserving, the native
+    * [[graft.functions.WordNgramsAll]] kernel) hashed into `buckets`
+    * buckets via the samplers' cross-engine md5 recipe (first 8 hex chars
+    * through conv — DuckDB reproduces it character for character, so the
+    * whole operator is oracle-checkable, RNG-free and cluster-stable).
+    * p (target) and q (raw) are Laplace-smoothed bucket distributions; a
+    * doc's score is Σ_grams ln(p[b]/q[b]). Docs with fewer than two
+    * tokens have no features and drop from the output.
+    *
+    * Shape at 100 TB: one explode → ONE partial-agg groupBy over
+    * `buckets` keys computing target and raw counts together (the target
+    * indicator aggregates conditionally — no second pass) → the
+    * log-ratio table is `buckets` rows BROADCAST onto the gram stream →
+    * per-doc score is a map-side-combinable sum → the selection cutoff
+    * is a 1-row exact-percentile aggregate broadcast back. No global
+    * window or sort anywhere (same discipline as [[perplexityBucket]]).
+    */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 64, keepFraction: Double = 0.25,
+      smoothing: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val bigrams = GraftSqlBridge.column(graft.functions.WordNgramsAll(
+      GraftSqlBridge.expression(spaceTokens(col(textCol))), 2))
+    val gramRows = docs.select(
+      col(idCol).as("doc_id"), isTarget.cast("boolean").as("is_t"),
+      explode(bigrams).as("gram"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val counts = gramRows.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tcnt"),
+      count(lit(1)).as("rcnt"))
+    val tots = counts.agg(sum("tcnt").as("ttot"), sum("rcnt").as("rtot"))
+    val ratio = counts.join(broadcast(tots))
+      .select(col("b"),
+        (log((col("tcnt") + smoothing) / (col("ttot") + smoothing * buckets)) -
+          log((col("rcnt") + smoothing) / (col("rtot") + smoothing * buckets)))
+          .as("lr"))
+    val scored = gramRows
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(round(sum("lr"), 4).as("dsir_score"))
+    val cutoff = scored.agg(
+      round(percentile(col("dsir_score"), lit(1 - keepFraction)), 4).as("cut"))
+    scored.join(broadcast(cutoff))
+      .withColumn("selected", col("dsir_score") > col("cut"))
+      .drop("cut")
+  }
+
+  /** queries() wrapper: the target distribution is the English slice of
+    * the corpus; DSIR scores every doc by its hashed-bigram likelihood
+    * ratio and selects the top quarter. Fully oracle-checked — the md5
+    * bucket hash, the smoothed log-ratios, and the percentile cutoff all
+    * reproduce in DuckDB.
+    */
+  def qDsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), "text", "doc_id",
+      isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------------- line_dedup
 
   /** Corpus-level LINE deduplication — the RefinedWeb/C4 boilerplate

@@ -180,6 +180,19 @@ class PlanAuditSpec extends SparkSpec {
       "expected the hot-word counts to join as a broadcast")
   }
 
+  test("dsir_select has no global window and broadcasts the ratio table") {
+    // gram→bucket counts partial-agg, the buckets-row log-ratio table and
+    // the 1-row percentile cutoff broadcast back; a Window/ntile here
+    // would single-partition-sort every doc score. (The BNLJ instances
+    // are the sanctioned keyless 1-row stats broadcasts — same shape as
+    // perplexity_bucket's total/cutoff joins.)
+    val p = plan("dsir_select")
+    for (bad <- Seq("Window", "CartesianProduct"))
+      assert(!p.contains(bad), s"dsir_select plan contains $bad")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the log-ratio table to join as a broadcast")
+  }
+
   test("line_dedup shuffles only on the line and doc keys — no window, no cartesian") {
     // explode → per-line distinct-doc count → LEFT ANTI against the small
     // hot-line table → per-doc re-collect; a Window or cartesian here

@@ -149,6 +149,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("dsirSelect ranks target-like docs above off-target docs") {
+    import org.apache.spark.sql.functions._
+    // target = docs about 'spark cluster shuffle'; raw mixes in cooking
+    // docs. A held-out doc written in the target vocabulary must outscore
+    // a held-out cooking doc, and selection keeps the top quarter.
+    val docs = spark.createDataFrame(
+      (1L to 8L).map(i => (i, "spark cluster shuffle partition executor task", true)) ++
+      (9L to 16L).map(i => (i, "flour butter sugar oven whisk dough recipe", false)) ++
+      Seq((100L, "spark shuffle partition plan", false),    // target-like holdout
+          (101L, "butter dough oven tray", false))          // off-target holdout
+    ).toDF("doc_id", "text", "is_t")
+    val out = graft.operators.TextAnalysis
+      .dsirSelect(docs, "text", "doc_id", isTarget = col("is_t"),
+        buckets = 32, keepFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(100L)._1 > out(101L)._1,
+      s"target-like holdout must outscore off-target: ${out(100L)} vs ${out(101L)}")
+    assert(out(100L)._2 && !out(101L)._2)
+    // every target doc scores above every cooking doc
+    assert((1L to 8L).map(out(_)._1).min > (9L to 16L).map(out(_)._1).max)
+  }
+
   test("lineDedup: boilerplate lines vanish corpus-wide, threshold boundary holds") {
     import org.apache.spark.sql.functions._
     // banner in 6 docs (>= minDocs=5: removed), near-miss in exactly 4

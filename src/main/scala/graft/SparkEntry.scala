@@ -1708,11 +1708,14 @@ object SparkEntry {
         |    ln((tcnt + CAST(1 AS DOUBLE)) / (ttot + CAST(64 AS DOUBLE))) -
         |    ln((rcnt + CAST(1 AS DOUBLE)) / (rtot + CAST(64 AS DOUBLE))) AS lr
         |  FROM counts, tots),
-        |scored AS (
-        |  SELECT doc_id, round(sum(lr), 4) AS dsir_score
+        |scored0 AS (
+        |  SELECT doc_id, round(sum(lr), 4) AS s
         |  FROM grams JOIN ratio USING (b) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(s.s, CAST(0 AS DOUBLE)) AS dsir_score
+        |  FROM d LEFT JOIN scored0 s USING (doc_id)),
         |cut AS (SELECT round(quantile_cont(dsir_score, 0.75), 4) AS c FROM scored)
-        |SELECT doc_id, dsir_score, dsir_score > c AS selected
+        |SELECT doc_id, dsir_score, dsir_score >= c AS selected
         |FROM scored, cut ORDER BY doc_id""".stripMargin,
     // corpus-level line dedup: the universal banner and the every-second-
     // doc footer cross the minDocs=5 threshold and vanish from every doc;

@@ -609,8 +609,12 @@ object TextAnalysis {
     * through conv — DuckDB reproduces it character for character, so the
     * whole operator is oracle-checkable, RNG-free and cluster-stable).
     * p (target) and q (raw) are Laplace-smoothed bucket distributions; a
-    * doc's score is Σ_grams ln(p[b]/q[b]). Docs with fewer than two
-    * tokens have no features and drop from the output.
+    * doc's score is Σ_grams ln(p[b]/q[b]). A doc with fewer than two
+    * tokens has no features and scores 0.0 — the empty-evidence sum —
+    * keeping every input row in the output (a dropped id would
+    * desynchronize downstream joins). Docs AT the cutoff are kept, so
+    * selection is AT LEAST keepFraction; a strict compare would select
+    * nothing on a degenerate corpus whose top scores tie.
     *
     * Shape at 100 TB: one explode → ONE partial-agg groupBy over
     * `buckets` keys computing target and raw counts together (the target
@@ -641,14 +645,19 @@ object TextAnalysis {
         (log((col("tcnt") + smoothing) / (col("ttot") + smoothing * buckets)) -
           log((col("rcnt") + smoothing) / (col("rtot") + smoothing * buckets)))
           .as("lr"))
-    val scored = gramRows
-      .join(broadcast(ratio), Seq("b"))
-      .groupBy("doc_id")
-      .agg(round(sum("lr"), 4).as("dsir_score"))
+    val scored = docs.select(col(idCol).as("doc_id"))
+      .join(
+        gramRows
+          .join(broadcast(ratio), Seq("b"))
+          .groupBy("doc_id")
+          .agg(round(sum("lr"), 4).as("s")),
+        Seq("doc_id"), "left")
+      .withColumn("dsir_score", coalesce(col("s"), lit(0.0)))
+      .drop("s")
     val cutoff = scored.agg(
       round(percentile(col("dsir_score"), lit(1 - keepFraction)), 4).as("cut"))
     scored.join(broadcast(cutoff))
-      .withColumn("selected", col("dsir_score") > col("cut"))
+      .withColumn("selected", col("dsir_score") >= col("cut"))
       .drop("cut")
   }
 
@@ -683,10 +692,16 @@ object TextAnalysis {
     * (line key, doc key), no windows, no driver-side state.
     */
   def lineDedup(docs: DataFrame, textCol: String,
-      minDocs: Int = 5): DataFrame = {
-    val lines = docs.select(col("doc_id"),
+      minDocs: Int = 5, minLineChars: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hot = lines.groupBy("line")
+    // minLineChars: blank lines (paragraph breaks) and trivially short
+    // ones ("-", "1.") repeat everywhere by nature — only substantive
+    // lines are boilerplate candidates, per the published passes
+    val hot = lines
+      .filter(length(col("line")) >= minLineChars)
+      .groupBy("line")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
       .select("line")
@@ -698,7 +713,7 @@ object TextAnalysis {
           x => x.getField("line")), "\n").as("text_deduped"))
     // a doc whose every line was boilerplate keeps its row, emptied —
     // dropping it silently would desynchronize downstream id joins
-    docs.select(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
       .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
   }

@@ -158,7 +158,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L to 8L).map(i => (i, "spark cluster shuffle partition executor task", true)) ++
       (9L to 16L).map(i => (i, "flour butter sugar oven whisk dough recipe", false)) ++
       Seq((100L, "spark shuffle partition plan", false),    // target-like holdout
-          (101L, "butter dough oven tray", false))          // off-target holdout
+          (101L, "butter dough oven tray", false),          // off-target holdout
+          (102L, "loner", false))                           // featureless doc
     ).toDF("doc_id", "text", "is_t")
     val out = graft.operators.TextAnalysis
       .dsirSelect(docs, "text", "doc_id", isTarget = col("is_t"),
@@ -169,23 +170,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(100L)._2 && !out(101L)._2)
     // every target doc scores above every cooking doc
     assert((1L to 8L).map(out(_)._1).min > (9L to 16L).map(out(_)._1).max)
+    // a doc with no bigrams keeps its row at the empty-evidence score 0.0
+    assert(out.contains(102L) && out(102L)._1 == 0.0)
   }
 
   test("lineDedup: boilerplate lines vanish corpus-wide, threshold boundary holds") {
     import org.apache.spark.sql.functions._
-    // banner in 6 docs (>= minDocs=5: removed), near-miss in exactly 4
-    // (kept), unique body lines kept in order; doc 9 is ALL boilerplate
+    // banner in all 10 docs (>= minDocs=5: removed), near-miss in exactly
+    // 4 (kept), unique body lines kept in order; doc 9 is ALL boilerplate
     // and must keep its row, emptied
     val docs = spark.createDataFrame((0L to 9L).map { i =>
       val banner = "ACCEPT COOKIES"
       val nearMiss = if (i < 4) "\nrare but repeated" else ""
-      val body = if (i == 9L) "" else s"\nbody line $i\nsecond body $i"
+      // the blank paragraph break repeats in every doc but is SHORTER
+      // than minLineChars — structure must survive the corpus-wide pass
+      val body = if (i == 9L) "" else s"\nbody line $i\n\nsecond body $i"
       (i, banner + nearMiss + body)
     }).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis.lineDedup(docs, "text", minDocs = 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out(0L) == "rare but repeated\nbody line 0\nsecond body 0")
-    assert(out(5L) == "body line 5\nsecond body 5") // order preserved
+    assert(out(0L) == "rare but repeated\nbody line 0\n\nsecond body 0")
+    assert(out(5L) == "body line 5\n\nsecond body 5") // order + blank kept
     assert(out(9L) == "") // fully-boilerplate doc keeps an emptied row
     assert(out.size == 10)
     assert(!out.values.exists(_.contains("ACCEPT COOKIES")))

@@ -119,6 +119,17 @@ object ScaleProbe {
       // line stats per-row + gram-count partial aggs, no gram-key window
       probeForced("quality_repetition", k,
         graft.operators.TextAnalysis.repetitionQuality(corpusK(k), "text"))
+      // hashed-bigram stats + broadcast ratio + percentile cutoff — the
+      // perplexity shape; wall must track the exploded gram volume ~K
+      probeForced("dsir_select", k,
+        graft.operators.TextAnalysis.dsirSelect(corpusK(k), "text", "doc_id",
+          isTarget = col("lang") === "en"))
+      // line explode → bounded hot-line table → anti join → doc re-collect
+      probeForced("line_dedup", k,
+        graft.operators.TextAnalysis.lineDedup(
+          corpusK(k).withColumn("text",
+            concat_ws("\n", lit("Accept cookies banner line"), col("text"),
+              concat(lit("Unique tail "), col("doc_id")))), "text"))
       // the full sdi site pipeline over synthesized records — a pure
       // narrow projection chain; super-linear growth would mean a plan
       // regression (the pipeline has no joins at all)

@@ -96,6 +96,8 @@ object SparkEntry {
     "facet_stats" -> (SearchOps.qFacetStats _),
     "facet_stats_approx" -> (SearchOps.qFacetStatsApprox _),
     "es_bulk_format" -> (SearchOps.qEsBulkFormat _),
+    "es_query" -> (EsQuery.qEsQuery _),
+    "es_agg" -> (EsQuery.qEsAgg _),
     // LLM-training-data pipeline (SURVEY §2 #28-#39)
     "dedup_exact" -> (DedupOps.qDedupExact _),
     "dedup_minhash" -> (DedupOps.qDedupMinhash _),
@@ -1550,6 +1552,46 @@ object SparkEntry {
         |  FROM t, st)
         |SELECT doc_id, phrase_tf, score FROM s WHERE phrase_tf > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // es_query: the compiled demo search body — bool(must: match(text,
+    // "data merge") BM25-scored; filter: n_chars>=120; must_not: lang=zh;
+    // should: term source=src1 adds 1.0). Stats (df/avgdl) computed over
+    // the WHOLE corpus before filtering, as ES index-level stats; score
+    // association mirrors the compiler's tree: (t0 + t1) * boost + should.
+    "es_query" ->
+      """WITH st AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(string_split(trim(text),' '))) AS sum_dl,
+        |    sum(CASE WHEN list_contains(string_split(trim(text),' '), 'data')
+        |        THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(string_split(trim(text),' '), 'merge')
+        |        THEN 1 ELSE 0 END) AS df1
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x = 'data')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x = 'merge')) AS DOUBLE) AS tf1,
+        |    CAST(len(string_split(trim(text),' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source, n_chars, tf0, tf1, round(
+        |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |       * (tf0 * (1.2 + 1.0))
+        |       / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |       * (tf1 * (1.2 + 1.0))
+        |       / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1.0
+        |    + CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END, 6) AS score
+        |  FROM d, st)
+        |SELECT doc_id, lang, source, score FROM s
+        |WHERE (tf0 > 0 OR tf1 > 0) AND n_chars >= 120 AND NOT lang = 'zh'
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // es_agg: the compiled demo aggs body — exists filter, terms facet on
+    // lang (doc_count desc, key tiebreak, 10 buckets) with an avg sub-agg.
+    "es_agg" ->
+      """SELECT 'by_lang' AS agg, CAST(lang AS VARCHAR) AS key,
+        |  count(*) AS doc_count, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY doc_count DESC, key LIMIT 10""".stripMargin,
     "search_bool" ->
       """SELECT doc_id, lang, source,
         |  CAST(CASE WHEN source = 'src1' THEN 1 ELSE 0 END

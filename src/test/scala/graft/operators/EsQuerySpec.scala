@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class EsQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("compiled match equals the typed BM25 operator bit for bit") {
+    val body =
+      """{"query": {"match": {"text": "query data merge"}}, "size": 20,
+        |"_source": ["doc_id"]}""".stripMargin
+    val compiled = EsQuery.search(docs, body)
+      .select("doc_id", "score").collect().toSeq
+    val typed = SearchOps.matchBm25TopK(docs, "text", Seq("query", "data", "merge"), 20)
+      .select("doc_id", "score").collect().toSeq
+    assert(compiled == typed)
+  }
+
+  test("compiled match_phrase equals the typed phrase operator scores") {
+    val body = """{"query": {"match_phrase": {"text": "the data"}}, "size": 20}"""
+    val compiled = EsQuery.search(docs, body)
+      .select("doc_id", "score").collect().toSeq
+    val typed = SearchOps.phraseTopK(docs, "text", Seq("the", "data"), 20)
+      .select("doc_id", "score").collect().toSeq
+    assert(compiled == typed)
+  }
+
+  test("filter context: term / terms / range / exists compile to pure predicates") {
+    val body =
+      """{"query": {"bool": {"filter": [
+        |  {"terms": {"lang": ["en", "de"]}},
+        |  {"range": {"n_chars": {"gte": 100, "lt": 5000}}},
+        |  {"exists": {"field": "source"}}
+        |]}}, "size": 1000000}""".stripMargin
+    val got = EsQuery.search(docs, body).select("doc_id").as[Long].collect().toSet
+    val want = docs
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 100 &&
+        col("n_chars") < 5000 && col("source").isNotNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // no scoring clause → no stats aggregate anywhere in the plan
+    val plan = EsQuery.search(docs, body).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("es_n_docs"))
+  }
+
+  test("bool should alone requires minimum_should_match=1 (the ES default)") {
+    val body =
+      """{"query": {"bool": {"should": [
+        |  {"term": {"lang": "en"}}, {"term": {"lang": "de"}}
+        |]}}, "size": 1000000}""".stripMargin
+    val got = EsQuery.search(docs, body)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      docs.filter(col("lang").isin("en", "de")).select("doc_id").as[Long].collect().toSet)
+    // explicit minimum_should_match=2 over the same clauses → impossible → empty
+    val msm2 =
+      """{"query": {"bool": {"should": [
+        |  {"term": {"lang": "en"}}, {"term": {"lang": "de"}}
+        |], "minimum_should_match": 2}}}""".stripMargin
+    assert(EsQuery.search(docs, msm2).isEmpty)
+  }
+
+  test("should clauses add constant score on top of must, and never filter when must present") {
+    val body =
+      """{"query": {"bool": {
+        |  "must": [{"match_all": {}}],
+        |  "should": [{"term": {"lang": "en"}}]
+        |}}, "size": 1000000}""".stripMargin
+    val got = EsQuery.search(docs, body).select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val langs = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(got.size == langs.size, "should must not filter")
+    got.foreach { case (id, s) =>
+      assert(s == (if (langs(id) == "en") 1.0 else 0.0))
+    }
+  }
+
+  test("explicit sort overrides the _score ordering") {
+    val body =
+      """{"query": {"match_all": {}},
+        |"sort": [{"n_chars": {"order": "desc"}}], "size": 5}""".stripMargin
+    val got = EsQuery.search(docs, body).select("n_chars").as[Long].collect().toSeq
+    val want = docs.orderBy(desc("n_chars"), col("doc_id"))
+      .select("n_chars").as[Long].limit(5).collect().toSeq
+    assert(got == want)
+  }
+
+  test("aggs mode: multiple terms aggs union by name with null-fill") {
+    val body =
+      """{"aggs": {
+        |  "by_lang": {"terms": {"field": "lang", "size": 3},
+        |              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}},
+        |  "by_source": {"terms": {"field": "source", "size": 2}}
+        |}}""".stripMargin
+    val got = EsQuery.aggregations(docs, body)
+    assert(got.columns.toSeq == Seq("agg", "key", "doc_count", "avg_chars"))
+    val byAgg = got.collect().groupBy(_.getString(0))
+    assert(byAgg("by_lang").length == 3 && byAgg("by_source").length == 2)
+    assert(byAgg("by_source").forall(_.isNullAt(3)), "missing sub-agg null-fills")
+    // bucket order: doc_count desc within each agg
+    val counts = byAgg("by_lang").map(_.getLong(2)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
+  test("unsupported query kinds are rejected at plan time") {
+    val e = intercept[IllegalArgumentException] {
+      EsQuery.search(docs, """{"query": {"fuzzy": {"text": "x"}}}""")
+    }
+    assert(e.getMessage.contains("unsupported query kind"))
+  }
+}

@@ -60,6 +60,7 @@ object SparkEntry {
     "norm_content_type" -> (NormOps.qNormContentType _),
     "graph_obligations" -> (GraphOps.qGraphObligations _),
     "dedup_cluster" -> (GraphOps.qDedupCluster _),
+    "crawl_rank" -> (GraphOps.qCrawlRank _),
     "norm_locations" -> (NormOps.qNormLocations _),
     "norm_pipeline" -> (NormOps.qNormPipeline _),
     "nlp_preprocess" -> (NormOps.qNlpPreprocess _),
@@ -1347,6 +1348,50 @@ object SparkEntry {
         |SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical,
         |  true AS converged
         |FROM r ORDER BY doc_id""".stripMargin,
+    // crawl_rank: 3 unrolled PageRank power iterations. Every float op
+    // mirrors the Spark expression tree in DOUBLE (DuckDB bare numeric
+    // literals are DECIMAL — each is CAST so both engines run the same
+    // IEEE ops): init 1.0/N; rank' = (1-d)/N + d*(contrib + dm/N) with
+    // dm = dangling mass (docs ≡9 mod 10 emit no edges by construction).
+    "crawl_rank" ->
+      """WITH cnt AS (SELECT count(*) AS n, min(doc_id) AS mn FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, mn + ((doc_id - mn) * 31 + 7) % n AS dst
+        |  FROM documents, cnt WHERE doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT doc_id AS src, mn + ((doc_id - mn) * 17 + 3) % n AS dst
+        |  FROM documents, cnt WHERE doc_id % 10 <> 9),
+        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS nN FROM nodes),
+        |odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+        |lw AS (SELECT e.src, e.dst, o.odeg FROM edges e JOIN odeg o ON e.src = o.src),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nN AS pr FROM nodes, nn),
+        |d1 AS (SELECT coalesce(sum(pr), CAST(0.0 AS DOUBLE)) AS dm FROM r0
+        |       WHERE id NOT IN (SELECT src FROM odeg)),
+        |c1 AS (SELECT lw.dst AS id, sum(r.pr / lw.odeg) AS c
+        |       FROM lw JOIN r0 r ON lw.src = r.id GROUP BY lw.dst),
+        |r1 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nN
+        |         + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm / nN) AS pr
+        |       FROM nodes n CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 c ON n.id = c.id),
+        |d2 AS (SELECT coalesce(sum(pr), CAST(0.0 AS DOUBLE)) AS dm FROM r1
+        |       WHERE id NOT IN (SELECT src FROM odeg)),
+        |c2 AS (SELECT lw.dst AS id, sum(r.pr / lw.odeg) AS c
+        |       FROM lw JOIN r1 r ON lw.src = r.id GROUP BY lw.dst),
+        |r2 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nN
+        |         + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm / nN) AS pr
+        |       FROM nodes n CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 c ON n.id = c.id),
+        |d3 AS (SELECT coalesce(sum(pr), CAST(0.0 AS DOUBLE)) AS dm FROM r2
+        |       WHERE id NOT IN (SELECT src FROM odeg)),
+        |c3 AS (SELECT lw.dst AS id, sum(r.pr / lw.odeg) AS c
+        |       FROM lw JOIN r2 r ON lw.src = r.id GROUP BY lw.dst),
+        |r3 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nN
+        |         + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm / nN) AS pr
+        |       FROM nodes n CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 c ON n.id = c.id)
+        |SELECT id, round(pr, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |links AS (SELECT 'obl' || doc_id AS obligation,

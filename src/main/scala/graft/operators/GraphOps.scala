@@ -184,6 +184,97 @@ object GraphOps {
       comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  // ---------------------------------------------------------------- crawl_rank
+
+  /** PageRank over a directed link graph by POWER ITERATION — the classic
+    * crawl-prioritization / URL-quality signal (Page et al. 1999; what
+    * large web-corpus pipelines compute over the hyperlink graph to rank
+    * frontier URLs and weight training documents — the reference's
+    * sitemap-driven frontier has no ranking step, but a 100 TB crawl
+    * corpus needs one, same as CommonCrawl publishes host-level ranks).
+    *
+    * Semantics: parallel edges count once (callers pass a distinct edge
+    * set or accept the implicit distinct); nodes = every id appearing as
+    * src or dst; rank init = 1/N; per iteration
+    *
+    *   rank'(v) = (1−d)/N + d · ( Σ_{u→v} rank(u)/outdeg(u) + DM/N )
+    *
+    * where DM = Σ rank(u) over DANGLING nodes (no out-edges) — their mass
+    * redistributes uniformly, keeping Σ rank = 1 invariant. Fixed
+    * `iters` (power iteration converges geometrically at rate d; crawl
+    * ordering needs relative ranks, so a handful of rounds suffices and
+    * the loop is oracle-reproducible — no float-convergence probe).
+    *
+    * Scale shape: the edge⋈outdeg table is built ONCE and persisted (it
+    * is the loop invariant); each iteration is one equi-join of ranks
+    * onto it + one partial-agg sum shuffled on dst, plus two 1-row
+    * broadcast aggregates (N, dangling mass) — never a collect. Hub
+    * pages skew the dst shuffle; AQE skew-split handles it (same watch
+    * as perplexity_bucket's word join). Lineage is truncated per round
+    * (eager localCheckpoint, or reliable checkpoints under
+    * `checkpointDir` on real clusters — same contract as
+    * [[connectedComponentsWithStats]]).
+    *
+    * Output: (id, rank) for every node, full precision (callers round).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val linkW = e.join(outDeg, "src").persist()
+    val d = lit(damping)
+    var ranks = ckpt(
+      nodes.crossJoin(broadcast(nRow))
+        .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contribs = linkW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("odeg")).as("c"))
+      ranks = ckpt(
+        nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+          .join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            ((lit(1.0) - d) / col("n_nodes") +
+              d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
+              .as("rank")))
+    }
+    nodes.unpersist(false)
+    linkW.unpersist(false)
+    ranks
+  }
+
+  /** queries() wrapper: a deterministic 2-out-regular link graph over the
+    * documents table — doc i links to (i·31+7) mod N and (i·17+3) mod N
+    * (id-space shifted by min(doc_id)); docs with id ≡ 9 (mod 10) emit
+    * NOTHING, so the graph has real dangling nodes and the
+    * mass-redistribution term is exercised, not just defined. 3 power
+    * iterations, rank rounded to 6.
+    */
+  def qCrawlRank(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val stats = base.agg(count(lit(1)).as("n"), min("doc_id").as("mn"))
+    val srcs = base.crossJoin(broadcast(stats)).filter(col("doc_id") % 10 =!= 9)
+    def dst(a: Int, b: Int) =
+      col("mn") + ((col("doc_id") - col("mn")) * a + b) % col("n")
+    val e0 = srcs.select(col("doc_id").as("src"), dst(31, 7).as("dst"))
+      .unionByName(srcs.select(col("doc_id").as("src"), dst(17, 3).as("dst")))
+    val edges = e0.filter(col("src") =!= col("dst"))
+    pageRank(edges, iters = 3)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+  }
+
   /** queries() wrapper: a deterministic edge set over the documents table —
     * 5-node stars (doc → doc − doc%5) with every-35th docs linking two
     * adjacent stars into one component (so labels must propagate across

@@ -108,4 +108,57 @@ class GraphOpsSpec extends SparkSpec {
       assert(comp(p) <= orig, "canonical id is the cluster minimum")
     }
   }
+
+  /** Driver-side reference PageRank for tiny fixtures — plain Scala loops,
+    * same update rule, used to pin the distributed plan to known answers.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference update rule on a known graph with a dangling node") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1→2, 2→{1,3}, 3→1, 4→3; node 5 is reachable (3→5) but emits nothing
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+    val got = GraphOps.pageRank(e.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(e, iters = 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, pr) =>
+      assert(math.abs(pr - want(id)) < 1e-12, s"node $id: $pr vs ${want(id)}")
+    }
+    // mass conservation: the dangling redistribution keeps Σrank = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // node 4 has no in-links → the minimum rank (teleport + its dangling-
+    // mass share only; NOT the bare teleport floor — dm redistributes to
+    // every node including the unlinked one)
+    assert(got.minBy(_._2)._1 == 4L)
+    assert(got(4L) > 0.15 / 5, "dangling mass share must lift the floor")
+  }
+
+  test("pageRank is invariant to input partitioning and parallel-edge duplication") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val base = GraphOps.pageRank(e.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    val dup = GraphOps.pageRank(
+      (e ++ e ++ e).toDF("src", "dst").repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    assert(base == dup, "distinct() must collapse parallel edges; partitioning must not matter")
+  }
 }

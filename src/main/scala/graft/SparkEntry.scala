@@ -125,6 +125,7 @@ object SparkEntry {
     "sample_bottomk" -> (TextAnalysis.qSampleBottomK _),
     "sample_stratified" -> (TextAnalysis.qSampleStratified _),
     "pii_scrub" -> (TextAnalysis.qPiiScrub _),
+    "text_fix" -> (TextAnalysis.qTextFix _),
     "multimodal_meta" -> (MultimodalOps.qMultimodalMeta _)
   )
 
@@ -1834,6 +1835,39 @@ object SparkEntry {
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
         |FROM b ORDER BY doc_id""".stripMargin,
+    // text_fix: identical planted prefix (BEL via chr(7), ZWSP via
+    // chr(8203)), then the same fix chain in the same order — mojibake
+    // literal replaces, NBSP chr(160) → space, zero-width strip (RE2
+    // spells the class \x{200b}… where Java regex uses ​…), control
+    // strip, 2+-space collapse.
+    "text_fix" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'CafÃ© â€” â€œdataâ€™ Â«xÂ»' || chr(7) || chr(8203) || '  ' || text
+        |      ELSE text END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      t,'â€™','’'),'â€œ','“'),'â€”','—'),'â€“','–'),'â€¦','…'),
+        |      'Ã©','é'),'Ã¨','è'),'Ã¤','ä'),'Ã¶','ö'),'Ã¼','ü'),'Ã±','ñ'),
+        |      'Ã§','ç'),'Â«','«'),'Â»','»'),'Â°','°') AS f0
+        |  FROM base),
+        |fx AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          replace(f0, chr(160), ' '),
+        |          '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+        |        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      ' {2,}', ' ', 'g') AS f
+        |  FROM m)
+        |SELECT doc_id, f <> t AS changed, substr(f, 1, 60) AS head,
+        |  length(f) AS n_chars_fixed
+        |FROM fx ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,

@@ -523,6 +523,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------ text_fix
+
+  /** The classic UTF-8-decoded-as-cp1252 MOJIBAKE sequences and their
+    * repairs, longest/most-specific first — the deterministic core of the
+    * ftfy-style fix pass (curly quotes/dashes/ellipsis via the `â€¢`
+    * family, Latin-1 accents via the `Ã¢` family, guillemets/degree via
+    * `Â¢`). Only sequences whose cp1252 bytes are all PRINTABLE are
+    * listed: a table of literal replacements is cross-engine reproducible
+    * where a charset transcode round-trip is not.
+    */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€”" -> "—",
+    "â€“" -> "–", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "Ã±" -> "ñ", "Ã§" -> "ç",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°")
+
+  /** Zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — invisible, tokenizer-
+    * hostile, stripped outright.
+    */
+  val ZeroWidthRe = "[\\u200b\\u200c\\u200d\\ufeff]"
+  /** C0 controls except tab/newline/CR, plus DEL. */
+  val ControlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Text fixing — the encoding-repair + sanitation pass a web corpus
+    * needs before any tokenizer sees it (the published recipe: ftfy's
+    * mojibake repair, then control/zero-width stripping, then whitespace
+    * normalization; C4/CCNet both run an equivalent). In order:
+    * mojibake table ([[MojibakeFixes]], fixed order), NBSP → space,
+    * zero-width strip, control strip, 2+-space runs collapse. Every step
+    * is a literal `replace` or RE2-safe `regexp_replace` — per-row
+    * projection, zero shuffle, whole-stage codegen, and a DuckDB oracle
+    * can run the identical chain.
+    */
+  def fixText(c: Column): Column = {
+    val afterMoji = MojibakeFixes.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+    val noNbsp = replace(afterMoji, lit("\u00a0"), lit(" "))
+    val noZw = regexp_replace(noNbsp, ZeroWidthRe, "")
+    val noCtl = regexp_replace(noZw, ControlRe, "")
+    regexp_replace(noCtl, " {2,}", " ")
+  }
+
+  def textFix(docs: DataFrame, textCol: String): DataFrame = {
+    val fixed = fixText(col(textCol))
+    docs
+      .withColumn("text_fixed", fixed)
+      .withColumn("changed", fixed =!= col(textCol))
+  }
+
+  /** queries() wrapper: plants a deterministic mojibake + control-char +
+    * zero-width prefix on every 3rd doc (the other docs assert the
+    * no-op path) and emits the repaired head.
+    */
+  def qTextFix(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = when(id % 3 === 0,
+      concat(lit("CafÃ© â€” â€œdataâ€™ Â«xÂ»\u0007\u200b  "), col("text")))
+      .otherwise(col("text"))
+    textFix(Tables.documents(s, d).select(id, planted.as("text")), "text")
+      .select(col("doc_id"), col("changed"),
+        substring(col("text_fixed"), 1, 60).as("head"),
+        length(col("text_fixed")).as("n_chars_fixed"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- sample_stratified
 
   /** Deterministic STRATIFIED sampling: within each stratum keep the `k`

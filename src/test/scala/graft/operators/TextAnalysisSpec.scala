@@ -213,4 +213,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(2) == run(1 << 16))
     assert(run(0) == run(1 << 16))
   }
+
+  test("fixText repairs the classic mojibake and sanitizes invisibles") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      // the cp1252 read of UTF-8 "It’s — “quoted”…" (close-quote family
+      // excluded: its second byte is unprintable in cp1252)
+      (1L, "Itâ€™s â€” â€œquoted â€¦", "It’s — “quoted …"),
+      (2L, "CafÃ© niÃ±o GÃ¶teborg franÃ§ais", "Café niño Göteborg français"),
+      (3L, "Â«quoteÂ» at 5Â°C", "«quote» at 5°C"),
+      (4L, "nb\u00a0sp and\u0007ctl\u200bzw", "nb sp andctlzw"),
+      (5L, "a  b   c", "a b c"),
+      (6L, "already clean text.", "already clean text."))
+    val got = graft.operators.TextAnalysis
+      .textFix(cases.map(c => (c._1, c._2)).toDF("doc_id", "text"), "text")
+      .select("doc_id", "text_fixed", "changed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    cases.foreach { case (id, in, want) =>
+      assert(got(id)._1 == want, s"doc $id: '${got(id)._1}' != '$want'")
+      assert(got(id)._2 == (in != want), s"doc $id changed flag")
+    }
+    // idempotence: a fixed text survives a second pass unchanged
+    val once = cases.map(c => (c._1, got(c._1)._1)).toDF("doc_id", "text")
+    val twice = graft.operators.TextAnalysis.textFix(once, "text")
+      .filter(col("changed")).count()
+    assert(twice == 0L, "fixText must be idempotent")
+  }
 }

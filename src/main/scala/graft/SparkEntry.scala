@@ -33,6 +33,7 @@ object SparkEntry {
     // Crawl/sync pipeline semantics (SURVEY §2 #12-#16)
     "sync_diff" -> (SyncOps.qSyncDiff _),
     "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
+    "frontier_bloom" -> (SyncOps.qFrontierBloom _),
     "mark_redirects" -> (SyncOps.qMarkRedirects _),
     "error_retry" -> (SyncOps.qErrorRetry _),
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
@@ -301,6 +302,20 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM (VALUES ('/docs/1'),('/docs/33')) r(p)
         |                  WHERE starts_with(path, p))
         |ORDER BY id, url""".stripMargin,
+    // frontier_bloom: the answer is the plain anti-join — the bloom
+    // prefilter changes the PLAN (what reaches the shuffle), never the
+    // result; that exactness is precisely what this oracle pins.
+    "frontier_bloom" ->
+      """WITH cand AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.eu/docs/' || doc_id || '.html' AS url
+        |  FROM documents),
+        |seen AS (
+        |  SELECT 'https://' || source || '.example.eu/docs/' || doc_id || '.html' AS url
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, url FROM cand
+        |WHERE url NOT IN (SELECT url FROM seen)
+        |ORDER BY doc_id""".stripMargin,
     "mark_redirects" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -118,6 +118,54 @@ object SyncOps {
       .orderBy("id", "url")
   }
 
+  // ------------------------------------------------------------ frontier_bloom
+
+  /** The frontier's seen-set at 100 TB: a distributed BLOOM PREFILTER in
+    * front of the exact anti-join. A crawl accumulates billions of
+    * already-processed URLs; anti-joining every candidate against that
+    * set shuffles BOTH sides on the url. The bloom filter
+    * ([[graft.functions.BloomBuildAgg]] — built as a partial aggregate,
+    * OR-merged, never collected) rides a 1-row broadcast instead:
+    * candidates it rejects are DEFINITELY unseen (no false negatives) and
+    * skip the join entirely; only the `fpp` false-positive sliver plus the
+    * genuinely-seen rows reach the exact anti-join, so the shuffle
+    * carries ~|seen ∩ candidates| + fpp·|candidates| rows instead of
+    * |candidates|. The final result is EXACT — the bloom only routes.
+    *
+    * `expectedSeen` sizes the filter (textbook m/k from fpp); overshoot
+    * just raises the FP rate, never costs correctness.
+    */
+  def frontierBloom(candidates: DataFrame, seen: DataFrame,
+      expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFns._
+    val bloomDf = seen.agg(
+      bloom_build(xxhash64(col("url")), expectedSeen, fpp).as("bloom"))
+    val probed = candidates.crossJoin(broadcast(bloomDf))
+      .withColumn("maybe_seen",
+        bloom_might_contain(xxhash64(col("url")), col("bloom")))
+    val definitelyNew = probed.filter(!col("maybe_seen"))
+      .drop("bloom", "maybe_seen")
+    val confirmedNew = probed.filter(col("maybe_seen"))
+      .drop("bloom", "maybe_seen")
+      .join(seen.select("url"), Seq("url"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** queries() wrapper: unique candidate urls from every doc; docs ≡ 0
+    * (mod 3) were seen by the previous crawl. The result is exact (the
+    * oracle is the plain anti-join) — what the bloom changes is the plan,
+    * not the answer.
+    */
+  def qFrontierBloom(s: SparkSession, d: String): DataFrame = {
+    def url = concat(lit("https://"), col("source"), lit(".example.eu/docs/"),
+      col("doc_id"), lit(".html")).as("url")
+    val docs = Tables.documents(s, d)
+    val candidates = docs.select(col("doc_id"), url)
+    val seen = docs.filter(col("doc_id") % 3 === 0).select(url)
+    frontierBloom(candidates, seen, expectedSeen = 10000)
+      .select("doc_id", "url").orderBy("doc_id")
+  }
+
   /** fnmatch glob → Java regex with the reference's full semantics
     * (dags/lib/robots_txt.py:22 `applies_to`, which delegates to Python
     * `fnmatch.fnmatchcase`): `*` any run, `?` one char, `[seq]` / `[!seq]`

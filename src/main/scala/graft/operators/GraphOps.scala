@@ -229,29 +229,38 @@ object GraphOps {
     val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
     val linkW = e.join(outDeg, "src").persist()
-    val d = lit(damping)
     var ranks = ckpt(
       nodes.crossJoin(broadcast(nRow))
         .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank")))
     for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-      val contribs = linkW
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("odeg")).as("c"))
-      ranks = ckpt(
-        nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
-          .join(contribs, Seq("id"), "left")
-          .select(col("id"),
-            ((lit(1.0) - d) / col("n_nodes") +
-              d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
-              .as("rank")))
+      ranks = ckpt(pageRankStep(nodes, nRow, linkW, outDeg, ranks, damping))
     }
     nodes.unpersist(false)
     linkW.unpersist(false)
     ranks
+  }
+
+  /** One power-iteration update — factored out so plan audits can inspect
+    * the ITERATION plan (the checkpointed loop flattens each round to an
+    * ExistingRDD scan, hiding the join/agg shape from the final plan).
+    */
+  private[graft] def pageRankStep(nodes: DataFrame, nRow: DataFrame,
+      linkW: DataFrame, outDeg: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val d = lit(damping)
+    val dangling = ranks
+      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+    val contribs = linkW
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("rank") / col("odeg")).as("c"))
+    nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+      .join(contribs, Seq("id"), "left")
+      .select(col("id"),
+        ((lit(1.0) - d) / col("n_nodes") +
+          d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
+          .as("rank"))
   }
 
   /** queries() wrapper: a deterministic 2-out-regular link graph over the

@@ -240,4 +240,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.exists(_.references.exists(_.name == "doc_id"))),
       "remaining windows must partition by doc_id")
   }
+
+  test("es_query compiles to the search_bm25 shape: broadcast stats, top-k, no corpus shuffle") {
+    val p = plan("es_query")
+    assert(p.contains("BroadcastExchange"), "1-row index stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "size cap must be a top-k, not a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the scoring pass must never shuffle the corpus")
+  }
+
+  test("text_fix is a pure narrow projection (zero exchanges)") {
+    // the one Exchange allowed is the deterministic output sort
+    val p = plan("text_fix")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"text_fix should be scan→project→sort, got:\n$p")
+    assert(!p.contains("Join"), "text_fix must not join")
+  }
+
+  test("frontier_bloom: bloom broadcasts; only the maybe-seen sliver reaches the anti-join") {
+    val p = plan("frontier_bloom")
+    assert(p.contains("BroadcastExchange"), "the 1-row bloom must broadcast")
+    assert(p.contains("LeftAnti"), "the exact verify is an anti-join")
+    assert(!p.contains("CartesianProduct"), "no cartesian — the cross join is 1-row broadcast")
+  }
+
+  test("crawl_rank: the iteration plan equi-joins ranks and broadcasts the 1-row aggregates") {
+    // The checkpointed loop flattens each round to an ExistingRDD scan, so
+    // the audit inspects ONE iteration step built on real edges.
+    val edges = spark.range(1000).selectExpr("id AS src", "(id * 31 + 7) % 1000 AS dst")
+    val e = edges.distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val linkW = e.join(outDeg, "src")
+    val ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
+    val step = graft.operators.GraphOps
+      .pageRankStep(nodes, nRow, linkW, outDeg, ranks, 0.85)
+    val p = step.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "iteration must not have a cartesian product")
+    assert(p.contains("BroadcastExchange"),
+      "the N and dangling-mass 1-row aggregates must broadcast")
+    assert(p.contains("LeftAnti"), "dangling mass is an anti-join against out-degrees")
+  }
 }

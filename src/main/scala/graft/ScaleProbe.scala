@@ -138,6 +138,41 @@ object ScaleProbe {
         obligations = Map("http://rod/1" -> "Reporting obligation 1"),
         currentYear = 2016, archivedExpires = "2026-08-10",
         themeTaxonomy = Map("Water" -> "water")))
+
+      // ---- round-10 operators
+
+      // 3 power iterations over a 2-out-regular graph: per-iteration cost is
+      // one edges⋈ranks join + one dst-keyed agg — wall must track edges ~K
+      probe("crawl_rank", k, {
+        val ids = corpusK(k).select(col("doc_id"))
+        val st = ids.agg(count(lit(1)).as("n"), min("doc_id").as("mn"))
+        val withS = ids.crossJoin(broadcast(st))
+        def dst(a: Int, b: Int) =
+          col("mn") + ((col("doc_id") - col("mn")) * a + b) % col("n")
+        val edges = withS.select(col("doc_id").as("src"), dst(31, 7).as("dst"))
+          .unionByName(withS.select(col("doc_id").as("src"), dst(17, 3).as("dst")))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.GraphOps.pageRank(edges, iters = 3)
+      })
+      // compiled ES search: one broadcast stats agg + one scoring scan +
+      // top-k — the 25-row output is fixed, the two scans grow ~K
+      probe("es_query", k, graft.operators.EsQuery.search(
+        corpusK(k).withColumn("n_chars", length(col("text"))),
+        graft.operators.EsQuery.demoSearchBody))
+      // per-row repair chain (literal replaces + 3 regexes): scan-bound
+      probeForced("text_fix", k, graft.operators.TextAnalysis.textFix(
+        corpusK(k), "text"))
+      // bloom build over seen (~K/3 rows) + broadcast probe + anti-join of
+      // the maybe-seen sliver; sized to the replicated seen count
+      probe("frontier_bloom", k, {
+        def url = concat(lit("https://"), col("source"), lit(".x.eu/"),
+          col("doc_id"), lit(".html")).as("url")
+        val c = corpusK(k)
+        graft.operators.SyncOps.frontierBloom(
+          c.select(col("doc_id"), url),
+          c.filter(col("doc_id") % 3 === 0).select(url),
+          expectedSeen = 3000L * k)
+      })
     }
     spark.stop()
   }

@@ -191,6 +191,29 @@ object EsQuery {
         val pred = col(f).isNotNull
         (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
 
+      case "prefix" =>
+        val (f, body) = singleField(spec, "prefix")
+        val v = if (body.isObject)
+          Option(body.get("value")).getOrElse(fail(s"prefix needs 'value': $body")).asText
+        else body.asText
+        val pred = col(f).startsWith(v)
+        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+
+      case "wildcard" =>
+        // ES wildcard: * = any run, ? = one char, anchored both ends
+        val (f, body) = singleField(spec, "wildcard")
+        val v = if (body.isObject)
+          Option(body.get("value")).getOrElse(fail(s"wildcard needs 'value': $body")).asText
+        else body.asText
+        val regex = v.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()<>+-=!$^|,#&~'\" ".contains(c) => "\\" + c
+          case c => c.toString
+        }
+        val pred = col(f).rlike(s"^$regex$$")
+        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+
       case "bool" =>
         val must = clausesOf(spec, "must").map(clause(_, ctx))
         val filt = clausesOf(spec, "filter").map(clause(_, new Ctx(false)))

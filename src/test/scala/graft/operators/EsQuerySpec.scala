@@ -104,6 +104,21 @@ class EsQuerySpec extends SparkSpec {
     assert(counts == counts.sorted.reverse)
   }
 
+  test("prefix and wildcard clauses compile to anchored predicates") {
+    val pfx = """{"query": {"prefix": {"source": "src"}}, "size": 1000000}"""
+    assert(EsQuery.search(docs, pfx).count() == docs.count(),
+      "every source starts with 'src'")
+    val wc = """{"query": {"wildcard": {"source": "s?c1*"}}, "size": 1000000}"""
+    val got = EsQuery.search(docs, wc).select("doc_id").as[Long].collect().toSet
+    val want = docs.filter(col("source").rlike("^s.c1.*$"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // wildcard must anchor: 'rc1*' matches nothing even though it occurs mid-string
+    assert(EsQuery.search(docs, """{"query": {"wildcard": {"source": "rc1*"}}}""").isEmpty)
+    // regex metacharacters in the pattern are literal, not regex
+    assert(EsQuery.search(docs, """{"query": {"wildcard": {"source": "src."}}}""").isEmpty)
+  }
+
   test("unsupported query kinds are rejected at plan time") {
     val e = intercept[IllegalArgumentException] {
       EsQuery.search(docs, """{"query": {"fuzzy": {"text": "x"}}}""")

@@ -39,6 +39,7 @@ object SparkEntry {
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
     "url_canonical" -> (SyncOps.qUrlCanonical _),
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
+    "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
@@ -414,6 +415,34 @@ object SparkEntry {
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
         |FROM ent ORDER BY source, url""".stripMargin,
+    // link_extract: same synthesized html, same two-group regex (DuckDB
+    // zips parallel unnests positionally, mirroring arrays_zip+posexplode),
+    // same href resolution CASE and anchor tag-strip.
+    "link_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    '<p>intro</p><a href="https://other.eu/p/' || (doc_id % 13) ||
+        |    '">Abs <b>link</b></a><a href="/docs/' || (doc_id % 7) ||
+        |    '.html">Rooted</a><a href="rel/' || (doc_id % 5) ||
+        |    '">Relative</a><a href="#frag">Skip</a>' ||
+        |    '<a href="javascript:void(0)">Js</a><a href="mailto:a@b.eu">Mail</a>' AS html,
+        |    'https://site.eu/docs/page' || doc_id || '.html' AS page_url
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, page_url,
+        |    unnest(regexp_extract_all(html, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+        |    unnest(regexp_extract_all(html, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 2)) AS anchor0
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(href, '^https?://') THEN href
+        |       WHEN starts_with(href, '/')
+        |         THEN regexp_extract(page_url, '^https?://[^/]+', 0) || href
+        |       ELSE regexp_replace(page_url, '/[^/]*$', '/') || href END AS link_url,
+        |  trim(regexp_replace(anchor0, '<.*?>', '', 'g')) AS anchor
+        |FROM ex
+        |WHERE NOT starts_with(href, '#') AND NOT starts_with(href, 'javascript:')
+        |  AND NOT starts_with(href, 'mailto:') AND href <> ''
+        |ORDER BY doc_id, link_url""".stripMargin,
     // robots '?'-glob becomes the regex ^/docs/3. (one char, implied
     // trailing *); the '/docs/11' prefix rule is a plain LIKE
     "plone_search" ->

@@ -433,6 +433,66 @@ object SyncOps {
       .orderBy("source", "url")
   }
 
+  // ------------------------------------------------------------- link_extract
+
+  /** HTML → outgoing-link table: every `<a href="...">` with its anchor
+    * text, hrefs resolved against the page url — the edge source for
+    * [[GraphOps.pageRank]] and the in-page half of frontier discovery
+    * (sitemaps and the Plone API enumerate a site's OWN pages; anchors are
+    * how a crawl discovers everything else).
+    *
+    * Parsing is the same anchored-regex-in-codegen tier as
+    * [[parseSitemaps]]: one `regexp_extract_all` per capture group (the
+    * match list is identical, so the (href, anchor) arrays zip
+    * positionally), `posexplode` to rows, anchor text tag-stripped. Only
+    * double-quoted hrefs are matched (the normalized-HTML convention, same
+    * scope as the reference's own regex-level html handling). Resolution:
+    * absolute http(s) kept; `/path` joins the page's scheme+host; other
+    * relative paths join the page's directory; `#`/`javascript:`/`mailto:`
+    * drop. Per-row explode, zero shuffle.
+    */
+  def linkExtract(docs: DataFrame, htmlCol: String, pageUrlCol: String): DataFrame = {
+    val LinkRe = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val hrefs = regexp_extract_all(col(htmlCol), lit(LinkRe), lit(1))
+    val anchors = regexp_extract_all(col(htmlCol), lit(LinkRe), lit(2))
+    val host = regexp_extract(col(pageUrlCol), "^https?://[^/]+", 0)
+    val dir = regexp_replace(col(pageUrlCol), "/[^/]*$", "/")
+    docs
+      .select(col("*"), posexplode(arrays_zip(hrefs, anchors)).as(Seq("pos", "lnk")))
+      .withColumn("href", col("lnk.0"))
+      .withColumn("anchor", trim(regexp_replace(col("lnk.1"), "<.*?>", "")))
+      .filter(!col("href").startsWith("#") &&
+        !col("href").startsWith("javascript:") && !col("href").startsWith("mailto:") &&
+        col("href") =!= "")
+      .withColumn("link_url",
+        when(col("href").rlike("^https?://"), col("href"))
+          .when(col("href").startsWith("/"), concat(host, col("href")))
+          .otherwise(concat(dir, col("href"))))
+      .drop("pos", "lnk", "href")
+  }
+
+  /** queries() wrapper: synthesizes one html body per doc carrying an
+    * absolute link, a root-relative link, a directory-relative link, and
+    * the three droppable kinds (fragment, javascript, mailto), plus a
+    * nested-markup anchor — the oracle rebuilds the same extraction with
+    * DuckDB's regexp_extract_all.
+    */
+  def qLinkExtract(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<p>intro</p><a href=\"https://other.eu/p/"), id % 13,
+      lit("\">Abs <b>link</b></a><a href=\"/docs/"), id % 7,
+      lit(".html\">Rooted</a><a href=\"rel/"), id % 5,
+      lit("\">Relative</a><a href=\"#frag\">Skip</a>"),
+      lit("<a href=\"javascript:void(0)\">Js</a><a href=\"mailto:a@b.eu\">Mail</a>"))
+    val pageUrl = concat(lit("https://site.eu/docs/page"), id, lit(".html"))
+    linkExtract(
+      Tables.documents(s, d).select(id, html.as("html"), pageUrl.as("page_url")),
+      "html", "page_url")
+      .select("doc_id", "link_url", "anchor")
+      .orderBy("doc_id", "link_url")
+  }
+
   // ------------------------------------------------------------- plone_search
 
   /** The Plone-REST-API site crawler's per-site admission config — the

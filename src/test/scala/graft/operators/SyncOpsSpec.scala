@@ -284,4 +284,40 @@ class SyncOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
     assert(out("md-0").map(_.getString(0)) == Seq("md-1"))
   }
+
+  test("linkExtract resolves hrefs, strips anchor markup, drops non-links") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L,
+      """<a href="https://a.eu/x">Abs</a><a href="/r">Root <i>it</i></a>""" +
+        """<a href="sub/p.html">Rel</a><a href="#f">F</a>""" +
+        """<a href="mailto:x@y.eu">M</a><a href="">E</a>""",
+      "https://site.eu/dir/page.html")).toDF("doc_id", "html", "page_url")
+    val got = SyncOps.linkExtract(docs, "html", "page_url")
+      .select("link_url", "anchor").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set(
+      "https://a.eu/x" -> "Abs",
+      "https://site.eu/r" -> "Root it",
+      "https://site.eu/dir/sub/p.html" -> "Rel"))
+  }
+
+  test("the crawl loop closes: linkExtract edges feed pageRank") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 3-page site whose pages link each other (plus an external sink)
+    val docs = Seq(
+      (1L, """<a href="/p2">two</a><a href="/p3">three</a>""", "https://s.eu/p1"),
+      (2L, """<a href="/p1">one</a>""", "https://s.eu/p2"),
+      (3L, """<a href="https://ext.eu/out">ext</a>""", "https://s.eu/p3"))
+      .toDF("doc_id", "html", "page_url")
+    val edges = SyncOps.linkExtract(docs, "html", "page_url")
+      .select(col("page_url").as("src"), col("link_url").as("dst"))
+    val ranks = graft.operators.GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 4, "3 pages + the external sink are the node set")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, "mass conserved incl. dangling ext page")
+    assert(ranks("https://s.eu/p1") > ranks("https://s.eu/p3"),
+      "the page everything links to outranks the leaf")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, CountTokenRun, DotProduct, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomMightContain, CosineSim, CountTokenRun, DotProduct, WinnowFingerprints, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.CreateArray
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -60,6 +60,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CountTokenRun(args(0), elems.map(_.asInstanceOf[Literal].value.toString))
         case _ => throw new IllegalArgumentException(
           "count_token_run: the phrase must be a non-empty array of string literals (it is part of the plan)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(hash, bloom) - probe a graft bloom binary with a bigint hash (false = definitely absent)"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      info("bloom_build",
+        "bloom_build(hash, numBits, numHashes) - aggregate bigint hashes into a graft bloom binary"),
+      (args: Seq[Expression]) => (args(1), args(2)) match {
+        case (Literal(bits: Int, _), Literal(k: Int, _)) =>
+          graft.functions.BloomBuildAgg(args(0), bits.toLong, k)
+        case (Literal(bits: Long, _), Literal(k: Int, _)) =>
+          graft.functions.BloomBuildAgg(args(0), bits, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_build: numBits and numHashes must be integer literals (they size the plan)")
       }))
   }
 }

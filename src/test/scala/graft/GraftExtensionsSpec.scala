@@ -32,6 +32,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](2) === Seq("a_b", "b_c", "c_b"))
       assert(r.getLong(3) === 2L)
       assert(r.getInt(4) > 0, "winnow_fingerprints must yield fingerprints via SQL")
+      // the bloom pair end-to-end in SQL: build over 3 urls, probe member + non-member
+      val b = spark.sql(
+        """SELECT bloom_might_contain(xxhash64('u1'), b) AS hit,
+          |       bloom_might_contain(xxhash64('not-there-xyz'), b) AS miss
+          |FROM (SELECT bloom_build(xxhash64(u), 8192, 7) AS b
+          |      FROM VALUES ('u1'), ('u2'), ('u3') AS t(u))""".stripMargin)
+        .collect()(0)
+      assert(b.getBoolean(0), "member must probe true")
+      assert(!b.getBoolean(1), "a fresh key should probe false at this sizing")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -21,6 +21,11 @@ object ScaleProbe {
     // "1,2,4"; "1,10" = the sf1-equivalent 10× probe).
     val ks = if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
              else Seq(1, 2, 4)
+    // Optional third arg: comma-separated op names — probe only these
+    // (empty/absent = probe everything).
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val spark = GraftSession.get("graft-scale-probe")
 
     def corpusK(k: Int): DataFrame =
@@ -46,6 +51,7 @@ object ScaleProbe {
       }.reduce(_.unionByName(_))
 
     def probe(op: String, k: Int, df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(op)) return
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -155,13 +161,28 @@ object ScaleProbe {
         graft.operators.GraphOps.pageRank(edges, iters = 3)
       })
       // compiled ES search: one broadcast stats agg + one scoring scan +
-      // top-k — the 25-row output is fixed, the two scans grow ~K
+      // top-k — the 25-row output is fixed, the two scans grow ~K.
+      // Query terms carry replica-0's word suffix (corpusK appends "r<r>"
+      // to every word) so the match clause actually scores rows.
       probe("es_query", k, graft.operators.EsQuery.search(
         corpusK(k).withColumn("n_chars", length(col("text"))),
-        graft.operators.EsQuery.demoSearchBody))
+        graft.operators.EsQuery.demoSearchBody
+          .replace("data merge", "datar0 merger0")))
       // per-row repair chain (literal replaces + 3 regexes): scan-bound
       probeForced("text_fix", k, graft.operators.TextAnalysis.textFix(
         corpusK(k), "text"))
+      // anchored-regex extract + per-row explode, zero shuffle: wall must
+      // track the synthesized page volume ~K
+      probeForced("link_extract", k, graft.operators.SyncOps.linkExtract(
+        corpusK(k)
+          .withColumn("html", concat(
+            lit("<p>intro</p><a href=\"/a/"), col("doc_id"),
+            lit(".html\">Rel <b>link</b></a>"),
+            lit("<a href=\"https://ex.eu/b.html\">Abs link</a>"),
+            lit("<a href=\"#frag\">skip</a><a href=\"sub/c.html\">Dir link</a>")))
+          .withColumn("page_url",
+            concat(lit("https://"), col("source"), lit(".x.eu/dir/page.html"))),
+        "html", "page_url"))
       // bloom build over seen (~K/3 rows) + broadcast probe + anti-join of
       // the maybe-seen sliver; sized to the replicated seen count
       probe("frontier_bloom", k, {

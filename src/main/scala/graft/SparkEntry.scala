@@ -34,6 +34,7 @@ object SparkEntry {
     "sync_diff" -> (SyncOps.qSyncDiff _),
     "crawl_frontier" -> (SyncOps.qCrawlFrontier _),
     "frontier_bloom" -> (SyncOps.qFrontierBloom _),
+    "frontier_schedule" -> (SyncOps.qFrontierSchedule _),
     "mark_redirects" -> (SyncOps.qMarkRedirects _),
     "error_retry" -> (SyncOps.qErrorRetry _),
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
@@ -317,6 +318,20 @@ object SparkEntry {
         |SELECT doc_id, url FROM cand
         |WHERE url NOT IN (SELECT url FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    "frontier_schedule" ->
+      """WITH f AS (
+        |  SELECT 'https://' || source || '.eu/d/' || doc_id AS url,
+        |    source AS host, n_chars AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT url, host, priority,
+        |    row_number() OVER (PARTITION BY host
+        |                       ORDER BY priority DESC, url) AS host_rank
+        |  FROM f)
+        |SELECT url, host, priority, host_rank,
+        |  (host_rank - 1) // 3 AS wave, (host_rank - 1) % 3 AS slot
+        |FROM r WHERE host_rank <= 400
+        |ORDER BY host, host_rank""".stripMargin,
     "mark_redirects" ->
       """WITH docs AS (
         |  SELECT doc_id,

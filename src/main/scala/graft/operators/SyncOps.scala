@@ -730,6 +730,58 @@ object SyncOps {
     * Children scalarize to `|`-joined id/changeDate strings for the
     * hash compare.
     */
+  // ------------------------------------------------------ frontier_schedule
+
+  /** Politeness scheduling for a crawl frontier: assign every candidate URL
+    * a fetch `wave` and within-wave `slot` such that no host is hit more
+    * than `slotsPerWave` times per wave, highest-priority pages first.
+    *
+    * The reference crawls per-site DAGs sequentially, so politeness is
+    * implicit (one Airflow task per site fetches one page at a time,
+    * dags/crawlers/crawlers/crawl_sitemap.py drives a site's own list); a
+    * 1000-executor crawl over millions of hosts needs the schedule to be
+    * DATA — workers pull `wave = w` and the per-host cap holds by
+    * construction, with no coordination beyond the precomputed column.
+    *
+    * Plan shape: one shuffle on the host key; the per-host `row_number`
+    * window sorts only within a host's slice, never globally. Host skew =
+    * big sites; `maxPerHost` (reference analog: crawl_sitemap.py's
+    * per-site page budget) truncates a pathological host BEFORE the wave
+    * math, bounding every window partition. Deterministic: priority desc,
+    * then url asc as the tie-break.
+    */
+  def frontierSchedule(
+      urls: DataFrame,
+      hostCol: String,
+      priorityCol: String,
+      slotsPerWave: Int,
+      maxPerHost: Long = Long.MaxValue): DataFrame = {
+    require(slotsPerWave > 0, "slotsPerWave must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(col(priorityCol).desc, col("url"))
+    urls
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .filter(col("host_rank") <= maxPerHost)
+      .withColumn("wave", ((col("host_rank") - 1) / slotsPerWave).cast("long"))
+      .withColumn("slot", ((col("host_rank") - 1) % slotsPerWave).cast("long"))
+  }
+
+  /** Oracle query: frontier synthesized from `documents` (host = source,
+    * priority = n_chars), 3 slots per wave per host, 400-page host budget.
+    */
+  def qFrontierSchedule(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("https://"), col("source"), lit(".eu/d/"), col("doc_id"))
+        .as("url"),
+      col("source").as("host"),
+      col("n_chars").as("priority"))
+    frontierSchedule(docs, "host", "priority", slotsPerWave = 3,
+        maxPerHost = 400L)
+      .select("url", "host", "priority", "host_rank", "wave", "slot")
+      .orderBy("host", "host_rank")
+  }
+
   def qSdiChildren(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val docs = Tables.documents(s, d).select(

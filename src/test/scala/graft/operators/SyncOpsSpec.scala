@@ -320,4 +320,26 @@ class SyncOpsSpec extends SparkSpec {
     assert(ranks("https://s.eu/p1") > ranks("https://s.eu/p3"),
       "the page everything links to outranks the leaf")
   }
+
+  test("frontierSchedule: per-host cap holds per wave, priority first, budget truncates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = (1 to 7).map(i => (s"https://a.eu/$i", "a", i.toLong)) ++
+      Seq(("https://b.eu/1", "b", 5L), ("https://b.eu/2", "b", 5L))
+    val out = SyncOps.frontierSchedule(
+      urls.toDF("url", "host", "priority").repartition(7),
+      "host", "priority", slotsPerWave = 3, maxPerHost = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("host_rank"), r.getAs[Long]("wave"), r.getAs[Long]("slot")))
+      .toMap
+    // host a: 7 urls, budget 5 → urls 7,6,5,4,3 kept (priority desc), 1-2 dropped
+    assert(!out.contains("https://a.eu/1") && !out.contains("https://a.eu/2"))
+    assert(out("https://a.eu/7") == (1L, 0L, 0L), "highest priority is wave 0 slot 0")
+    assert(out("https://a.eu/4") == (4L, 1L, 0L), "4th page rolls into wave 1")
+    // no host exceeds slotsPerWave in any wave
+    val perHostWave = out.groupBy { case (u, (_, w, _)) => (u.contains("//a."), w) }
+    assert(perHostWave.values.forall(_.size <= 3))
+    // equal priority ties break by url asc, deterministically
+    assert(out("https://b.eu/1")._1 == 1L && out("https://b.eu/2")._1 == 2L)
+  }
 }

@@ -40,6 +40,8 @@ object SparkEntry {
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
     "url_canonical" -> (SyncOps.qUrlCanonical _),
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
+    "robots_parse" -> (SyncOps.qRobotsParse _),
+    "robots_fetch" -> (SyncOps.qRobotsFetch _),
     "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
@@ -430,6 +432,125 @@ object SparkEntry {
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
         |FROM ent ORDER BY source, url""".stripMargin,
+    // robots_parse: rebuild the identical robots.txt fixture, then replay
+    // the CPython robotparser state machine with the same window logic —
+    // blank-on-RAW-line, lag-based group starts, running blank count
+    // closing entries, crawl-delay kept for grouping but emitting no rule.
+    "robots_parse" ->
+      """WITH rd AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Allow: /docs/' || doc_id || '/pub'
+        |         ELSE 'Disallow: /docs/' || doc_id || '/' END AS l
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |body AS (
+        |  SELECT source, string_agg(l, chr(10) ORDER BY doc_id) AS b
+        |  FROM rd GROUP BY source),
+        |robots AS (
+        |  SELECT source AS host,
+        |    '# robots for ' || source || chr(10) ||
+        |    'Disallow: /early/' || chr(10) ||
+        |    'User-agent: graftbot' || chr(10) ||
+        |    'User-Agent: eeabot' || chr(10) ||
+        |    b || chr(10) ||
+        |    '  # mid comment' || chr(10) ||
+        |    'Disallow: /search?' || chr(10) ||
+        |    'Allow:' || chr(10) ||
+        |    chr(10) ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Allow: /pub/' || chr(10) ||
+        |    'Disallow: /tmp/*.pdf$' || chr(10) ||
+        |    'Crawl-delay: 5' || chr(10) ||
+        |    'Disallow:' || chr(10) ||
+        |    'Sitemap: https://example.eu/sitemap.xml' AS content
+        |  FROM body),
+        |lines AS (
+        |  SELECT host,
+        |    unnest(string_split(content, chr(10))) AS raw,
+        |    unnest(range(len(string_split(content, chr(10))))) AS line_no
+        |  FROM robots),
+        |kv AS (
+        |  SELECT host, line_no, raw = '' AS is_blank,
+        |    trim(regexp_replace(raw, '#.*$', '')) AS line
+        |  FROM lines),
+        |kv2 AS (
+        |  SELECT *,
+        |    lower(trim(coalesce(regexp_extract(line, '^([^:]+):', 1), ''))) AS key,
+        |    trim(coalesce(regexp_extract(line, '^[^:]*:(.*)$', 1), '')) AS value
+        |  FROM kv),
+        |kept AS (
+        |  SELECT *, (NOT is_blank AND key = 'user-agent') AS is_ua FROM kv2
+        |  WHERE is_blank OR key IN
+        |    ('user-agent','allow','disallow','crawl-delay','request-rate')),
+        |g1 AS (
+        |  SELECT *, CASE WHEN is_ua AND NOT coalesce(
+        |      lag(is_ua) OVER (PARTITION BY host ORDER BY line_no), FALSE)
+        |    THEN 1 ELSE 0 END AS sg
+        |  FROM kept),
+        |g2 AS (
+        |  SELECT *, sum(sg) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+        |  FROM g1),
+        |g3 AS (
+        |  SELECT *, sum(CASE WHEN is_blank THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY host, group_id ORDER BY line_no
+        |       ROWS UNBOUNDED PRECEDING) AS closed
+        |  FROM g2 WHERE group_id >= 1),
+        |ag AS (
+        |  SELECT host, group_id,
+        |    array_to_string(list_sort(list(DISTINCT value)), ',') AS agents
+        |  FROM g3 WHERE is_ua GROUP BY host, group_id),
+        |ru AS (
+        |  SELECT host, group_id,
+        |    row_number() OVER (PARTITION BY host, group_id ORDER BY line_no) AS rule_idx,
+        |    (key = 'allow' OR value = '') AS allowance, value AS path
+        |  FROM g3 WHERE key IN ('allow','disallow') AND closed = 0)
+        |SELECT r.host, CAST(r.group_id AS BIGINT) AS group_id, a.agents,
+        |  CAST(r.rule_idx AS BIGINT) AS rule_idx, r.allowance, r.path
+        |FROM ru r JOIN ag a ON r.host = a.host AND r.group_id = a.group_id
+        |ORDER BY 1, 2, 4""".stripMargin,
+    // robots_fetch: the rule table is stated independently as VALUES (the
+    // fixture's six rules are static per host), entry choice is the ua
+    // CASE, the RuleLine cascade is ?-prefix / * / prefix / $-exact, and
+    // first-match-wins is min_by(allowance, rule_idx).
+    "robots_fetch" ->
+      """WITH u0 AS (
+        |  SELECT doc_id, source AS host,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN '/docs/private/' || doc_id
+        |      WHEN 1 THEN '/docs/' || doc_id
+        |      WHEN 2 THEN '/search?q=' || doc_id
+        |      WHEN 3 THEN '/exact'
+        |      WHEN 4 THEN '/exact/' || doc_id
+        |      WHEN 5 THEN '/team/' || doc_id
+        |      ELSE '/' || doc_id END AS fn
+        |  FROM documents),
+        |uu AS (
+        |  SELECT doc_id, host, 'https://' || host || '.example.eu' || fn AS url,
+        |    fn, ua
+        |  FROM u0 CROSS JOIN (SELECT unnest(['graftbot/2.1','otherbot']) AS ua) uas),
+        |r AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 1, FALSE, '/docs/private/'),
+        |    (1, 2, TRUE,  '/docs/'),
+        |    (1, 3, FALSE, '/search?'),
+        |    (1, 4, FALSE, '/exact$'),
+        |    (1, 5, FALSE, '/team'),
+        |    (2, 1, FALSE, '/')) t(grp, rule_idx, allowance, path)),
+        |m AS (
+        |  SELECT uu.doc_id, uu.ua, uu.url, r.rule_idx, r.allowance
+        |  FROM uu JOIN r
+        |    ON r.grp = CASE WHEN uu.ua = 'graftbot/2.1' THEN 1 ELSE 2 END
+        |  WHERE CASE
+        |      WHEN path LIKE '%?' THEN starts_with(fn, path)
+        |      WHEN path = '*' THEN TRUE
+        |      WHEN starts_with(fn, path) THEN TRUE
+        |      WHEN path LIKE '%$' THEN fn = rtrim(path, '$')
+        |      ELSE FALSE END),
+        |best AS (
+        |  SELECT doc_id, ua, min_by(allowance, rule_idx) AS a
+        |  FROM m GROUP BY doc_id, ua)
+        |SELECT uu.doc_id, uu.ua, uu.url, coalesce(b.a, TRUE) AS allowed
+        |FROM uu LEFT JOIN best b ON uu.doc_id = b.doc_id AND uu.ua = b.ua
+        |ORDER BY 1, 2""".stripMargin,
     // link_extract: same synthesized html, same two-group regex (DuckDB
     // zips parallel unnests positionally, mirroring arrays_zip+posexplode),
     // same href resolution CASE and anchor tag-strip.

@@ -305,3 +305,78 @@ case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** fnmatch glob → Java regex as a native expression, so robots RULES READ
+  * FROM DATA (not driver-side constants) get the exact `applies_to`
+  * wildcard semantics of dags/lib/robots_txt.py:22: `*` any run, `?` one
+  * char, `[seq]`/`[!seq]` classes, trailing `$` exact match, implied
+  * trailing `*` otherwise. The translation core is the single shared
+  * implementation — `SyncOps.globToRegex` (driver-side rule seqs) delegates
+  * here, so column-path and constant-path semantics cannot diverge.
+  * Foldable on literal input; codegen calls the same static kernel as the
+  * interpreted path.
+  */
+case class GlobRegex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GlobRegex.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GlobRegex.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GlobRegex {
+  def compute(glob: UTF8String): UTF8String =
+    UTF8String.fromString(translate(glob.toString))
+
+  /** The reference's RuleLine.applies_to wildcard semantics (see the case
+    * class scaladoc). Moved here verbatim from SyncOps.globToRegex so the
+    * native expression and the driver-side helper share one body.
+    */
+  def translate(rule: String): String = {
+    val (core, exact) =
+      if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < core.length) {
+      core(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          // fnmatch class: ONLY a leading ! negates — a leading ^ is a
+          // LITERAL caret in fnmatch (CPython translate escapes it), so it
+          // must not become Java-regex negation; a ] in first position is
+          // literal; an unterminated [ is a literal bracket.
+          var j = i + 1
+          if (j < core.length && (core(j) == '!' || core(j) == '^')) j += 1
+          if (j < core.length && core(j) == ']') j += 1
+          while (j < core.length && core(j) != ']') j += 1
+          if (j >= core.length) sb.append("\\[")
+          else {
+            val body = core.substring(i + 1, j).replace("\\", "\\\\")
+            val inner =
+              if (body.startsWith("!")) "^" + body.drop(1)
+              else if (body.startsWith("^")) "\\^" + body.drop(1)
+              else body
+            sb.append('[').append(inner).append(']')
+            i = j
+          }
+        case c if "\\.{}()+-^$|]".contains(c) => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    val quoted = sb.toString
+    if (exact || core.endsWith("*")) s"^$quoted$$" else s"^$quoted.*"
+  }
+}

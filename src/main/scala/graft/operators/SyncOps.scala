@@ -171,44 +171,13 @@ object SyncOps {
     * `fnmatch.fnmatchcase`): `*` any run, `?` one char, `[seq]` / `[!seq]`
     * character classes (fnmatch honors these, so we must too); trailing `$`
     * forces an exact match, otherwise a trailing `*` is implied. Shared by
-    * `robotsDisallowed` and `ploneSearch`'s robots filter.
+    * `robotsDisallowed` and `ploneSearch`'s robots filter; the translation
+    * core lives in [[graft.functions.GlobRegex]] so `robotsCanFetch` can
+    * apply the identical semantics to rule COLUMNS (rules-as-data) via the
+    * native expression.
     */
-  private[operators] def globToRegex(rule: String): String = {
-      val (core, exact) =
-        if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
-      val sb = new StringBuilder
-      var i = 0
-      while (i < core.length) {
-        core(i) match {
-          case '*' => sb.append(".*")
-          case '?' => sb.append('.')
-          case '[' =>
-            // fnmatch class: ONLY a leading ! negates — a leading ^ is a
-            // LITERAL caret in fnmatch (CPython translate escapes it), so it
-            // must not become Java-regex negation; a ] in first position is
-            // literal; an unterminated [ is a literal bracket.
-            var j = i + 1
-            if (j < core.length && (core(j) == '!' || core(j) == '^')) j += 1
-            if (j < core.length && core(j) == ']') j += 1
-            while (j < core.length && core(j) != ']') j += 1
-            if (j >= core.length) sb.append("\\[")
-            else {
-              val body = core.substring(i + 1, j).replace("\\", "\\\\")
-              val inner =
-                if (body.startsWith("!")) "^" + body.drop(1)
-                else if (body.startsWith("^")) "\\^" + body.drop(1)
-                else body
-              sb.append('[').append(inner).append(']')
-              i = j
-            }
-          case c if "\\.{}()+-^$|]".contains(c) => sb.append('\\').append(c)
-          case c => sb.append(c)
-        }
-        i += 1
-      }
-      val quoted = sb.toString
-      if (exact || core.endsWith("*")) s"^$quoted$$" else s"^$quoted.*"
-  }
+  private[operators] def globToRegex(rule: String): String =
+    graft.functions.GlobRegex.translate(rule)
 
   /** Robots rule matching: a path is disallowed when it starts with the
     * rule, or when it glob-matches (`globToRegex`). Rules are a tiny
@@ -806,5 +775,263 @@ object SyncOps {
           c => c.getField("changeDate")), "|").as("child_change_dates"),
         size(col("children")).cast("long").as("children_count"))
       .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- robots_parse
+
+  /** robots.txt text → a user-agent-grouped rule table, mirroring the state
+    * machine of CPython's `urllib.robotparser.RobotFileParser.parse` as the
+    * reference uses it (dags/lib/robots_txt.py:49-65 builds the parser;
+    * :9-43 swaps in the wildcard-capable RuleLine). Faithful semantics:
+    *
+    *  - a line's key is everything before the FIRST `:`, lowercased and
+    *    trimmed; `#` starts a comment; a comment-only/whitespace-only line
+    *    is a NO-OP (CPython strips it then `continue`s), but a truly EMPTY
+    *    line ends the current entry (state 2 → push, state 1 → discard);
+    *  - consecutive `User-agent` lines accumulate into ONE entry; a
+    *    `User-agent` after rule lines (or after a blank) starts a new one;
+    *  - `Crawl-delay` / `Request-rate` keep the entry "open" (CPython sets
+    *    state=2) but emit no rule row; unknown keys (`Sitemap`, …) are
+    *    no-ops for grouping too;
+    *  - rules before the first `User-agent` line are dropped (state 0), as
+    *    are rules after a blank line until the next `User-agent`;
+    *  - an empty `Disallow:` value means allow-all (robots_txt.py:14-16:
+    *    RuleLine flips allowance to True on an empty path).
+    *
+    * Rule paths are stored as trimmed raw text: the reference's
+    * `unquote(quote(urlunparse(urlparse(path))))` normalization is the
+    * identity for ASCII-safe paths (quote∘unquote always round-trips, and
+    * urlparse∘urlunparse reassembles `path?query` unchanged), which is the
+    * documented approximation for non-ASCII rule paths.
+    *
+    * Output: one row per rule — (host, group_id, agents, rule_idx,
+    * allowance, path); `agents` is sorted for determinism (CPython matches
+    * any-of, so order within an entry is not semantic).
+    *
+    * Scale: the windows partition by host and each host's robots.txt is a
+    * few KB, so per-host work is trivially bounded and never skews;
+    * parallelism = #hosts. One shuffle for the windows, one tiny
+    * agents-per-group aggregate joined back on (host, group_id).
+    */
+  def parseRobotsTxt(robots: DataFrame, hostCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wHost = Window.partitionBy("host").orderBy("line_no")
+    val wGroup = Window.partitionBy("host", "group_id").orderBy("line_no")
+    val lines = robots.select(
+      col(hostCol).as("host"),
+      posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+    val kv = lines
+      // blank-line detection is on the RAW line (CPython checks it BEFORE
+      // the comment strip); a comment-only line cleans to "" but is NOT
+      // blank — it must neither close the entry nor emit anything
+      .withColumn("is_blank", col("raw") === "")
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
+      .filter(col("is_blank") ||
+        col("key").isin("user-agent", "allow", "disallow", "crawl-delay", "request-rate"))
+    val grouped = kv
+      .withColumn("is_ua", !col("is_blank") && col("key") === "user-agent")
+      .withColumn("starts_group",
+        (col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(wHost), lit(false)))
+          .cast("long"))
+      .withColumn("group_id", sum("starts_group").over(wHost))
+      .filter(col("group_id") >= 1)
+      // running blank count within the group: rows at or after the first
+      // blank are "after close" — their rules are state-0 noise
+      .withColumn("closed",
+        sum(when(col("is_blank"), 1L).otherwise(0L))
+          .over(wGroup.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped
+      .filter(col("is_ua"))
+      .groupBy("host", "group_id")
+      .agg(array_sort(collect_set(col("value"))).as("agents"))
+    val rules = grouped
+      .filter(col("key").isin("allow", "disallow") && col("closed") === 0)
+      .withColumn("rule_idx", row_number().over(wGroup))
+      .withColumn("allowance", col("key") === "allow" || col("value") === "")
+      .withColumn("path", col("value"))
+      .select("host", "group_id", "line_no", "rule_idx", "allowance", "path")
+    rules
+      .join(agents, Seq("host", "group_id"))
+      .select("host", "group_id", "agents", "rule_idx", "allowance", "path")
+  }
+
+  /** queries() wrapper: build one robots.txt per source exercising every
+    * state transition — a pre-group stray rule (dropped), a two-agent
+    * header, per-doc Allow/Disallow bodies, a mid-group comment line (kept
+    * open), a `?`-suffix rule, an empty `Allow:`, a blank-line entry break,
+    * a `*` group with a wildcard rule, a `Crawl-delay` (opens state 2, no
+    * rule row), an empty `Disallow:` (allow-all), and an ignored `Sitemap:`
+    * — then parse it back to rule rows the DuckDB oracle rebuilds with the
+    * same window logic.
+    */
+  def qRobotsParse(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val nl = lit("\n")
+    val body = Tables.documents(s, d)
+      .filter(id % 101 === 0)
+      .groupBy("source")
+      .agg(concat_ws("\n", array_sort(collect_list(struct(id,
+        when(id % 3 === 0, concat(lit("Allow: /docs/"), id, lit("/pub")))
+          .otherwise(concat(lit("Disallow: /docs/"), id, lit("/"))).as("l"))))
+        .getField("l")).as("b"))
+    val robots = body.select(
+      col("source").as("host"),
+      concat(
+        lit("# robots for "), col("source"), nl,
+        lit("Disallow: /early/"), nl,
+        lit("User-agent: graftbot"), nl,
+        lit("User-Agent: eeabot"), nl,
+        col("b"), nl,
+        lit("  # mid comment"), nl,
+        lit("Disallow: /search?"), nl,
+        lit("Allow:"), nl,
+        nl,
+        lit("User-agent: *"), nl,
+        lit("Allow: /pub/"), nl,
+        lit("Disallow: /tmp/*.pdf$"), nl,
+        lit("Crawl-delay: 5"), nl,
+        lit("Disallow:"), nl,
+        lit("Sitemap: https://example.eu/sitemap.xml")).as("content"))
+    parseRobotsTxt(robots, "host", "content")
+      .select(col("host"), col("group_id"),
+        array_join(col("agents"), ",").as("agents"),
+        col("rule_idx").cast("long").as("rule_idx"),
+        col("allowance"), col("path"))
+      .orderBy("host", "group_id", "rule_idx")
+  }
+
+  // -------------------------------------------------------------- robots_fetch
+
+  /** `can_fetch` verdicts over a parsed rule table — the decision half of
+    * CPython's RobotFileParser with the reference's wildcard RuleLine
+    * (dags/lib/robots_txt.py:68-75 `test_url` → `rp.can_fetch`):
+    *
+    *  - entry selection: the processed user agent is
+    *    `ua.split("/")[0].lower()`; named entries match when any of their
+    *    agent tokens is a SUBSTRING of it (CPython `agent in useragent`);
+    *    an entry listing `*` is the default entry — considered LAST and
+    *    never name-matched, and only the first `*` entry counts;
+    *  - verdict: the FIRST rule (file order) of the chosen entry whose
+    *    pattern applies decides; no applying rule, no matching entry, or
+    *    no robots.txt at all → allow (CPython defaults);
+    *  - pattern application is the RuleLine cascade (robots_txt.py:22-40):
+    *    a `?`-suffix pattern is a pure prefix test, then `*` matches all,
+    *    then prefix, then `$`-exact fnmatch, then fnmatch with an implied
+    *    trailing `*` — the glob half via [[graft.functions.GlobRegex]], the
+    *    same translation `robotsDisallowed` uses, but applied per-ROW so
+    *    rules can come from data.
+    *
+    * The tested "filename" is path+query(+fragment) of the URL — CPython
+    * re-quotes it after unquoting, which is the identity for ASCII-safe
+    * URLs (the divergence for reserved/non-ASCII chars is the same
+    * documented approximation as `parseRobotsTxt`'s path handling). A bare
+    * path (no scheme) is used as-is; an empty filename tests as "/".
+    *
+    * Scale: entry choice is a tiny per-host aggregate over the rules table
+    * (#hosts × #groups rows). Candidates are urls ⋈ rules of the chosen
+    * group only — an equi-join on host whose fan-out is bounded by
+    * rules-per-group (tens, not thousands); popular-host skew is AQE's
+    * skew-join case. First-match-wins is a partial-aggregable min over
+    * (rule_idx, allowance) keyed by a synthetic row id, then one join back
+    * — codegen'd string predicates throughout, the regex branch only
+    * evaluated when the prefix branches miss (codegen Or short-circuits).
+    */
+  def robotsCanFetch(rules: DataFrame, urls: DataFrame, hostCol: String,
+      urlCol: String, userAgent: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val ua = userAgent.split("/")(0).toLowerCase
+    val groups = rules
+      .groupBy(col("host").as("__gh"), col("group_id").as("__gg"))
+      .agg(first(col("agents")).as("__agents"))
+      .withColumn("__is_star", array_contains(col("__agents"), "*"))
+      .withColumn("__ua_match",
+        exists(col("__agents"), a => a =!= "*" && lit(ua).contains(lower(a))))
+    val chosen = groups
+      .groupBy(col("__gh").as("__ch"))
+      .agg(
+        min(when(!col("__is_star") && col("__ua_match"), col("__gg"))).as("__g_named"),
+        min(when(col("__is_star"), col("__gg"))).as("__g_star"))
+      .select(col("__ch"), coalesce(col("__g_named"), col("__g_star")).as("__gid"))
+    val keyed = urls
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__fn", {
+        val u = col(urlCol)
+        val tail = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+        val fn = when(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1) === "", u)
+          .otherwise(tail)
+        when(fn === "", lit("/")).otherwise(fn)
+      })
+    val ruleCols = rules.select(
+      col("host").as("__rh"), col("group_id").as("__rg"),
+      col("rule_idx").as("__ri"), col("allowance").as("__ra"),
+      col("path").as("__rp"),
+      GraftSqlBridge.column(graft.functions.GlobRegex(
+        GraftSqlBridge.expression(col("path")))).as("__rx"))
+    val cand = keyed
+      .join(chosen, col(hostCol) === col("__ch"), "inner")
+      .join(ruleCols, col(hostCol) === col("__rh") && col("__gid") === col("__rg"))
+    val applies =
+      when(col("__rp").endsWith("?"), col("__fn").startsWith(col("__rp")))
+        .otherwise(col("__rp") === "*" ||
+          col("__fn").startsWith(col("__rp")) ||
+          rlike(col("__fn"), col("__rx")))
+    val best = cand
+      .filter(applies)
+      .groupBy("__rid")
+      .agg(min(struct(col("__ri"), col("__ra"))).as("__m"))
+      .select(col("__rid"), col("__m").getField("__ra").as("__allow"))
+    keyed
+      .join(best, Seq("__rid"), "left")
+      .withColumn("allowed", coalesce(col("__allow"), lit(true)))
+      .drop("__rid", "__fn", "__allow")
+  }
+
+  /** queries() wrapper: full end-to-end — synthesize per-source robots.txt
+    * (a named two-rule-family group and a deny-all `*` group), parse it with
+    * `parseRobotsTxt`, then fetch verdicts for seven path shapes under TWO
+    * user agents: `graftbot/2.1` exercises named-entry selection and the
+    * whole RuleLine cascade (prefix deny, prefix allow overridden by an
+    * earlier deny, `?`-suffix, `$`-exact, bare-prefix, default-allow);
+    * `otherbot` falls through to the `*` group's deny-all. The DuckDB
+    * oracle rebuilds the verdicts from an independently-stated rule table
+    * with window-min first-match logic.
+    */
+  def qRobotsFetch(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val nl = lit("\n")
+    val robots = Tables.documents(s, d)
+      .select(col("source")).distinct()
+      .select(
+        col("source").as("host"),
+        concat(
+          lit("User-agent: graftbot"), nl,
+          lit("Disallow: /docs/private/"), nl,
+          lit("Allow: /docs/"), nl,
+          lit("Disallow: /search?"), nl,
+          lit("Disallow: /exact$"), nl,
+          lit("Disallow: /team"), nl,
+          nl,
+          lit("User-agent: *"), nl,
+          lit("Disallow: /")).as("content"))
+    val rules = parseRobotsTxt(robots, "host", "content")
+    val path = when(id % 7 === 0, concat(lit("/docs/private/"), id))
+      .when(id % 7 === 1, concat(lit("/docs/"), id))
+      .when(id % 7 === 2, concat(lit("/search?q="), id))
+      .when(id % 7 === 3, lit("/exact"))
+      .when(id % 7 === 4, concat(lit("/exact/"), id))
+      .when(id % 7 === 5, concat(lit("/team/"), id))
+      .otherwise(concat(lit("/"), id))
+    val urls = Tables.documents(s, d).select(
+      id, col("source").as("host"),
+      concat(lit("https://"), col("source"), lit(".example.eu"), path).as("url"))
+    val bot = robotsCanFetch(rules, urls, "host", "url", "graftbot/2.1")
+      .withColumn("ua", lit("graftbot/2.1"))
+    val other = robotsCanFetch(rules, urls, "host", "url", "otherbot")
+      .withColumn("ua", lit("otherbot"))
+    bot.unionByName(other)
+      .select("doc_id", "ua", "url", "allowed")
+      .orderBy("doc_id", "ua")
   }
 }

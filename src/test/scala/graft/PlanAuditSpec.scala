@@ -284,4 +284,30 @@ class PlanAuditSpec extends SparkSpec {
       "the N and dangling-mass 1-row aggregates must broadcast")
     assert(p.contains("LeftAnti"), "dangling mass is an anti-join against out-degrees")
   }
+
+  test("robots_parse windows partition by host — never a global sort of the line table") {
+    // Every window in the parse is keyed by host (or host+group): a global
+    // (unpartitioned) window would serialize all robots.txt lines through
+    // one task. "Window" with an empty partition spec prints as
+    // "Window [...], [line_no ASC...]" with no partition list — assert the
+    // partition keys are present instead.
+    val p = plan("robots_parse")
+    assert(p.contains("Window"), "expected the grouping windows")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"robots_parse plan contains $bad")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("host")),
+      s"every Window must partition by host:\n${winLines.mkString("\n")}")
+  }
+
+  test("robots_fetch: entry choice and rules are equi-joins; verdict is a partial-agg min") {
+    // urls ⋈ chosen-group and urls ⋈ rules are equi-joins on host (+gid);
+    // first-match-wins is a hash-aggregate min over (rule_idx, allowance).
+    // A cartesian/BNLJ would pair every url with every rule of every host.
+    val p = plan("robots_fetch")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"robots_fetch plan contains $bad")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "expected the first-match min aggregate")
+  }
 }

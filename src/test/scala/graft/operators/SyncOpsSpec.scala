@@ -342,4 +342,99 @@ class SyncOpsSpec extends SparkSpec {
     // equal priority ties break by url asc, deterministically
     assert(out("https://b.eu/1")._1 == 1L && out("https://b.eu/2")._1 == 2L)
   }
+
+  // ---------------------------------------------------------- robots_parse/fetch
+
+  private def robotsOf(content: String) = {
+    val df = Seq(("h1", content)).toDF("host", "content")
+    SyncOps.parseRobotsTxt(df, "host", "content")
+  }
+
+  test("parseRobotsTxt: groups, agent accumulation, empty-disallow allowance") {
+    val rules = robotsOf(Seq(
+      "Disallow: /stray",          // before any UA: dropped (state 0)
+      "User-agent: alpha",
+      "User-Agent: beta",          // accumulates into entry 1
+      "Disallow: /a",
+      "Allow: /a/pub",
+      "# comment only — no state change",
+      "Disallow:",                 // empty value → allowance flips to TRUE
+      "",
+      "Disallow: /orphan",         // after blank, no UA: dropped
+      "User-agent: *",
+      "Disallow: /b").mkString("\n"))
+      .collect().map(r => (r.getAs[Long]("group_id"), r.getAs[scala.collection.Seq[String]]("agents"),
+        r.getAs[Int]("rule_idx"), r.getAs[Boolean]("allowance"), r.getAs[String]("path")))
+      .sortBy(t => (t._1, t._3))
+    assert(!rules.exists(_._5 == "/stray"), "pre-group rule dropped")
+    assert(!rules.exists(_._5 == "/orphan"), "post-blank orphan rule dropped")
+    val g1 = rules.filter(_._1 == 1)
+    assert(g1.head._2.toSeq == Seq("alpha", "beta"), "consecutive UA lines form one entry")
+    assert(g1.map(t => (t._3, t._4, t._5)).toSeq ==
+      Seq((1, false, "/a"), (2, true, "/a/pub"), (3, true, "")),
+      "rule order kept; comment line is a no-op; empty Disallow becomes allow-all")
+    val g2 = rules.filter(_._1 == 2)
+    assert(g2.head._2.toSeq == Seq("*") && g2.map(_._5).toSeq == Seq("/b"))
+  }
+
+  test("parseRobotsTxt: blank after UA header discards the entry; crawl-delay keeps it open") {
+    val rules = robotsOf(Seq(
+      "User-agent: ghost",
+      "",                          // state 1 + blank → entry discarded
+      "Disallow: /g",              // state 0: dropped
+      "User-agent: cd",
+      "Crawl-delay: 5",            // opens state 2, no rule row
+      "User-agent: after",         // state 2 + UA → NEW entry
+      "Disallow: /x").mkString("\n"))
+      .collect().map(r => (r.getAs[scala.collection.Seq[String]]("agents"), r.getAs[String]("path")))
+    assert(!rules.exists(_._1.contains("ghost")), "blank-discarded header emits nothing")
+    assert(rules.toSeq == Seq((Seq("after"), "/x")),
+      "crawl-delay closed the cd entry (no rules), so the next UA starts fresh")
+  }
+
+  test("robotsCanFetch: wildcard cascade, star fallback, substring agent match") {
+    val robots = Seq(("h1", Seq(
+      "User-agent: graft",         // substring-matches "graftbot/1.0"
+      "Disallow: /private/",
+      "Disallow: /*.pdf$",         // glob + exact
+      "Allow: /docs/",
+      "Disallow: /docs",           // later rule, must lose to the Allow
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n"))).toDF("host", "content")
+    val rules = SyncOps.parseRobotsTxt(robots, "host", "content")
+    val urls = Seq(
+      (1L, "h1", "https://h1.eu/private/x"),   // prefix deny
+      (2L, "h1", "https://h1.eu/files/a.pdf"), // glob $-exact deny
+      (3L, "h1", "https://h1.eu/files/a.pdfx"),// $ means EXACT: no match → allow
+      (4L, "h1", "https://h1.eu/docs/a"),      // Allow wins (first match)
+      (5L, "h1", "https://h1.eu/other"),       // no rule applies → allow
+      (6L, "h2", "https://h2.eu/anything")     // host without robots → allow
+    ).toDF("id", "host", "url")
+    def verdicts(ua: String) =
+      SyncOps.robotsCanFetch(rules, urls, "host", "url", ua)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    val g = verdicts("graftbot/1.0")
+    assert(g == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true, 5L -> true, 6L -> true))
+    val o = verdicts("otherbot")
+    assert(o == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> false, 6L -> true),
+      "unmatched agent falls to the * entry's deny-all; unknown host still allows")
+  }
+
+  test("robotsCanFetch: star entry is never name-matched; first star entry wins") {
+    val robots = Seq(("h1", Seq(
+      "User-agent: *",
+      "User-agent: graft",         // entry contains * → default entry ONLY
+      "Disallow: /a",
+      "",
+      "User-agent: *",             // second star entry: CPython discards it
+      "Disallow: /b").mkString("\n"))).toDF("host", "content")
+    val rules = SyncOps.parseRobotsTxt(robots, "host", "content")
+    val urls = Seq((1L, "h1", "/a/x"), (2L, "h1", "/b/x")).toDF("id", "host", "url")
+    val v = SyncOps.robotsCanFetch(rules, urls, "host", "url", "graftbot")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    // graftbot does NOT name-match entry 1 (it is a star entry), but falls
+    // back to it as the FIRST default entry; /b's group is unreachable
+    assert(v == Map(1L -> false, 2L -> true))
+  }
 }

@@ -42,6 +42,7 @@ object SparkEntry {
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
+    "warc_parse" -> (SyncOps.qWarcParse _),
     "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
@@ -551,6 +552,31 @@ object SparkEntry {
         |SELECT uu.doc_id, uu.ua, uu.url, coalesce(b.a, TRUE) AS allowed
         |FROM uu LEFT JOIN best b ON uu.doc_id = b.doc_id AND uu.ua = b.ua
         |ORDER BY 1, 2""".stripMargin,
+    // warc_parse: the oracle restates the expected record rows from the
+    // same generation parameters (fixed HTTP header + per-doc body), so the
+    // parser's Content-Length byte slicing is checked against an
+    // independent statement of what went in.
+    "warc_parse" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    'https://' || source || '.example.eu/d/' || doc_id AS uri,
+        |    '<html>doc ' || doc_id || '</html>' AS body,
+        |    '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS wdate
+        |  FROM documents),
+        |resp AS (
+        |  SELECT source, uri, 'response' AS warc_type, wdate AS warc_date,
+        |    CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |      'Content-Type: text/html' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10) || body) AS BIGINT) AS content_length,
+        |    200 AS http_status, body AS payload
+        |  FROM d),
+        |info AS (
+        |  SELECT DISTINCT source, '' AS uri, 'warcinfo' AS warc_type,
+        |    CAST(NULL AS VARCHAR) AS warc_date, CAST(15 AS BIGINT) AS content_length,
+        |    CAST(NULL AS INT) AS http_status, 'software: graft' AS payload
+        |  FROM documents)
+        |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
+        |ORDER BY source, uri""".stripMargin,
     // link_extract: same synthesized html, same two-group regex (DuckDB
     // zips parallel unnests positionally, mirroring arrays_zip+posexplode),
     // same href resolution CASE and anchor tag-strip.

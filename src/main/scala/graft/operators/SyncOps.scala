@@ -1034,4 +1034,54 @@ object SyncOps {
       .select("doc_id", "ua", "url", "allowed")
       .orderBy("doc_id", "ua")
   }
+
+  // ---------------------------------------------------------------- warc_parse
+
+  /** queries() wrapper for the WARC ingest path ([[graft.sources.Sources
+    * .readWarc]] / [[graft.functions.WarcParse]]): build one in-memory WARC
+    * file per source — a warcinfo record followed by one HTTP response
+    * record per doc, byte-exact Content-Length framing — then parse it back
+    * through the native expression and emit one row per record. The DuckDB
+    * oracle restates the expected rows from the same generation parameters,
+    * so the byte-offset slicing (the part an engine can get wrong) is
+    * checked against an independent statement of intent.
+    */
+  def qWarcParse(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val id = col("doc_id")
+    val crlf = lit("\r\n")
+    val body = concat(lit("<html>doc "), id, lit("</html>"))
+    val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
+    val uri = concat(lit("https://"), col("source"), lit(".example.eu/d/"), id)
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Target-URI: "), uri, crlf,
+      lit("WARC-Date: 2026-01-0"), id % 9 + 1, lit("T00:00:00Z\r\n"),
+      lit("Content-Type: application/http;msgtype=response\r\n"),
+      lit("Content-Length: "), length(http), crlf, crlf,
+      http, crlf, crlf)
+    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 15\r\n\r\n" +
+      "software: graft\r\n\r\n"
+    val files = Tables.documents(s, d)
+      .select(col("source"), id, rec.as("r"))
+      .groupBy("source")
+      .agg(concat(lit(warcinfo),
+        array_join(array_sort(collect_list(struct(id, col("r")))).getField("r"), ""))
+        .as("w"))
+    files
+      .select(col("source"), explode(GraftSqlBridge.column(
+        graft.functions.WarcParse(
+          GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))
+      .select(
+        col("source"),
+        coalesce(col("rec.target_uri"), lit("")).as("uri"),
+        col("rec.warc_type").as("warc_type"),
+        col("rec.warc_date").as("warc_date"),
+        col("rec.content_length").as("content_length"),
+        col("rec.http_status").as("http_status"),
+        col("rec.payload").cast("string").as("payload"))
+      .orderBy("source", "uri")
+  }
 }

@@ -48,4 +48,36 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** WARC ingest (ISO 28500) — the archive format crawl corpora arrive in
+    * at 100 TB (Common Crawl ships ~1 GB `.warc.gz` files). `binaryFile`
+    * yields one row per file; [[graft.functions.WarcParse]] splits records
+    * byte-exactly by Content-Length (never by scanning for `WARC/`), with
+    * `.warc.gz` multi-member decompression via
+    * [[graft.functions.Gunzip]] when `gzipped`.
+    *
+    * Output: one row per record — (path, warc_type, target_uri, warc_date,
+    * content_type, content_length, http_status, payload).
+    *
+    * Scale: parallelism is per file — the ~1 GB WARC size cap exists
+    * precisely so file count is the distribution unit (100 TB ≈ 100k files
+    * ≈ 100k tasks, zero shuffle). `spark.sql.files.maxPartitionBytes` does
+    * not split binaryFile rows, so task memory is bounded by the largest
+    * file, not the total.
+    */
+  def readWarc(spark: SparkSession, path: String, gzipped: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val raw = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val bytes =
+      if (gzipped)
+        GraftSqlBridge.column(graft.functions.Gunzip(
+          GraftSqlBridge.expression(col("content"))))
+      else col("content")
+    raw
+      .withColumn("rec", explode(GraftSqlBridge.column(
+        graft.functions.WarcParse(GraftSqlBridge.expression(bytes)))))
+      .select(col("path"), col("rec.*"))
+  }
 }

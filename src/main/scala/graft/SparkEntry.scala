@@ -43,6 +43,7 @@ object SparkEntry {
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
     "warc_parse" -> (SyncOps.qWarcParse _),
+    "warc_cdx" -> (SyncOps.qWarcCdx _),
     "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
@@ -557,26 +558,104 @@ object SparkEntry {
     // parser's Content-Length byte slicing is checked against an
     // independent statement of what went in.
     "warc_parse" ->
-      """WITH d AS (
+      """WITH c0 AS (SELECT chr(13) || chr(10) AS crlf),
+        |c AS (
+        |  SELECT crlf, strlen('WARC/1.0' || crlf || 'WARC-Type: warcinfo' || crlf ||
+        |    'Content-Type: application/warc-fields' || crlf ||
+        |    'Content-Length: 15' || crlf || crlf ||
+        |    'software: graft' || crlf || crlf) AS info_len
+        |  FROM c0),
+        |d AS (
         |  SELECT source, doc_id,
         |    'https://' || source || '.example.eu/d/' || doc_id AS uri,
         |    '<html>doc ' || doc_id || '</html>' AS body,
         |    '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS wdate
         |  FROM documents),
+        |h AS (
+        |  SELECT d.*, crlf, info_len,
+        |    'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' ||
+        |      crlf || crlf || body AS http
+        |  FROM d CROSS JOIN c),
+        |r AS (
+        |  SELECT *,
+        |    'WARC/1.0' || crlf || 'WARC-Type: response' || crlf ||
+        |    'WARC-Target-URI: ' || uri || crlf ||
+        |    'WARC-Date: ' || wdate || crlf ||
+        |    'Content-Type: application/http;msgtype=response' || crlf ||
+        |    'Content-Length: ' || strlen(http) || crlf || crlf ||
+        |    http || crlf || crlf AS rec
+        |  FROM h),
+        |o AS (
+        |  SELECT *,
+        |    info_len + coalesce(sum(strlen(rec)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM r),
         |resp AS (
         |  SELECT source, uri, 'response' AS warc_type, wdate AS warc_date,
-        |    CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-        |      'Content-Type: text/html' || chr(13) || chr(10) ||
-        |      chr(13) || chr(10) || body) AS BIGINT) AS content_length,
-        |    200 AS http_status, body AS payload
-        |  FROM d),
+        |    CAST(strlen(http) AS BIGINT) AS content_length,
+        |    200 AS http_status,
+        |    CAST(off AS BIGINT) AS rec_offset,
+        |    CAST(strlen(rec) - 4 AS BIGINT) AS rec_length,
+        |    body AS payload
+        |  FROM o),
         |info AS (
         |  SELECT DISTINCT source, '' AS uri, 'warcinfo' AS warc_type,
         |    CAST(NULL AS VARCHAR) AS warc_date, CAST(15 AS BIGINT) AS content_length,
-        |    CAST(NULL AS INT) AS http_status, 'software: graft' AS payload
+        |    CAST(NULL AS INT) AS http_status,
+        |    CAST(0 AS BIGINT) AS rec_offset,
+        |    CAST((SELECT info_len - 4 FROM c) AS BIGINT) AS rec_length,
+        |    'software: graft' AS payload
         |  FROM documents)
         |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
         |ORDER BY source, uri""".stripMargin,
+    // warc_cdx: every CDX column re-derived from the generation parameters —
+    // SURT urlkey by host-label reversal, 14-digit ts from the date's
+    // digits, md5 digest over the same payload text, and the byte range by
+    // cumulating independently-computed record sizes.
+    "warc_cdx" ->
+      """WITH c0 AS (SELECT chr(13) || chr(10) AS crlf),
+        |c AS (
+        |  SELECT crlf, strlen('WARC/1.0' || crlf || 'WARC-Type: warcinfo' || crlf ||
+        |    'Content-Type: application/warc-fields' || crlf ||
+        |    'Content-Length: 15' || crlf || crlf ||
+        |    'software: graft' || crlf || crlf) AS info_len
+        |  FROM c0),
+        |d AS (
+        |  SELECT source, doc_id,
+        |    'https://' || source || '.example.eu/d/' || doc_id AS uri,
+        |    '<html>doc ' || doc_id || '</html>' AS body
+        |  FROM documents),
+        |h AS (
+        |  SELECT d.*, crlf, info_len,
+        |    'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' ||
+        |      crlf || crlf || body AS http
+        |  FROM d CROSS JOIN c),
+        |r AS (
+        |  SELECT *,
+        |    'WARC/1.0' || crlf || 'WARC-Type: response' || crlf ||
+        |    'WARC-Target-URI: ' || uri || crlf ||
+        |    'WARC-Date: 2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' || crlf ||
+        |    'Content-Type: application/http;msgtype=response' || crlf ||
+        |    'Content-Length: ' || strlen(http) || crlf || crlf ||
+        |    http || crlf || crlf AS rec
+        |  FROM h),
+        |o AS (
+        |  SELECT *,
+        |    info_len + coalesce(sum(strlen(rec)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM r)
+        |SELECT
+        |  'eu,example,' || source || ')/d/' || doc_id AS urlkey,
+        |  '2026010' || (doc_id % 9 + 1) || '000000' AS ts,
+        |  uri AS url,
+        |  200 AS status,
+        |  md5(body) AS digest,
+        |  CAST(off AS BIGINT) AS rec_offset,
+        |  CAST(strlen(rec) - 4 AS BIGINT) AS rec_length,
+        |  source || '-00000.warc' AS filename
+        |FROM o ORDER BY urlkey""".stripMargin,
     // link_extract: same synthesized html, same two-group regex (DuckDB
     // zips parallel unnests positionally, mirroring arrays_zip+posexplode),
     // same href resolution CASE and anchor tag-strip.

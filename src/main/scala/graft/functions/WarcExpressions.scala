@@ -66,6 +66,11 @@ object WarcParse {
     StructField("content_type", StringType),
     StructField("content_length", LongType),
     StructField("http_status", IntegerType),
+    // byte offset of the record's "WARC/" line and the record's total size
+    // (headers + content block, excluding the inter-record CRLFs) — the
+    // two numbers a CDX lookup index needs for range reads
+    StructField("offset", LongType),
+    StructField("record_length", LongType),
     StructField("payload", BinaryType)))
 
   val schema: ArrayType = ArrayType(recordType, containsNull = false)
@@ -125,17 +130,19 @@ object WarcParse {
       // skip the version line
       var eol = pos
       while (eol < n && bytes(eol) != '\n') eol += 1
+      val recStart = pos
       val (headers, bodyStart) = parseHeaders(bytes, math.min(eol + 1, n))
       val len = headers.get("content-length").flatMap(s => s.toLongOption).getOrElse(0L)
       val end = math.min(bodyStart + math.max(len, 0L), n.toLong).toInt
       val block = java.util.Arrays.copyOfRange(bytes, bodyStart, end)
-      out += buildRow(headers, block)
+      out += buildRow(headers, block, recStart.toLong, (end - recStart).toLong)
       pos = end
     }
     new GenericArrayData(out.toArray[Any])
   }
 
-  private def buildRow(headers: Map[String, String], block: Array[Byte]): GenericInternalRow = {
+  private def buildRow(headers: Map[String, String], block: Array[Byte],
+      offset: Long, recordLength: Long): GenericInternalRow = {
     // application/http blocks: strip the status line + headers, surface the
     // status code; everything else passes through whole
     var status: Any = null
@@ -156,7 +163,7 @@ object WarcParse {
     new GenericInternalRow(Array[Any](
       h("warc-type"), h("warc-target-uri"), h("warc-date"), h("content-type"),
       headers.get("content-length").flatMap(_.toLongOption).getOrElse(0L),
-      status, payload))
+      status, offset, recordLength, payload))
   }
 
   private def startsWith(b: Array[Byte], pos: Int, s: String): Boolean = {

@@ -1081,7 +1081,91 @@ object SyncOps {
         col("rec.warc_date").as("warc_date"),
         col("rec.content_length").as("content_length"),
         col("rec.http_status").as("http_status"),
+        // the parser's byte accounting, checked against the oracle's
+        // independently-cumulated record sizes
+        col("rec.offset").as("rec_offset"),
+        col("rec.record_length").as("rec_length"),
         col("rec.payload").cast("string").as("payload"))
       .orderBy("source", "uri")
+  }
+
+  // ------------------------------------------------------------------ warc_cdx
+
+  /** CDX lookup index over parsed WARC records — the companion file that
+    * makes a 100 TB archive range-readable (the CDXJ convention Common
+    * Crawl and web archives publish next to every WARC): one row per
+    * response record with
+    *
+    *  - `urlkey`: SURT form — host labels reversed and comma-joined, then
+    *    `)` + path — so one host's records sort adjacently and a
+    *    host-prefix lookup is a contiguous index range;
+    *  - `ts`: the WARC-Date's digits (14-digit timestamp);
+    *  - `digest`: md5 hex of the payload (the cross-engine-verifiable
+    *    stand-in for CDX's sha1-b32 — same role, different alphabet);
+    *  - `rec_offset` / `rec_length`: the byte range to fetch, straight from
+    *    [[graft.functions.WarcParse]]'s byte accounting;
+    *  - `filename`: which archive file holds the record.
+    *
+    * Pure per-record projection — zero shuffle; the downstream sort-merge
+    * into a global CDX is the writer's `sortWithinPartitions(urlkey)` +
+    * partitioned write, not this operator's concern.
+    */
+  def warcCdx(records: DataFrame, urlCol: String, filename: Column): DataFrame = {
+    val u = col(urlCol)
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    records
+      .filter(col("warc_type") === "response")
+      .withColumn("urlkey",
+        concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path))
+      .withColumn("ts", regexp_replace(col("warc_date"), "[^0-9]", ""))
+      .withColumn("digest", md5(col("payload")))
+      .withColumn("filename", filename)
+  }
+
+  /** queries() wrapper: the same in-memory WARC files as `warc_parse`,
+    * parsed and projected to CDX rows; the oracle re-derives every column —
+    * including the byte offsets by cumulating independently-computed record
+    * sizes — from the generation parameters.
+    */
+  def qWarcCdx(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val id = col("doc_id")
+    val crlf = lit("\r\n")
+    val body = concat(lit("<html>doc "), id, lit("</html>"))
+    val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
+    val uri = concat(lit("https://"), col("source"), lit(".example.eu/d/"), id)
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Target-URI: "), uri, crlf,
+      lit("WARC-Date: 2026-01-0"), id % 9 + 1, lit("T00:00:00Z\r\n"),
+      lit("Content-Type: application/http;msgtype=response\r\n"),
+      lit("Content-Length: "), length(http), crlf, crlf,
+      http, crlf, crlf)
+    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 15\r\n\r\n" +
+      "software: graft\r\n\r\n"
+    val files = Tables.documents(s, d)
+      .select(col("source"), id, rec.as("r"))
+      .groupBy("source")
+      .agg(concat(lit(warcinfo),
+        array_join(array_sort(collect_list(struct(id, col("r")))).getField("r"), ""))
+        .as("w"))
+    val records = files
+      .select(col("source"), explode(GraftSqlBridge.column(
+        graft.functions.WarcParse(
+          GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))
+      .select(col("source"), col("rec.*"))
+    warcCdx(records, "target_uri", concat(col("source"), lit("-00000.warc")))
+      .select(
+        col("urlkey"), col("ts"),
+        col("target_uri").as("url"),
+        col("http_status").as("status"),
+        col("digest"),
+        col("offset").as("rec_offset"),
+        col("record_length").as("rec_length"),
+        col("filename"))
+      .orderBy("urlkey")
   }
 }

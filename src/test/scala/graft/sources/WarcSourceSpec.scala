@@ -93,7 +93,13 @@ class WarcSourceSpec extends SparkSpec {
       record("resource", "https://a.eu/v", "next".getBytes(UTF_8))
     val recs = graft.functions.WarcParse.parse(bytes)
     assert(recs.numElements() == 2)
-    val first = recs.getStruct(0, 7)
-    assert(new String(first.getBinary(6), UTF_8) == "héllo")
+    val first = recs.getStruct(0, 9)
+    assert(new String(first.getBinary(8), UTF_8) == "héllo")
+    // offsets are byte-true: record 2 starts after record 1's headers +
+    // 6-byte body + the 4 inter-record CRLF bytes
+    val second = recs.getStruct(1, 9)
+    assert(first.getLong(6) == 0L)
+    assert(second.getLong(6) == first.getLong(7) + 4,
+      "second record's offset = first record's length + CRLFCRLF")
   }
 }

@@ -125,6 +125,7 @@ object SparkEntry {
     "quality_gopher" -> (TextAnalysis.qQualityGopher _),
     "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
     "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
+    "quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "sequence_pack" -> (TextAnalysis.qSequencePack _),
     "mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "token_count" -> (TextAnalysis.qTokenCount _),
@@ -2058,6 +2059,35 @@ object SparkEntry {
     // buckets via the shared md5 recipe (CAST('0x'||substr(md5,1,8)) ==
     // Spark's conv base-16), Laplace-smoothed target/raw log-ratios,
     // per-doc score sums, the 0.75-quantile cutoff, strict-> selection.
+    // quality_classifier: DuckDB states the identical 64-bucket model from
+    // the bucket id (same md5 first-8-hex recipe), hashes the same
+    // unigram+bigram features, and recomputes mean-weight → sigmoid.
+    "quality_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, UNNEST(list_concat(w,
+        |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i + 1]))) AS g
+        |  FROM d),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM feats),
+        |wt AS (
+        |  SELECT b,
+        |    (CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 201 - 100) / CAST(128 AS DOUBLE) AS weight
+        |  FROM (SELECT UNNEST(range(64)) AS b)),
+        |sc AS (
+        |  SELECT h.doc_id, sum(w.weight) / count(*) AS z
+        |  FROM hashed h JOIN wt w USING (b) GROUP BY h.doc_id),
+        |p AS (
+        |  SELECT d.doc_id,
+        |    round(1 / (1 + exp(-(coalesce(z, 0)))), 4) AS quality_prob
+        |  FROM d LEFT JOIN sc USING (doc_id))
+        |SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dsir_select" ->
       """WITH d AS (
         |  SELECT doc_id, lang = 'en' AS is_t,

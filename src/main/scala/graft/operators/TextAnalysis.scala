@@ -805,4 +805,66 @@ object TextAnalysis {
     lineDedup(docs, "text", minDocs = 5)
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------- quality_classifier
+
+  /** fastText-style hashed linear quality classifier (Joulin et al. 2016 —
+    * the architecture behind the model-based quality gates of DCLM /
+    * FineWeb-Edu-class pipelines): features are unigrams + bigrams of the
+    * lowercased text hashed into `buckets` via the samplers' cross-engine
+    * md5 recipe (first-8-hex, the same hash dsir_select uses), the MODEL IS
+    * A TABLE — (bucket, weight) rows — and the score is the logistic of the
+    * mean feature weight (fastText averages its input vectors; with dim=1
+    * that mean-of-weights IS the supervised fastText head). Weights-as-data
+    * means a model trained offline drops in as a parquet table with no code
+    * change.
+    *
+    * Plan: explode grams → hash (codegen'd md5/conv) → BROADCAST-join the
+    * weight table (`buckets` rows — never shuffles the gram stream) → one
+    * doc-key partial aggregate (sum + count) → sigmoid projection. One
+    * shuffle total; Zipf-hot grams are spread across buckets by the hash,
+    * and the doc-key agg is partial-agg-friendly, so no skew key survives
+    * to the exchange.
+    */
+  def qualityClassifier(docs: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, buckets: Int = 1 << 12, bias: Double = 0.0,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val toks = spaceTokens(lower(col(textCol)))
+    val bigrams = GraftSqlBridge.column(graft.functions.WordNgramsAll(
+      GraftSqlBridge.expression(toks), 2))
+    val feats = docs.select(col(idCol).as("doc_id"),
+      explode(concat(toks, bigrams)).as("g"))
+    val hashed = feats.select(col("doc_id"),
+      pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)).as("b"))
+    val scored = hashed
+      .join(broadcast(weights.select(col("bucket").as("b"), col("weight"))), Seq("b"))
+      .groupBy("doc_id")
+      .agg((sum("weight") / count(lit(1))).as("z"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("quality_prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("z"), lit(0.0)) + lit(bias)))), 4))
+      .withColumn("keep", col("quality_prob") >= threshold)
+      .drop("z")
+  }
+
+  /** queries() wrapper: a 64-bucket model whose weights are derived from
+    * the bucket id by the same md5 recipe (so DuckDB states the identical
+    * model independently), scaled by 1/128 — a power of two, so weight
+    * sums are EXACT in binary and the doc score is order-independent
+    * across partitionings. Fully oracle-checked: hash, model, mean, and
+    * sigmoid all recompute in DuckDB.
+    */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val weights = s.range(64).select(
+      col("id").as("bucket"),
+      ((pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(201L)) - 100L) / lit(128.0)).as("weight"))
+    qualityClassifier(Tables.documents(s, d), "text", "doc_id",
+      weights, buckets = 64)
+      .orderBy("doc_id")
+  }
 }

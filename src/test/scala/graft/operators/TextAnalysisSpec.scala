@@ -241,4 +241,43 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("changed")).count()
     assert(twice == 0L, "fixText must be idempotent")
   }
+
+  test("qualityClassifier: planted weights separate good from bad docs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, conv, substring, md5}
+    // a model that loves the word "science" and hates "spam": put every
+    // feature bucket at 0 except the two words' buckets
+    val spark2 = spark
+    import spark2.implicits._
+    def bucketOf(g: String): Long = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(g).substring(0, 8), 16)
+      h % 64
+    }
+    val good = bucketOf("science")
+    val bad = bucketOf("spam")
+    assume(good != bad, "fixture words must land in distinct buckets")
+    val weights = (0L until 64L).map { b =>
+      (b, if (b == good) 4.0 else if (b == bad) -4.0 else 0.0)
+    }.toDF("bucket", "weight")
+    val docs = Seq(
+      (1L, "science science science"),
+      (2L, "spam spam spam spam"),
+      (3L, "neutral words only here")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(docs, "text", "doc_id", weights, buckets = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("quality_prob"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._1 > 0.8 && out(1L)._2, "science doc scores high and keeps")
+    assert(out(2L)._1 < 0.2 && !out(2L)._2, "spam doc scores low and drops")
+    // neutral doc: all features weight 0 (unless a bigram collides with the
+    // two planted buckets) → z near 0 → prob near 0.5
+    assert(math.abs(out(3L)._1 - 0.5) < 0.2)
+  }
+
+  test("qualityClassifier plan: weight table broadcasts; one doc-key aggregate") {
+    val p = graft.SparkEntry.queries("quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "the 64-row model must broadcast")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+      assert(!p.contains(bad), s"plan contains $bad")
+  }
 }

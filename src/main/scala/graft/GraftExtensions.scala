@@ -78,5 +78,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "bloom_build: numBits and numHashes must be integer literals (they size the plan)")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("glob_regex"),
+      info("glob_regex",
+        "glob_regex(pattern) - robots-rule fnmatch glob to Java regex (trailing $ = exact, implied trailing *)"),
+      (args: Seq[Expression]) => graft.functions.GlobRegex(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("warc_parse"),
+      info("warc_parse",
+        "warc_parse(bytes) - WARC file bytes to an array of record structs (Content-Length-exact framing)"),
+      (args: Seq[Expression]) => graft.functions.WarcParse(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gunzip"),
+      info("gunzip",
+        "gunzip(bytes) - decompress (multi-member) gzip binary, e.g. a .warc.gz file"),
+      (args: Seq[Expression]) => graft.functions.Gunzip(args(0))))
   }
 }

@@ -47,4 +47,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("extensions register glob_regex / warc_parse / gunzip") {
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .appName("graft-ext-test2").master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // \r\n must be REAL bytes, not SQL escapes — build the record in Scala
+      val warc = "WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Target-URI: https://a.eu/x\r\nContent-Length: 2\r\n\r\nhi"
+      val row = spark.sql(
+        s"""SELECT glob_regex('/docs/*.pdf$$') AS rx,
+           |  warc_parse(cast('${warc.replace("\r\n", "\\r\\n")}' AS BINARY)) AS recs
+           |""".stripMargin.replace("\\r\\n", "\r\n"))
+        .collect().head
+      assert(row.getAs[String]("rx") == "^/docs/.*\\.pdf$")
+      val rec = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("recs").head
+      assert(rec.getAs[String]("target_uri") == "https://a.eu/x")
+      assert(new String(rec.getAs[Array[Byte]]("payload")) == "hi")
+      val gz = spark.sql(
+        "SELECT cast(gunzip(cast('' AS BINARY)) AS STRING) AS e").collect().head
+      assert(gz.getAs[String]("e") == "", "gunzip of empty input yields empty bytes")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

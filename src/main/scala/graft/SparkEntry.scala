@@ -40,6 +40,7 @@ object SparkEntry {
     "delete_threshold" -> (SyncOps.qDeleteThreshold _),
     "url_canonical" -> (SyncOps.qUrlCanonical _),
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
+    "sitemap_index" -> (SyncOps.qSitemapIndex _),
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
     "warc_parse" -> (SyncOps.qWarcParse _),
@@ -435,6 +436,49 @@ object SparkEntry {
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
         |FROM ent ORDER BY source, url""".stripMargin,
+    // sitemap_index: the same two-level tree rebuilt in SQL — leaf urlsets
+    // grouped by (source, bucket), the index grouped per source with the
+    // dangling sitemap-9 entry, resolved by the same child-url join.
+    "sitemap_index" ->
+      """WITH e AS (
+        |  SELECT source, doc_id,
+        |    'https://' || source || '.example.eu/sitemap-' || (doc_id % 3) || '.xml' AS leaf_url,
+        |    '<url><loc>https://example.eu/d/' || doc_id || '</loc>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<lastmod>2026-0' || (doc_id % 9 + 1) || '-01</lastmod>'
+        |         ELSE '' END || '</url>' AS entry
+        |  FROM documents),
+        |leaves AS (
+        |  SELECT source, leaf_url,
+        |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS leaf_xml
+        |  FROM e GROUP BY source, leaf_url),
+        |idx0 AS (SELECT DISTINCT source, leaf_url FROM leaves),
+        |idx AS (
+        |  SELECT source,
+        |    '<sitemapindex>' || string_agg(
+        |      '<sitemap><loc>' || leaf_url || '</loc>' ||
+        |      '<lastmod>2026-03-01</lastmod></sitemap>', '' ORDER BY leaf_url) ||
+        |    '<sitemap><loc>https://' || source ||
+        |    '.example.eu/sitemap-9.xml</loc></sitemap>' ||
+        |    '</sitemapindex>' AS idx_xml
+        |  FROM idx0 GROUP BY source),
+        |children AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(idx_xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS se
+        |  FROM idx),
+        |ch AS (
+        |  SELECT source,
+        |    coalesce(regexp_extract(se, '<loc>([^<]*)</loc>', 1), '') AS sitemap_url,
+        |    coalesce(regexp_extract(se, '<lastmod>([^<]*)</lastmod>', 1), '') AS sitemap_lastmod
+        |  FROM children),
+        |pages AS (
+        |  SELECT ch.source, ch.sitemap_url, ch.sitemap_lastmod,
+        |    unnest(regexp_extract_all(l.leaf_xml, '(?s)<url>(.*?)</url>', 1)) AS ue
+        |  FROM ch JOIN leaves l ON ch.sitemap_url = l.leaf_url)
+        |SELECT source, sitemap_url, sitemap_lastmod,
+        |  coalesce(regexp_extract(ue, '<loc>([^<]*)</loc>', 1), '') AS url,
+        |  coalesce(regexp_extract(ue, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+        |FROM pages ORDER BY source, sitemap_url, url""".stripMargin,
     // robots_parse: rebuild the identical robots.txt fixture, then replay
     // the CPython robotparser state machine with the same window logic —
     // blank-on-RAW-line, lag-based group starts, running blank count

@@ -1168,4 +1168,80 @@ object SyncOps {
         col("filename"))
       .orderBy("urlkey")
   }
+
+  // ------------------------------------------------------------- sitemap_index
+
+  /** Sitemap INDEX resolution — the tree half of the reference's sitemap
+    * source (lib/sitemap.py uses `usp.sitemap_tree_for_homepage`, which
+    * walks `<sitemapindex>` files down to leaf `<urlset>`s and yields
+    * `all_pages()`): parse the index's `<sitemap>` entries to child sitemap
+    * URLs, equi-join the children against the fetched leaf sitemaps, and
+    * parse each leaf's pages. Index entries with no fetched leaf (dangling
+    * children) drop out in the join, exactly like a fetch failure drops a
+    * subtree in usp.
+    *
+    * Same anchored-regex-in-codegen tier as `parseSitemaps`; the one
+    * shuffle is the child-url equi-join (well-spread key — one row per
+    * child sitemap). At Common Crawl scale an index lists ~50k children of
+    * 50k URLs each; both sides stay (site × children)-sized, never
+    * page-sized, because pages explode only AFTER the join.
+    */
+  def parseSitemapIndex(indexes: DataFrame, xmlCol: String): DataFrame =
+    indexes
+      .withColumn("entry",
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))))
+      .withColumn("sitemap_url", regexp_extract(col("entry"), "<loc>([^<]*)</loc>", 1))
+      .withColumn("sitemap_lastmod",
+        regexp_extract(col("entry"), "<lastmod>([^<]*)</lastmod>", 1))
+      .drop(xmlCol, "entry")
+
+  /** Resolve index → leaves → pages (see [[parseSitemapIndex]]). `leaves`
+    * carries one fetched leaf sitemap per row (url, xml).
+    */
+  def sitemapTree(indexes: DataFrame, xmlCol: String,
+      leaves: DataFrame, leafUrlCol: String, leafXmlCol: String): DataFrame = {
+    val children = parseSitemapIndex(indexes, xmlCol)
+    val joined = children.join(leaves,
+      children("sitemap_url") === leaves(leafUrlCol)).drop(leafUrlCol)
+    parseSitemaps(joined, leafXmlCol)
+  }
+
+  /** queries() wrapper: per source, three leaf sitemaps (docs bucketed by
+    * doc_id mod 3) plus one DANGLING index entry (sitemap-9, never
+    * fetched — drops in the join); every third doc carries a lastmod. The
+    * DuckDB oracle rebuilds the same two-level tree and resolves it with
+    * the same join.
+    */
+  def qSitemapIndex(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d)
+    val entry = concat(
+      lit("<url><loc>https://example.eu/d/"), id, lit("</loc>"),
+      when(id % 3 === 0, concat(lit("<lastmod>2026-0"), id % 9 + 1, lit("-01</lastmod>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val leafUrl = concat(lit("https://"), col("source"),
+      lit(".example.eu/sitemap-"), id % 3, lit(".xml"))
+    val leaves = docs
+      .select(col("source"), id, leafUrl.as("leaf_url"), entry.as("e"))
+      .groupBy("source", "leaf_url")
+      .agg(concat(lit("<urlset>"),
+        array_join(array_sort(collect_list(struct(id, col("e")))).getField("e"), ""),
+        lit("</urlset>")).as("leaf_xml"))
+    val indexes = leaves
+      .select(col("source"),
+        concat(lit("<sitemap><loc>"), col("leaf_url"), lit("</loc>"),
+          lit("<lastmod>2026-03-01</lastmod></sitemap>")).as("se"))
+      .groupBy("source")
+      .agg(concat(lit("<sitemapindex>"),
+        array_join(array_sort(collect_list(col("se"))), ""),
+        lit("<sitemap><loc>https://"), col("source"),
+        lit(".example.eu/sitemap-9.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("idx_xml"))
+    sitemapTree(indexes, "idx_xml", leaves.drop("source"), "leaf_url", "leaf_xml")
+      .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
+        col("url"), col("lastmod"))
+      .orderBy("source", "sitemap_url", "url")
+  }
 }

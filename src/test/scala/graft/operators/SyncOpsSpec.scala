@@ -437,4 +437,24 @@ class SyncOpsSpec extends SparkSpec {
     // back to it as the FIRST default entry; /b's group is unreachable
     assert(v == Map(1L -> false, 2L -> true))
   }
+
+  test("sitemapTree: index resolves to leaf pages; dangling children drop") {
+    val indexes = Seq(("s1",
+      "<sitemapindex><sitemap><loc>https://s1/a.xml</loc></sitemap>" +
+      "<sitemap><loc>https://s1/missing.xml</loc></sitemap></sitemapindex>"))
+      .toDF("site", "idx_xml")
+    val leaves = Seq(
+      ("https://s1/a.xml",
+        "<urlset><url><loc>https://s1/p1</loc><lastmod>2026-01-01</lastmod></url>" +
+        "<url><loc>https://s1/p2</loc></url></urlset>"),
+      ("https://s1/unreferenced.xml", "<urlset><url><loc>https://s1/px</loc></url></urlset>"))
+      .toDF("leaf_url", "leaf_xml")
+    val out = SyncOps.sitemapTree(indexes, "idx_xml", leaves, "leaf_url", "leaf_xml")
+      .collect().map(r => (r.getAs[String]("sitemap_url"), r.getAs[String]("url"),
+        r.getAs[String]("lastmod"))).sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("https://s1/a.xml", "https://s1/p1", "2026-01-01"),
+      ("https://s1/a.xml", "https://s1/p2", "")),
+      "only the fetched, referenced leaf contributes pages")
+  }
 }

@@ -194,6 +194,52 @@ object ScaleProbe {
           c.filter(col("doc_id") % 3 === 0).select(url),
           expectedSeen = 3000L * k)
       })
+      // robots: per-host rule tables stay constant-size; growth is the url
+      // side of the verdict join (hosts = sources x 97 buckets)
+      probeForced("robots_fetch", k, {
+        val c = corpusK(k)
+        def host = concat(col("source"), lit("-"), col("doc_id") % 97)
+        val robots = c.select(host.as("host")).distinct()
+          .withColumn("content", lit(
+            "User-agent: graftbot\nDisallow: /private/\nAllow: /docs/\n" +
+            "Disallow: /team\n\nUser-agent: *\nDisallow: /"))
+        val urls = c.select(col("doc_id"), host.as("host"),
+          concat(lit("https://h.eu/"),
+            when(col("doc_id") % 3 === 0, lit("private/")).otherwise(lit("docs/")),
+            col("doc_id")).as("url"))
+        val rules = graft.operators.SyncOps.parseRobotsTxt(robots, "host", "content")
+        graft.operators.SyncOps.robotsCanFetch(rules, urls, "host", "url", "graftbot/1.0")
+      })
+      // WARC: build one archive per (source, bucket) from the corpus text,
+      // parse every record back — file count and record count both grow K x
+      probeForced("warc_parse", k, {
+        val c = corpusK(k)
+        val http = concat(lit("HTTP/1.1 200 OK\r\n\r\n"), col("text"))
+        val rec = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h.eu/"),
+          col("doc_id"),
+          lit("\r\nContent-Length: "), length(http), lit("\r\n\r\n"), http,
+          lit("\r\n\r\n"))
+        val files = c.select(col("source"), (col("doc_id") % 64).as("b"),
+            col("doc_id"), rec.as("r"))
+          .groupBy("source", "b")
+          .agg(concat_ws("", collect_list(col("r"))).as("w"))
+        import org.apache.spark.sql.graftbridge.GraftSqlBridge
+        files.select(explode(GraftSqlBridge.column(graft.functions.WarcParse(
+          GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))
+          .select(col("rec.target_uri"), col("rec.content_length"), col("rec.offset"))
+      })
+      // hashed linear classifier: gram volume grows K x, the 64-row model
+      // broadcast and the doc-key partial agg are the only non-narrow steps
+      probeForced("quality_classifier", k, {
+        val c = corpusK(k)
+        val weights = spark.range(64).select(
+          col("id").as("bucket"),
+          ((pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(201L)) - 100L) / lit(128.0)).as("weight"))
+        graft.operators.TextAnalysis.qualityClassifier(
+          c, "text", "doc_id", weights, buckets = 64)
+      })
     }
     spark.stop()
   }

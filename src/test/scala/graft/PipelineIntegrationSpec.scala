@@ -150,4 +150,42 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(packed.count() === sampled.count())
     assert(packed.select("shard", "pack_id").distinct().count() > 1)
   }
+
+  test("crawl loop: sitemap tree → canonicalize → bloom → robots → schedule") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 1. discover pages from a sitemap index (one leaf fetched, one dangling)
+    val indexes = Seq(("siteA",
+      "<sitemapindex><sitemap><loc>https://a.eu/sm1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.eu/gone.xml</loc></sitemap></sitemapindex>"))
+      .toDF("site", "idx")
+    val leaves = Seq(("https://a.eu/sm1.xml",
+      "<urlset>" + (1 to 12).map(i =>
+        s"<url><loc>HTTPS://A.eu:443/p/$i/</loc></url>").mkString + "</urlset>"))
+      .toDF("leaf_url", "leaf_xml")
+    val pages = operators.SyncOps.sitemapTree(indexes, "idx", leaves, "leaf_url", "leaf_xml")
+    // 2. canonicalize (case, default port, trailing slash)
+    val canon = operators.SyncOps.canonicalizeUrls(pages, "url")
+      .select(col("url_canonical").as("url"))
+    // 3. bloom-route around the seen set (pages 1-6 already crawled)
+    val seen = (1 to 6).map(i => s"https://a.eu/p/$i").toDF("url")
+    val unseen = operators.SyncOps.frontierBloom(canon, seen, expectedSeen = 100)
+    // 4. robots verdicts (disallow /p/7)
+    val robots = Seq(("a.eu", "User-agent: *\nDisallow: /p/7")).toDF("host", "content")
+    val rules = operators.SyncOps.parseRobotsTxt(robots, "host", "content")
+    val withHost = unseen.withColumn("host",
+      regexp_extract(col("url"), "^https://([^/]*)", 1))
+    val allowed = operators.SyncOps.robotsCanFetch(rules, withHost, "host", "url", "anybot")
+      .filter(col("allowed")).drop("allowed")
+    // 5. politeness schedule: 2 fetch slots per wave per host
+    val sched = operators.SyncOps.frontierSchedule(
+      allowed.withColumn("priority", lit(1.0)),
+      "host", "priority", slotsPerWave = 2, maxPerHost = 100L)
+    val out = sched.collect().map(r => r.getAs[String]("url") -> r.getAs[Long]("wave")).toMap
+    // pages 8-12 survive (1-6 seen, 7 robots-blocked): 5 urls in waves of 2
+    assert(out.keySet == (8 to 12).map(i => s"https://a.eu/p/$i").toSet)
+    assert(out.values.max == 2L && out.values.count(_ == 0L) == 2,
+      "five fetches pack into waves of two per host")
+  }
 }

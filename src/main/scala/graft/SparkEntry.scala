@@ -43,6 +43,7 @@ object SparkEntry {
     "sitemap_index" -> (SyncOps.qSitemapIndex _),
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
+    "robots_delays" -> (SyncOps.qRobotsDelays _),
     "warc_parse" -> (SyncOps.qWarcParse _),
     "warc_cdx" -> (SyncOps.qWarcCdx _),
     "link_extract" -> (SyncOps.qLinkExtract _),
@@ -554,6 +555,21 @@ object SparkEntry {
         |  CAST(r.rule_idx AS BIGINT) AS rule_idx, r.allowance, r.path
         |FROM ru r JOIN ag a ON r.host = a.host AND r.group_id = a.group_id
         |ORDER BY 1, 2, 4""".stripMargin,
+    // robots_delays: the fixture's three entries per host restated as
+    // VALUES — the delay-extraction semantics (invalid ignored, last valid
+    // wins, ruleless entries present) checked against intent; the parse
+    // machinery itself is oracle-verified by robots_parse.
+    "robots_delays" ->
+      """SELECT source AS host, CAST(g AS BIGINT) AS group_id, agents,
+        |  CAST(cd AS BIGINT) AS crawl_delay,
+        |  CAST(rq AS BIGINT) AS req_rate_requests,
+        |  CAST(rs AS BIGINT) AS req_rate_seconds
+        |FROM (SELECT DISTINCT source FROM documents)
+        |CROSS JOIN (VALUES
+        |  (1, 'graftbot', 7, 3, 15),
+        |  (2, 'slowbot', 30, NULL, NULL),
+        |  (3, '*', 1, NULL, NULL)) t(g, agents, cd, rq, rs)
+        |ORDER BY host, group_id""".stripMargin,
     // robots_fetch: the rule table is stated independently as VALUES (the
     // fixture's six rules are static per host), entry choice is the ua
     // CASE, the RuleLine cascade is ?-prefix / * / prefix / $-exact, and

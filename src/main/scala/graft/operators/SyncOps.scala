@@ -813,7 +813,13 @@ object SyncOps {
     * parallelism = #hosts. One shuffle for the windows, one tiny
     * agents-per-group aggregate joined back on (host, group_id).
     */
-  def parseRobotsTxt(robots: DataFrame, hostCol: String, contentCol: String): DataFrame = {
+  /** The shared parse core: one row per kept line with its entry
+    * assignment — `group_id` (1-based entry index), `is_ua`, `closed`
+    * (a blank line occurred at or before this row within the entry —
+    * rows after it are state-0 noise), `key`, `value`.
+    */
+  private def robotsGrouped(robots: DataFrame, hostCol: String,
+      contentCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wHost = Window.partitionBy("host").orderBy("line_no")
     val wGroup = Window.partitionBy("host", "group_id").orderBy("line_no")
@@ -830,7 +836,7 @@ object SyncOps {
       .withColumn("value", trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
       .filter(col("is_blank") ||
         col("key").isin("user-agent", "allow", "disallow", "crawl-delay", "request-rate"))
-    val grouped = kv
+    kv
       .withColumn("is_ua", !col("is_blank") && col("key") === "user-agent")
       .withColumn("starts_group",
         (col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(wHost), lit(false)))
@@ -842,10 +848,18 @@ object SyncOps {
       .withColumn("closed",
         sum(when(col("is_blank"), 1L).otherwise(0L))
           .over(wGroup.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val agents = grouped
+  }
+
+  private def robotsAgents(grouped: DataFrame): DataFrame =
+    grouped
       .filter(col("is_ua"))
       .groupBy("host", "group_id")
       .agg(array_sort(collect_set(col("value"))).as("agents"))
+
+  def parseRobotsTxt(robots: DataFrame, hostCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wGroup = Window.partitionBy("host", "group_id").orderBy("line_no")
+    val grouped = robotsGrouped(robots, hostCol, contentCol)
     val rules = grouped
       .filter(col("key").isin("allow", "disallow") && col("closed") === 0)
       .withColumn("rule_idx", row_number().over(wGroup))
@@ -853,8 +867,48 @@ object SyncOps {
       .withColumn("path", col("value"))
       .select("host", "group_id", "line_no", "rule_idx", "allowance", "path")
     rules
-      .join(agents, Seq("host", "group_id"))
+      .join(robotsAgents(grouped), Seq("host", "group_id"))
       .select("host", "group_id", "agents", "rule_idx", "allowance", "path")
+  }
+
+  /** EVERY entry of every robots.txt — including entries with no
+    * allow/disallow rules, which `parseRobotsTxt` cannot carry — with the
+    * entry's politeness directives: `crawl_delay` (CPython accepts only an
+    * integer value, robotparser `crawl_delay()`) and the request-rate pair
+    * (`a/b` with both parts integral, `request_rate()`); an invalid value
+    * is ignored WITHOUT clearing an earlier valid one, and the last valid
+    * occurrence in the entry wins — both exactly the reference stack's
+    * behavior. Feed the chosen entry's delay into `frontierSchedule`'s
+    * wave math to turn politeness metadata into schedule data.
+    *
+    * Also the fidelity companion to [[robotsCanFetch]]: pass this as its
+    * `groups` argument so a RULELESS entry (e.g. "User-agent: a" +
+    * "Crawl-delay: 5" and nothing else) still wins entry selection — in
+    * CPython such an entry answers allow-all for its agents rather than
+    * falling through to `*`.
+    */
+  def parseRobotsGroups(robots: DataFrame, hostCol: String,
+      contentCol: String): DataFrame = {
+    val grouped = robotsGrouped(robots, hostCol, contentCol)
+    val cd = grouped
+      .filter(col("key") === "crawl-delay" && col("closed") === 0 &&
+        col("value").rlike("^[0-9]+$"))
+      .groupBy("host", "group_id")
+      .agg(max_by(col("value").cast("long"), col("line_no")).as("crawl_delay"))
+    val rr = grouped
+      .filter(col("key") === "request-rate" && col("closed") === 0 &&
+        col("value").rlike("^[0-9]+\\s*/\\s*[0-9]+$"))
+      .groupBy("host", "group_id")
+      .agg(
+        max_by(regexp_extract(col("value"), "^([0-9]+)", 1).cast("long"),
+          col("line_no")).as("req_rate_requests"),
+        max_by(regexp_extract(col("value"), "([0-9]+)$", 1).cast("long"),
+          col("line_no")).as("req_rate_seconds"))
+    robotsAgents(grouped)
+      .join(cd, Seq("host", "group_id"), "left")
+      .join(rr, Seq("host", "group_id"), "left")
+      .select("host", "group_id", "agents", "crawl_delay",
+        "req_rate_requests", "req_rate_seconds")
   }
 
   /** queries() wrapper: build one robots.txt per source exercising every
@@ -939,10 +993,14 @@ object SyncOps {
     * evaluated when the prefix branches miss (codegen Or short-circuits).
     */
   def robotsCanFetch(rules: DataFrame, urls: DataFrame, hostCol: String,
-      urlCol: String, userAgent: String): DataFrame = {
+      urlCol: String, userAgent: String,
+      groupsDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val ua = userAgent.split("/")(0).toLowerCase
-    val groups = rules
+    // entry list for selection: by default derived from the rule table —
+    // pass parseRobotsGroups output to also let RULELESS entries (which
+    // answer allow-all in CPython) win selection
+    val groups = groupsDf.getOrElse(rules)
       .groupBy(col("host").as("__gh"), col("group_id").as("__gg"))
       .agg(first(col("agents")).as("__agents"))
       .withColumn("__is_star", array_contains(col("__agents"), "*"))
@@ -1033,6 +1091,39 @@ object SyncOps {
     bot.unionByName(other)
       .select("doc_id", "ua", "url", "allowed")
       .orderBy("doc_id", "ua")
+  }
+
+  /** queries() wrapper for [[parseRobotsGroups]]: per host, a named entry
+    * whose invalid crawl-delays are ignored and whose LAST valid
+    * crawl-delay/request-rate win, a RULELESS politeness-only entry
+    * (invisible to `parseRobotsTxt`, present here), and a `*` entry. The
+    * oracle restates the three expected entries per host from the fixture's
+    * intent.
+    */
+  def qRobotsDelays(s: SparkSession, d: String): DataFrame = {
+    val content = Seq(
+      "User-agent: graftbot",
+      "Crawl-delay: soon", // invalid: not an integer — ignored
+      "Crawl-delay: 2",
+      "Disallow: /private/",
+      "Crawl-delay: 7", // last valid wins
+      "Request-rate: 3/15",
+      "Request-rate: x/y", // invalid — the earlier valid pair survives
+      "",
+      "User-agent: slowbot", // ruleless entry: politeness only
+      "Crawl-delay: 30",
+      "",
+      "User-agent: *",
+      "Crawl-delay: 1",
+      "Disallow: /").mkString("\n")
+    val robots = Tables.documents(s, d)
+      .select(col("source")).distinct()
+      .select(col("source").as("host"), lit(content).as("content"))
+    parseRobotsGroups(robots, "host", "content")
+      .select(col("host"), col("group_id"),
+        array_join(col("agents"), ",").as("agents"),
+        col("crawl_delay"), col("req_rate_requests"), col("req_rate_seconds"))
+      .orderBy("host", "group_id")
   }
 
   // ---------------------------------------------------------------- warc_parse

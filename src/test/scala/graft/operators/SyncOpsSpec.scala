@@ -457,4 +457,30 @@ class SyncOpsSpec extends SparkSpec {
       ("https://s1/a.xml", "https://s1/p2", "")),
       "only the fetched, referenced leaf contributes pages")
   }
+
+  test("parseRobotsGroups + ruleless entry wins selection via the groups arg") {
+    val robots = Seq(("h1", Seq(
+      "User-agent: graftbot", // ruleless: politeness only
+      "Crawl-delay: 5",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n"))).toDF("host", "content")
+    val groups = SyncOps.parseRobotsGroups(robots, "host", "content")
+    val g = groups.collect().map(r => r.getAs[Long]("group_id") ->
+      (r.getAs[scala.collection.Seq[String]]("agents").toSeq, r.getAs[Any]("crawl_delay"))).toMap
+    assert(g(1L) == (Seq("graftbot"), 5L), "ruleless entry surfaces with its delay")
+    assert(g(2L) == (Seq("*"), null))
+    val rules = SyncOps.parseRobotsTxt(robots, "host", "content")
+    val urls = Seq((1L, "h1", "/a")).toDF("id", "host", "url")
+    // without groups: graftbot's ruleless entry is invisible → falls to *'s
+    // deny-all; with groups: CPython semantics — the ruleless entry wins
+    // selection and answers allow-all
+    val without = SyncOps.robotsCanFetch(rules, urls, "host", "url", "graftbot")
+      .collect().head.getAs[Boolean]("allowed")
+    val withG = SyncOps.robotsCanFetch(rules, urls, "host", "url", "graftbot",
+      groupsDf = Some(groups))
+      .collect().head.getAs[Boolean]("allowed")
+    assert(!without && withG,
+      "the groups argument restores ruleless-entry selection fidelity")
+  }
 }

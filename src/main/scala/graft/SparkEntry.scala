@@ -46,6 +46,7 @@ object SparkEntry {
     "robots_delays" -> (SyncOps.qRobotsDelays _),
     "warc_parse" -> (SyncOps.qWarcParse _),
     "warc_cdx" -> (SyncOps.qWarcCdx _),
+    "warc_write" -> (SyncOps.qWarcWrite _),
     "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
@@ -670,6 +671,38 @@ object SparkEntry {
         |  FROM documents)
         |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
         |ORDER BY source, uri""".stripMargin,
+    // warc_write: DuckDB rebuilds each record string byte-for-byte (strlen
+    // counts OCTETS, matching octet_length — the é in the payload is the
+    // point), assembles the same 8 archives per source in doc order, and
+    // compares octet totals + md5 digests.
+    "warc_write" ->
+      """WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+        |d AS (
+        |  SELECT source, doc_id, crlf,
+        |    'https://' || source || '.example.eu/d/' || doc_id AS url,
+        |    '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS fetched,
+        |    '<html>doc ' || doc_id || ' é</html>' AS payload
+        |  FROM documents CROSS JOIN c),
+        |h AS (
+        |  SELECT *, 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' ||
+        |    crlf || crlf || payload AS http
+        |  FROM d),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    source || '-' || (doc_id % 8) AS file_key,
+        |    'WARC/1.0' || crlf || 'WARC-Type: response' || crlf ||
+        |    'WARC-Target-URI: ' || url || crlf ||
+        |    'WARC-Date: ' || fetched || crlf ||
+        |    'Content-Type: application/http;msgtype=response' || crlf ||
+        |    'Content-Length: ' || strlen(http) || crlf || crlf ||
+        |    http || crlf || crlf AS rec
+        |  FROM h),
+        |f AS (
+        |  SELECT file_key, string_agg(rec, '' ORDER BY doc_id) AS warc
+        |  FROM r GROUP BY file_key)
+        |SELECT file_key, CAST(strlen(warc) AS BIGINT) AS octets,
+        |  md5(warc) AS digest
+        |FROM f ORDER BY file_key""".stripMargin,
     // warc_cdx: every CDX column re-derived from the generation parameters —
     // SURT urlkey by host-label reversal, 14-digit ts from the date's
     // digits, md5 digest over the same payload text, and the byte range by

@@ -1180,6 +1180,69 @@ object SyncOps {
       .orderBy("source", "uri")
   }
 
+  // ---------------------------------------------------------------- warc_write
+
+  /** The WRITE half of the WARC story: format docs as response records
+    * with byte-accurate framing — `Content-Length` counts OCTETS
+    * (`octet_length`, not chars: a UTF-8 payload must not shift the next
+    * record), the `application/http` block carries a minimal status line +
+    * Content-Type, and records end with the inter-record CRLFCRLF. Group
+    * the records by an archive key (e.g. `hash(url) % nFiles`) and
+    * concatenate in a deterministic order to get one ~1 GB archive string
+    * per key — the WARC distribution unit.
+    *
+    * Round-trips through [[graft.functions.WarcParse]] bit-exactly
+    * (spec-asserted, non-ASCII included) — so a graft-written archive is
+    * readable by graft and by any ISO 28500 reader.
+    */
+  def formatWarcRecords(docs: DataFrame, urlCol: String, dateCol: String,
+      payloadCol: String, payloadMime: String = "text/html"): DataFrame = {
+    val crlf = lit("\r\n")
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: " + payloadMime + "\r\n\r\n"),
+      col(payloadCol))
+    docs.withColumn("warc_record", concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), crlf,
+      lit("WARC-Date: "), col(dateCol), crlf,
+      lit("Content-Type: application/http;msgtype=response\r\n"),
+      lit("Content-Length: "), octet_length(http), crlf, crlf,
+      http, crlf, crlf))
+  }
+
+  /** Assemble formatted records into one archive string per file key,
+    * record order fixed by `orderCol` — deterministic bytes in, identical
+    * archive out, on any partitioning.
+    */
+  def assembleWarcFiles(records: DataFrame, fileKeyCol: String,
+      orderCol: String): DataFrame =
+    records
+      .groupBy(col(fileKeyCol).as("file_key"))
+      .agg(concat_ws("",
+        array_sort(collect_list(struct(col(orderCol), col("warc_record"))))
+          .getField("warc_record")).as("warc"))
+
+  /** queries() wrapper: format every doc, 8 archives per source by
+    * doc_id mod 8, and emit each archive's identity: key, record count,
+    * total octets, and md5 — the oracle rebuilds the same strings.
+    */
+  def qWarcWrite(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      col("source"), id,
+      concat(lit("https://"), col("source"), lit(".example.eu/d/"), id).as("url"),
+      concat(lit("2026-01-0"), id % 9 + 1, lit("T00:00:00Z")).as("fetched"),
+      concat(lit("<html>doc "), id, lit(" é</html>")).as("payload"))
+    val recs = formatWarcRecords(docs, "url", "fetched", "payload")
+      .withColumn("file_key", concat(col("source"), lit("-"), id % 8))
+    assembleWarcFiles(recs, "file_key", "doc_id")
+      .select(col("file_key"),
+        octet_length(col("warc")).cast("long").as("octets"),
+        md5(col("warc")).as("digest"))
+      .orderBy("file_key")
+  }
+
   // ------------------------------------------------------------------ warc_cdx
 
   /** CDX lookup index over parsed WARC records — the companion file that

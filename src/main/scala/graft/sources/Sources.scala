@@ -80,4 +80,29 @@ object Sources {
         graft.functions.WarcParse(GraftSqlBridge.expression(bytes)))))
       .select(col("path"), col("rec.*"))
   }
+
+  /** WARC sink: one archive file per row — (file_key, warc bytes/string) as
+    * produced by `SyncOps.assembleWarcFiles` — written via the Hadoop
+    * FileSystem API from the EXECUTORS (foreachPartition: each task writes
+    * its own files in parallel; nothing funnels through the driver), so the
+    * same code targets local disk, HDFS, or an object store. Byte-exact:
+    * no record separators or newlines are added — the framing is already
+    * in the bytes ([[graft.operators.SyncOps.formatWarcRecords]]).
+    */
+  def writeWarc(files: DataFrame, dir: String,
+      keyCol: String = "file_key", warcCol: String = "warc"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      files.sparkSession.sparkContext.hadoopConfiguration)
+    files.select(col(keyCol).cast("string"), col(warcCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(conf.value)
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".warc"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
 }

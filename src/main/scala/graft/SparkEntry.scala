@@ -44,6 +44,7 @@ object SparkEntry {
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
     "robots_delays" -> (SyncOps.qRobotsDelays _),
+    "robots_sitemaps" -> (SyncOps.qRobotsSitemaps _),
     "warc_parse" -> (SyncOps.qWarcParse _),
     "warc_cdx" -> (SyncOps.qWarcCdx _),
     "warc_write" -> (SyncOps.qWarcWrite _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "quality_repetition" -> (TextAnalysis.qQualityRepetition _),
     "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
     "quality_classifier" -> (TextAnalysis.qQualityClassifier _),
+    "domain_filter" -> (TextAnalysis.qDomainFilter _),
     "sequence_pack" -> (TextAnalysis.qSequencePack _),
     "mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "token_count" -> (TextAnalysis.qTokenCount _),
@@ -556,6 +558,15 @@ object SparkEntry {
         |  CAST(r.rule_idx AS BIGINT) AS rule_idx, r.allowance, r.path
         |FROM ru r JOIN ag a ON r.host = a.host AND r.group_id = a.group_id
         |ORDER BY 1, 2, 4""".stripMargin,
+    // robots_sitemaps: the three surviving sitemap urls restated per host
+    // (state-independent collection; the commented line and the duplicate
+    // vanish by intent).
+    "robots_sitemaps" ->
+      """SELECT source AS host,
+        |  'https://' || source || '.eu/' || sm AS sitemap_url
+        |FROM (SELECT DISTINCT source FROM documents)
+        |CROSS JOIN (VALUES ('sm-mid.xml'), ('sm-tail.xml'), ('sm-top.xml')) t(sm)
+        |ORDER BY host, sitemap_url""".stripMargin,
     // robots_delays: the fixture's three entries per host restated as
     // VALUES — the delay-extraction semantics (invalid ignored, last valid
     // wins, ruleless entries present) checked against intent; the parse
@@ -2152,6 +2163,25 @@ object SparkEntry {
     // buckets via the shared md5 recipe (CAST('0x'||substr(md5,1,8)) ==
     // Spark's conv base-16), Laplace-smoothed target/raw log-ratios,
     // per-doc score sums, the 0.75-quantile cutoff, strict-> selection.
+    // domain_filter: host stats recomputed per (source, doc_id%7) bucket;
+    // hosts failing the bad-fraction gate, the min-docs gate, or ending in
+    // -1 (the blocklist) lose every doc.
+    "domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source || '-' || (doc_id % 7) AS host,
+        |    (doc_id % 10) < (doc_id % 7) AS bad
+        |  FROM documents),
+        |st AS (
+        |  SELECT host, count(*) AS host_docs,
+        |    sum(CASE WHEN bad THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+        |      AS host_bad_frac
+        |  FROM d GROUP BY host)
+        |SELECT d.doc_id, d.host, st.host_docs,
+        |  round(st.host_bad_frac, 4) AS host_bad_frac
+        |FROM d JOIN st USING (host)
+        |WHERE st.host_docs >= 2 AND st.host_bad_frac <= 0.5
+        |  AND NOT d.host LIKE '%-1'
+        |ORDER BY doc_id""".stripMargin,
     // quality_classifier: DuckDB states the identical 64-bucket model from
     // the bucket id (same md5 first-8-hex recipe), hashes the same
     // unigram+bigram features, and recomputes mean-weight → sigmoid.

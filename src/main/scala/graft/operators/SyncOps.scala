@@ -1093,6 +1093,49 @@ object SyncOps {
       .orderBy("doc_id", "ua")
   }
 
+  /** `Sitemap:` discovery from robots.txt — CPython robotparser's
+    * `site_maps()` (3.8+), and how a crawler finds the sitemap tree's root
+    * without guessing /sitemap.xml: the key is entry-INDEPENDENT (CPython
+    * collects it at any state, before, inside, or after user-agent groups),
+    * values are absolute URLs kept verbatim, duplicates dropped. Feed the
+    * result straight into [[sitemapTree]].
+    */
+  def parseRobotsSitemaps(robots: DataFrame, hostCol: String,
+      contentCol: String): DataFrame =
+    robots.select(
+      col(hostCol).as("host"),
+      explode(split(col(contentCol), "\n")).as("raw"))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
+  /** queries() wrapper for [[parseRobotsSitemaps]]: sitemap lines placed
+    * before any group, inside a group, and after a blank line all surface
+    * (state-independent), a commented-out one does not, and the duplicate
+    * collapses.
+    */
+  def qRobotsSitemaps(s: SparkSession, d: String): DataFrame = {
+    val content = Seq(
+      "Sitemap: https://HOST.eu/sm-top.xml", // before any group
+      "User-agent: *",
+      "Disallow: /private/",
+      "Sitemap: https://HOST.eu/sm-mid.xml", // inside a group
+      "",
+      "sitemap: https://HOST.eu/sm-tail.xml", // after blank; lowercase key
+      "# Sitemap: https://HOST.eu/sm-commented.xml",
+      "Sitemap: https://HOST.eu/sm-top.xml" // duplicate — collapses
+    ).mkString("\n")
+    val robots = Tables.documents(s, d)
+      .select(col("source")).distinct()
+      .select(col("source").as("host"),
+        regexp_replace(lit(content), lit("HOST"), col("source")).as("content"))
+    parseRobotsSitemaps(robots, "host", "content")
+      .orderBy("host", "sitemap_url")
+  }
+
   /** queries() wrapper for [[parseRobotsGroups]]: per host, a named entry
     * whose invalid crawl-delays are ignored and whose LAST valid
     * crawl-delay/request-rate win, a RULELESS politeness-only entry

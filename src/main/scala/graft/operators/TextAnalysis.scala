@@ -867,4 +867,57 @@ object TextAnalysis {
       weights, buckets = 64)
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------- domain_filter
+
+  /** Host/domain-level corpus filtering (the RefinedWeb/C4 URL-level gate:
+    * junk concentrates by SITE, so per-doc gates miss what per-host
+    * statistics catch): aggregate per-doc signals to host level — doc
+    * count, bad-doc fraction — then drop every doc of a host that is
+    * blocklisted, too small to trust (`minDocs`), or mostly bad
+    * (`maxBadFraction`). Surviving docs carry their host's stats so
+    * downstream samplers can stratify by them.
+    *
+    * Plan: one host-key partial aggregate (counts — map-side combined),
+    * the host-stats table (|hosts| ≪ |docs|) joins back on the host
+    * equi-key, the blocklist is a broadcast anti-join. Two shuffles on
+    * well-spread keys; a mega-host is AQE's skew-join case.
+    */
+  def domainFilter(docs: DataFrame, hostCol: String, isBad: Column,
+      blocklist: Option[DataFrame] = None, minDocs: Long = 1L,
+      maxBadFraction: Double = 0.5): DataFrame = {
+    val stats = docs
+      .groupBy(col(hostCol).as("__h"))
+      .agg(
+        count(lit(1)).as("host_docs"),
+        (sum(when(isBad, 1L).otherwise(0L)) / count(lit(1))).as("host_bad_frac"))
+      .filter(col("host_docs") >= minDocs && col("host_bad_frac") <= maxBadFraction)
+    val kept = docs
+      .join(stats, col(hostCol) === col("__h"))
+      .drop("__h")
+    // blocklist-as-data (a 1-column host DataFrame), broadcast anti-join —
+    // the same rules-are-tables discipline as the robots family
+    blocklist.fold(kept)(b =>
+      kept.join(broadcast(b.toDF("__blocked")),
+        col(hostCol) === col("__blocked"), "left_anti"))
+  }
+
+  /** queries() wrapper: hosts are source × (doc_id mod 7) buckets; a doc is
+    * "bad" when doc_id mod 10 < (its bucket) — so the bad fraction climbs
+    * with the bucket index and buckets 6+ cross the 0.5 threshold; bucket 1
+    * of every source is blocklisted. The oracle recomputes the host stats
+    * and both gates.
+    */
+  def qDomainFilter(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(
+      id, concat(col("source"), lit("-"), id % 7).as("host"))
+    val blocked = docs.select(col("host")).distinct()
+      .filter(col("host").endsWith("-1"))
+    domainFilter(docs, "host", isBad = id % 10 < id % 7,
+      blocklist = Some(blocked), minDocs = 2L, maxBadFraction = 0.5)
+      .select(col("doc_id"), col("host"), col("host_docs"),
+        round(col("host_bad_frac"), 4).as("host_bad_frac"))
+      .orderBy("doc_id")
+  }
 }

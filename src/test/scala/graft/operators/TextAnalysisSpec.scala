@@ -280,4 +280,25 @@ class TextAnalysisSpec extends SparkSpec {
     for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
       assert(!p.contains(bad), s"plan contains $bad")
   }
+
+  test("domainFilter: threshold boundaries and blocklist") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      // host "half": 4 docs, exactly 2 bad → frac 0.5 == max → KEPT
+      (1L, "half", true), (2L, "half", true), (3L, "half", false), (4L, "half", false),
+      // host "most": 3 of 4 bad → 0.75 > 0.5 → dropped
+      (5L, "most", true), (6L, "most", true), (7L, "most", true), (8L, "most", false),
+      // host "tiny": 1 doc < minDocs 2 → dropped
+      (9L, "tiny", false),
+      // host "evil": clean but blocklisted
+      (10L, "evil", false), (11L, "evil", false)
+    ).toDF("doc_id", "host", "bad")
+    val out = TextAnalysis.domainFilter(docs, "host", col("bad"),
+      blocklist = Some(Seq("evil").toDF("host")), minDocs = 2L, maxBadFraction = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L),
+      "exactly-at-threshold host keeps; over-threshold, tiny, and blocklisted drop")
+  }
 }

@@ -105,4 +105,26 @@ object Sources {
         }
       }
   }
+
+  /** Bucketed table write — the co-located-join contract at 100 TB: two
+    * tables bucketed by the SAME key into the SAME bucket count join with
+    * ZERO shuffle on either side (Spark plans bucket-to-bucket joins; the
+    * exchange disappears — `SourcesSpec` asserts it). Bucket the big,
+    * repeatedly-joined facts ONCE at ingest (`lineitem` by orderkey, docs
+    * by host, embeddings by cluster cell) and every later join of the
+    * pipeline runs shuffle-free.
+    *
+    * `sortBy` the same key so bucket files are internally ordered —
+    * bucket + sort turns the join's sort phase into a merge as well.
+    * Requires a table catalog (`saveAsTable`) because bucket metadata
+    * lives there, not in the parquet footer.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -84,4 +84,27 @@ class SourcesSpec extends SparkSpec {
       Tables.rowCountFromFooters(spark, root, "no_such_table")
     }
   }
+
+  test("bucketed tables join with zero shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val left = (1L to 500L).map(i => (i, s"u$i")).toDF("id", "url")
+    val right = (1L to 500L).map(i => (i, i % 7)).toDF("id", "grp")
+    Sources.writeBucketed(left, "bk_left", "id", 4)
+    Sources.writeBucketed(right, "bk_right", "id", 4)
+    try {
+      // force a sort-merge join — a broadcast would hide the bucket
+      // alignment (and BroadcastExchange contains "Exchange" too)
+      val joined = spark.table("bk_left").hint("merge")
+        .join(spark.table("bk_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+      assert(joined.count() == 500L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
 }

@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (DedupOps.qDedupFingerprint _),
     "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
+    "embed_quantize" -> (AnnOps.qEmbedQuantize _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "lang_id" -> (TextAnalysis.qLangId _),
@@ -2163,6 +2164,26 @@ object SparkEntry {
     // buckets via the shared md5 recipe (CAST('0x'||substr(md5,1,8)) ==
     // Spark's conv base-16), Laplace-smoothed target/raw log-ratios,
     // per-doc score sums, the 0.75-quantile cutoff, strict-> selection.
+    // embed_quantize: same double arithmetic in the same order (cast float
+    // to double, v/scale*127, round-half-away, int) — codes must match
+    // bit-for-bit, scale at 6 decimals.
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / s * 127, 0) AS INT))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id, round(s, 6) AS q_scale,
+        |  array_to_string(codes, ',') AS codes,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+        |FROM c ORDER BY vec_id""".stripMargin,
     // domain_filter: host stats recomputed per (source, doc_id%7) bucket;
     // hosts failing the bad-fraction gate, the min-docs gate, or ending in
     // -1 (the blocklist) lose every doc.

@@ -166,4 +166,33 @@ class AnnOpsSpec extends SparkSpec {
     val b = AnnOps.hyperplanes(2, 4, 8)
     assert(a.flatten.flatten == b.flatten.flatten)
   }
+
+  test("quantizeEmbeddings: top-k on dequantized int8 codes tracks the exact ranking") {
+    import org.apache.spark.sql.functions._
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0).limit(8)
+    val k = 10
+    val exact = AnnOps.bruteTopK(vecs, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deq = AnnOps.dequantizeEmbeddings(
+      AnnOps.quantizeEmbeddings(vecs, "v"))
+      .select(col("vec_id"), col("v_deq").as("v"))
+    val qdeq = AnnOps.dequantizeEmbeddings(
+      AnnOps.quantizeEmbeddings(queries, "v"))
+      .select(col("vec_id"), col("v_deq").as("v"))
+    val approx = AnnOps.bruteTopK(deq, qdeq, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"int8 recall@$k = $recall%.3f")
+    assert(recall >= 0.9, f"int8 quantization recall@$k $recall%.3f below 0.9")
+    // scale/codes invariants: codes bounded by ±127, zero vector safe
+    val spark2 = spark
+    import spark2.implicits._
+    val z = AnnOps.quantizeEmbeddings(
+      Seq((1L, Seq(0.0, 0.0)), (2L, Seq(-2.0, 1.0))).toDF("vec_id", "v"), "v")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("q_codes").toSeq).toMap
+    assert(z(1L) == Seq(0, 0), "zero vector quantizes to zero codes")
+    assert(z(2L) == Seq(-127, 64), "symmetric scale: max |v| maps to ±127")
+  }
 }

@@ -310,4 +310,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       "expected the first-match min aggregate")
   }
+
+  test("warc family: parse/cdx/write have no cartesian; cdx adds no shuffle after parse") {
+    for (q <- Seq("warc_parse", "warc_cdx", "warc_write")) {
+      val p = plan(q)
+      for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+        assert(!p.contains(bad), s"$q plan contains $bad")
+    }
+    // cdx over parsed records is a pure projection — identical exchange
+    // count to the parse itself would still pass; what must NOT appear is
+    // any join (the records already carry everything cdx needs)
+    assert(!plan("warc_cdx").contains("Join"), "warc_cdx must be join-free")
+  }
+
+  test("sitemap_index: one child-url equi-join, pages explode after it") {
+    val p = plan("sitemap_index")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"sitemap_index plan contains $bad")
+    assert(p.contains("Join"), "expected the child-url equi-join")
+  }
+
+  test("domain_filter: host stats via partial agg; blocklist broadcasts") {
+    val p = plan("domain_filter")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+      assert(!p.contains(bad), s"domain_filter plan contains $bad")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the blocklist anti-join must broadcast")
+  }
+
+  test("embed_quantize is a pure narrow projection (no exchange before the output sort)") {
+    val plnObj = SparkEntry.queries("embed_quantize")(spark, sfDir)
+      .queryExecution.executedPlan
+    val s = plnObj.toString
+    for (bad <- Seq("CartesianProduct", "Join", "Window", "HashAggregate"))
+      assert(!s.contains(bad), s"embed_quantize plan contains $bad")
+  }
 }

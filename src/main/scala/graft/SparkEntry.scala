@@ -132,6 +132,8 @@ object SparkEntry {
     "perplexity_bucket" -> (TextAnalysis.qPerplexityBucket _),
     "quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "domain_filter" -> (TextAnalysis.qDomainFilter _),
+    "bpe_pairs" -> (TextAnalysis.qBpePairs _),
+    "corpus_stats" -> (TextAnalysis.qCorpusStats _),
     "sequence_pack" -> (TextAnalysis.qSequencePack _),
     "mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "token_count" -> (TextAnalysis.qTokenCount _),
@@ -2164,6 +2166,34 @@ object SparkEntry {
     // buckets via the shared md5 recipe (CAST('0x'||substr(md5,1,8)) ==
     // Spark's conv base-16), Laplace-smoothed target/raw log-ratios,
     // per-doc score sums, the 0.75-quantile cutoff, strict-> selection.
+    // bpe_pairs: same word-count → char-pair → weighted-count chain; the
+    // '.'-regex char split and the '_'-joined bigram idiom match the
+    // WordNgramsAll kernel exactly.
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+        |  FROM documents),
+        |wc AS (
+        |  SELECT word, count(*) AS wcnt FROM w WHERE word <> '' GROUP BY word),
+        |ch AS (
+        |  SELECT wcnt, regexp_extract_all(word, '.') AS cs FROM wc),
+        |pr AS (
+        |  SELECT wcnt, unnest(list_transform(range(1, len(cs)),
+        |    i -> cs[i] || '_' || cs[i + 1])) AS pair
+        |  FROM ch),
+        |agg AS (
+        |  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+        |SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // corpus_stats: the same one-pass per-lang aggregate; strlen counts
+    // octets matching octet_length, length counts chars on both engines.
+    "corpus_stats" ->
+      """SELECT lang,
+        |  count(*) AS docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        |  round(avg(length(text)), 2) AS avg_chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // embed_quantize: same double arithmetic in the same order (cast float
     // to double, v/scale*127, round-half-away, int) — codes must match
     // bit-for-bit, scale at 6 decimals.

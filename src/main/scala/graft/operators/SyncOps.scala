@@ -1084,9 +1084,15 @@ object SyncOps {
     val urls = Tables.documents(s, d).select(
       id, col("source").as("host"),
       concat(lit("https://"), col("source"), lit(".example.eu"), path).as("url"))
-    val bot = robotsCanFetch(rules, urls, "host", "url", "graftbot/2.1")
+    // entry selection through parseRobotsGroups — the full-fidelity path
+    // (same verdicts here since the fixture has no ruleless entries, but
+    // the oracle now covers the groups-driven selection code)
+    val groups = parseRobotsGroups(robots, "host", "content")
+    val bot = robotsCanFetch(rules, urls, "host", "url", "graftbot/2.1",
+      groupsDf = Some(groups))
       .withColumn("ua", lit("graftbot/2.1"))
-    val other = robotsCanFetch(rules, urls, "host", "url", "otherbot")
+    val other = robotsCanFetch(rules, urls, "host", "url", "otherbot",
+      groupsDf = Some(groups))
       .withColumn("ua", lit("otherbot"))
     bot.unionByName(other)
       .select("doc_id", "ua", "url", "allowed")

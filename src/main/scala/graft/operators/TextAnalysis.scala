@@ -920,4 +920,67 @@ object TextAnalysis {
         round(col("host_bad_frac"), 4).as("host_bad_frac"))
       .orderBy("doc_id")
   }
+
+  // ----------------------------------------------------------------- bpe_pairs
+
+  /** The distributed inner loop of BPE tokenizer training (Sennrich et al.
+    * 2016): adjacent-symbol pair frequencies over the corpus, weighted by
+    * word count — the statistic each merge round maximizes. The
+    * Zipf-shaped word dedup comes FIRST (distinct words with counts — a
+    * map-side-combined aggregate that collapses the corpus ~100×), then
+    * pairs explode from the DISTINCT word table only, via the native
+    * multiplicity-preserving [[graft.functions.WordNgramsAll]] kernel over
+    * the character array. Two partial-agg shuffles (word key, pair key),
+    * top-K via the deterministic (count desc, pair asc) order.
+    *
+    * One call = one merge-round statistic; a driver loop applying merges
+    * and re-counting is the full trainer — the heavy part (corpus pair
+    * counting) is this operator, which is exactly the part that must
+    * distribute at 100 TB.
+    */
+  def bpePairs(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val words = docs
+      .select(explode(spaceTokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    // '.'-regex char split (never yields the trailing "" that split-on-""
+    // does); pairs via the codegen'd n-gram kernel, '_'-joined
+    val chars = regexp_extract_all(col("word"), lit("."), lit(0))
+    val pairExpr = GraftSqlBridge.column(graft.functions.WordNgramsAll(
+      GraftSqlBridge.expression(chars), 2))
+    words
+      .select(col("wcnt"), explode(pairExpr).as("pair"))
+      .groupBy("pair").agg(sum("wcnt").as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(topK)
+  }
+
+  /** queries() wrapper: top-50 pairs over the documents corpus. */
+  def qBpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairs(Tables.documents(s, d), "text", topK = 50)
+
+  // -------------------------------------------------------------- corpus_stats
+
+  /** The per-run corpus report every pipeline emits before and after each
+    * stage (the "datasheet" numbers: volume, token mass, length profile,
+    * source spread, per language): one partial-agg groupBy, everything
+    * map-side combinable (countDistinct rewrites to a two-phase exact
+    * distinct). Diff two of these across a pipeline stage to see what the
+    * stage did at a glance.
+    */
+  def corpusStats(docs: DataFrame, langCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(spaceTokens(col(textCol))).cast("long")).as("tokens"),
+        sum(octet_length(col(textCol)).cast("long")).as("bytes"),
+        round(avg(length(col(textCol))), 2).as("avg_chars"),
+        countDistinct(col(sourceCol)).as("sources"))
+
+  /** queries() wrapper over the documents table. */
+  def qCorpusStats(s: SparkSession, d: String): DataFrame =
+    corpusStats(Tables.documents(s, d), "lang", "text", "source")
+      .orderBy("lang")
 }

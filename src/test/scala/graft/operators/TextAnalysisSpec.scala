@@ -301,4 +301,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L, 4L),
       "exactly-at-threshold host keeps; over-threshold, tiny, and blocklisted drop")
   }
+
+  test("bpePairs: weighted pair counts over distinct words, known answer") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "ab ab abc" → words: ab(x2), abc(x1) → pairs: a_b: 2+1=3, b_c: 1
+    val docs = Seq((1L, "ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("a_b" -> 3L, "b_c" -> 1L),
+      "pair counts weighted by word frequency, ordered count desc then pair")
+  }
+
+  test("corpusStats: one row per lang with exact token/byte mass") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "en", "one two", "s1"),
+      (2L, "en", "héllo", "s2"),   // 6 bytes, 5 chars
+      (3L, "de", "ein", "s1")).toDF("doc_id", "lang", "text", "source")
+    val out = TextAnalysis.corpusStats(docs, "lang", "text", "source")
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("tokens"), r.getAs[Long]("bytes"),
+         r.getAs[Long]("sources"))).toMap
+    assert(out("en") == (2L, 3L, 13L, 2L), "2 docs, 2+1 tokens, 7+6 bytes, 2 sources")
+    assert(out("de") == (1L, 1L, 3L, 1L))
+  }
 }

@@ -178,4 +178,40 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming WARC ingest: archives land in a directory (the crawl
+    * fleet's drop zone — object-store prefix in production) and each
+    * micro-batch parses the NEW files to record rows with the same
+    * byte-exact [[graft.functions.WarcParse]] the batch path uses. The
+    * `binaryFile` streaming source tracks processed files in the
+    * checkpoint, so a file is parsed exactly once; per-file parallelism is
+    * unchanged from batch (the WARC size cap is the distribution unit).
+    * State: none beyond the source's file log — the parse is stateless.
+    */
+  def streamWarc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      gzipped: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val raw = spark.readStream
+      .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+    val bytes =
+      if (gzipped)
+        GraftSqlBridge.column(graft.functions.Gunzip(
+          GraftSqlBridge.expression(col("content"))))
+      else col("content")
+    raw
+      .withColumn("rec", explode(GraftSqlBridge.column(
+        graft.functions.WarcParse(GraftSqlBridge.expression(bytes)))))
+      .select(col("path"), col("rec.*"))
+  }
 }

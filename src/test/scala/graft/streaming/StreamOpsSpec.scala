@@ -272,4 +272,34 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(1) === ((2L, "\n\nT2.\n\n\n\npdf body")))
     } finally q.stop()
   }
+
+  test("streamWarc: files dropped into the landing dir parse exactly once") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warcckpt").toString
+    def rec(uri: String, body: String): Array[Byte] = {
+      val block = s"HTTP/1.1 200 OK\r\n\r\n$body".getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8) ++
+        block ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    def drop(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      f.write(bytes); f.close()
+    }
+    drop("a.warc", rec("https://a.eu/1", "one") ++ rec("https://a.eu/2", "two"))
+    val q = StreamOps.streamWarc(spark, dir)
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("b.warc", rec("https://b.eu/3", "three"))
+      q.processAllAvailable()
+      val uris = spark.table("warc_stream")
+        .collect().map(_.getAs[String]("target_uri")).sorted.toSeq
+      assert(uris == Seq("https://a.eu/1", "https://a.eu/2", "https://b.eu/3"),
+        "both micro-batches parsed, no file twice")
+    } finally q.stop()
+  }
 }

@@ -229,6 +229,23 @@ object ScaleProbe {
           GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))
           .select(col("rec.target_uri"), col("rec.content_length"), col("rec.offset"))
       })
+      // BPE pair counting: replica word-suffixes make the distinct-word
+      // table grow K x (the worst case — real corpora dedup far harder)
+      probeForced("bpe_pairs", k,
+        graft.operators.TextAnalysis.bpePairs(corpusK(k), "text", topK = 200))
+      // host aggregation + stats join-back; hosts grow with the corpus
+      probeForced("domain_filter", k, {
+        val c = corpusK(k)
+        graft.operators.TextAnalysis.domainFilter(
+          c.select(col("doc_id"), col("text"),
+            concat(col("source"), lit("-"), col("doc_id") % 997).as("host")),
+          "host", isBad = length(col("text")) % 10 < 3,
+          minDocs = 1L, maxBadFraction = 0.9)
+      })
+      // int8 quantization: pure narrow projection — must scale at scan speed
+      probeForced("embed_quantize", k,
+        graft.operators.AnnOps.quantizeEmbeddings(embeddingsK(k), "v")
+          .select(col("vec_id"), col("q_scale"), col("q_codes")))
       // hashed linear classifier: gram volume grows K x, the 64-row model
       // broadcast and the doc-key partial agg are the only non-narrow steps
       probeForced("quality_classifier", k, {

@@ -112,6 +112,7 @@ object SparkEntry {
     "es_agg" -> (EsQuery.qEsAgg _),
     // LLM-training-data pipeline (SURVEY §2 #28-#39)
     "dedup_exact" -> (DedupOps.qDedupExact _),
+    "span_dedup" -> (DedupOps.qSpanDedup _),
     "dedup_minhash" -> (DedupOps.qDedupMinhash _),
     "dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "ngram_jaccard" -> (DedupOps.qNgramJaccard _),
@@ -134,6 +135,8 @@ object SparkEntry {
     "domain_filter" -> (TextAnalysis.qDomainFilter _),
     "bpe_pairs" -> (TextAnalysis.qBpePairs _),
     "corpus_stats" -> (TextAnalysis.qCorpusStats _),
+    "badwords_filter" -> (TextAnalysis.qBadwordsFilter _),
+    "anchor_text" -> (TextAnalysis.qAnchorText _),
     "sequence_pack" -> (TextAnalysis.qSequencePack _),
     "mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "token_count" -> (TextAnalysis.qTokenCount _),
@@ -2194,6 +2197,64 @@ object SparkEntry {
         |  round(avg(length(text)), 2) AS avg_chars,
         |  count(DISTINCT source) AS sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // span_dedup: intent-level restatement — the one corpus-wide duplicate
+    // span (shared sentences 2-4) survives only in the minimum doc_id; all
+    // other docs lose exactly those three sentences.
+    "span_dedup" ->
+      """WITH m AS (SELECT min(doc_id) AS keeper FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id = (SELECT keeper FROM m) THEN
+        |    'sent 0 of doc ' || doc_id || ' sent 1 of doc ' || doc_id ||
+        |    ' shared sentence 2 shared sentence 3 shared sentence 4' ||
+        |    ' sent 5 of doc ' || doc_id || ' sent 6 of doc ' || doc_id ||
+        |    ' sent 7 of doc ' || doc_id
+        |  ELSE
+        |    'sent 0 of doc ' || doc_id || ' sent 1 of doc ' || doc_id ||
+        |    ' sent 5 of doc ' || doc_id || ' sent 6 of doc ' || doc_id ||
+        |    ' sent 7 of doc ' || doc_id
+        |  END AS text_deduped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // badwords_filter: the blocklist is the corpus's own top-5 words (both
+    // engines derive it identically), hits counted per doc, zero-hit keeps.
+    "badwords_filter" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        |  FROM documents),
+        |top5 AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM w WHERE w <> ''
+        |    GROUP BY w ORDER BY c DESC, w LIMIT 5)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, count(*) AS hits
+        |  FROM toks JOIN top5 ON tok = w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS badword_hits,
+        |  coalesce(h.hits, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // anchor_text: same hub-link fixture, same (count desc, anchor) rank,
+    // capped top anchors joined in rank order.
+    "anchor_text" ->
+      """WITH l AS (
+        |  SELECT doc_id AS src_id,
+        |    'https://hub.eu/p/' || (doc_id % 31) AS target,
+        |    'label ' || (doc_id % 3) AS anchor
+        |  FROM documents),
+        |c AS (
+        |  SELECT target, anchor, count(*) AS n,
+        |    count(DISTINCT src_id) AS n_sources
+        |  FROM l GROUP BY target, anchor),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY target ORDER BY n DESC, anchor) AS rk
+        |  FROM c)
+        |SELECT target, CAST(sum(n) AS BIGINT) AS inbound_links,
+        |  CAST(max(n_sources) AS BIGINT) AS top_anchor_sources,
+        |  string_agg(anchor, '|' ORDER BY rk) AS top_anchors
+        |FROM r WHERE rk <= 2 GROUP BY target ORDER BY target""".stripMargin,
     // embed_quantize: same double arithmetic in the same order (cast float
     // to double, v/scale*127, round-half-away, int) — codes must match
     // bit-for-bit, scale at 6 decimals.

@@ -596,4 +596,84 @@ object DedupOps {
 
   def qDedupFingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintPairs(plantedCorpus(s, d)).orderBy("id1", "id2")
+
+  // ----------------------------------------------------------------- span_dedup
+
+  /** C4's three-sentence-span dedup (Raffel et al. 2020: "we removed any
+    * three-sentence span that occurred more than once in the dataset",
+    * keeping one occurrence — the passage-level exact dedup between
+    * line_dedup's lines and minhash's whole docs): sentences split by
+    * `splitRegex`, sliding `spanLen`-sentence spans, a span seen >1×
+    * keeps only its first occurrence (global (doc_id, position) order) and
+    * every other occurrence deletes its covered sentences; docs re-join
+    * from the survivors in original order (a fully-deduped doc keeps an
+    * emptied row, mirroring line_dedup's contract).
+    *
+    * Plan: per-doc windows build spans (docs are small — the window
+    * partition is one doc), ONE span-key partial-agg groupBy finds counts
+    * + first occurrence, victims explode to covered positions and leave in
+    * a LEFT ANTI join, reassembly is one doc-key groupBy. No global sort,
+    * no span-key window; the span table is the only corpus-sized shuffle.
+    */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      splitRegex: String = "(?<=[.!?])\\s+", spanLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos0")
+    val sents = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), splitRegex)).as(Seq("pos0", "sent")))
+      .filter(trim(col("sent")) =!= "")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "pos", "sent")
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = (1 until spanLen)
+      .foldLeft(sents.withColumn("span", col("sent"))) { (df, i) =>
+        df.withColumn("span",
+          concat_ws(" ", col("span"), lead(col("sent"), i).over(wp)))
+          .withColumn(s"__ok$i", lead(col("sent"), i).over(wp).isNotNull)
+      }
+      .filter((1 until spanLen).map(i => col(s"__ok$i")).reduce(_ && _))
+      .select(col("doc_id"), col("pos"), col("span"))
+    val bySpan = spans.groupBy("span").agg(
+      count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val victims = spans
+      .join(bySpan, Seq("span"))
+      .filter(col("c") > 1 &&
+        !(col("doc_id") === col("keeper.doc_id") && col("pos") === col("keeper.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("del_pos"))
+      .distinct()
+    val survivors = sents.join(victims,
+      sents("doc_id") === victims("doc_id") && col("pos") === col("del_pos"),
+      "left_anti")
+    val rebuilt = survivors
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("pos"), col("sent"))))
+          .getField("sent")).as("t"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text_deduped", coalesce(col("t"), lit("")))
+      .drop("t")
+  }
+
+  /** queries() wrapper: 8 '|'-separated sentences per doc — positions 2-4
+    * shared corpus-wide (sentence text keyed by position only), the rest
+    * unique per doc — so exactly one three-sentence span duplicates across
+    * every doc and only the global first occurrence keeps it. The '|'
+    * split regex keeps the oracle inside RE2 (DuckDB has no lookbehind);
+    * the default sentence regex is spec-covered.
+    */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val sent = (k: Int) =>
+      if (k >= 2 && k <= 4) concat(lit(s"shared sentence $k"))
+      else concat(lit(s"sent $k of doc "), id)
+    val text = concat_ws("|", (0 until 8).map(sent): _*)
+    spanDedup(
+      Tables.documents(s, d).select(id, text.as("text")),
+      "text", "doc_id", splitRegex = "\\|")
+      .orderBy("doc_id")
+  }
 }

@@ -983,4 +983,89 @@ object TextAnalysis {
   def qCorpusStats(s: SparkSession, d: String): DataFrame =
     corpusStats(Tables.documents(s, d), "lang", "text", "source")
       .orderBy("lang")
+
+  // ----------------------------------------------------------- badwords_filter
+
+  /** The C4 blocklist gate (Raffel et al. 2020: any page containing a word
+    * from the "List of Dirty, Naughty, Obscene..." blocklist is dropped):
+    * tokens lowercase-match a broadcast word set, docs carry the hit count
+    * and the keep verdict. The blocklist is DATA (a 1-column DataFrame —
+    * swap lists without code change); matching is one broadcast semi-join
+    * on the exploded token stream plus a doc-key partial-agg count — the
+    * token stream never shuffles for the list.
+    */
+  def badwordsFilter(docs: DataFrame, textCol: String, idCol: String,
+      badwords: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(spaceTokens(lower(col(textCol)))).as("tok"))
+    val hits = toks
+      .join(broadcast(badwords.toDF("bad")), col("tok") === col("bad"))
+      .groupBy("doc_id").agg(count(lit(1)).as("badword_hits"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("badword_hits", coalesce(col("badword_hits"), lit(0L)))
+      .withColumn("keep", col("badword_hits") === 0)
+  }
+
+  /** queries() wrapper: the "blocklist" is the five most frequent corpus
+    * words computed from the corpus itself (deterministic, engine-neutral),
+    * so a meaningful fraction of docs actually trips the gate.
+    */
+  def qBadwordsFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val blocklist = docs
+      .select(explode(spaceTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(5)
+      .select(col("w"))
+    badwordsFilter(docs, "text", "doc_id", blocklist)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- anchor_text
+
+  /** Inbound anchor-text aggregation per target url — the web-graph
+    * relevance signal (what OTHER pages call a page: classic ranking
+    * feature, and at training-data scale the query-generation source):
+    * from the link table (`linkExtract`'s output shape), group by target,
+    * count inbound links and distinct sources, and keep the top-`maxTexts`
+    * anchor strings by (count, text) — deterministic, bounded per target.
+    * One target-key shuffle with map-side-combined counts; mega-targets
+    * (every page links "home") are AQE skew territory and the per-target
+    * output is capped by construction.
+    */
+  def anchorText(links: DataFrame, targetCol: String, anchorCol: String,
+      srcCol: String, maxTexts: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = links
+      .filter(trim(col(anchorCol)) =!= "")
+      .groupBy(col(targetCol).as("target"), trim(col(anchorCol)).as("anchor"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(srcCol)).as("n_sources"))
+    val ranked = counted
+      .withColumn("r", row_number().over(
+        Window.partitionBy("target").orderBy(desc("n"), col("anchor"))))
+      .filter(col("r") <= maxTexts)
+    ranked
+      .groupBy("target")
+      .agg(
+        sum("n").as("inbound_links"),
+        max("n_sources").as("top_anchor_sources"),
+        array_join(array_sort(collect_list(struct(col("r"), col("anchor"))))
+          .getField("anchor"), "|").as("top_anchors"))
+  }
+
+  /** queries() wrapper: a deterministic synthetic link table — target =
+    * doc_id mod 31 (hub structure), anchor text varies mod 3 per source —
+    * aggregated to inbound counts + capped top anchors.
+    */
+  def qAnchorText(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val links = Tables.documents(s, d).select(
+      id.as("src_id"),
+      concat(lit("https://hub.eu/p/"), id % 31).as("link_url"),
+      concat(lit("label "), (id % 3)).as("anchor"))
+    anchorText(links, "link_url", "anchor", "src_id", maxTexts = 2)
+      .orderBy("target")
+  }
 }

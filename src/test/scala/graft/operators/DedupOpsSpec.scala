@@ -290,4 +290,23 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 3L)), s"expected only the same-label pair, got $pairs")
   }
+
+  test("spanDedup: cross-doc span keeps first occurrence; within-doc repetition collapses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "Alpha one. Shared a. Shared b. Shared c. Omega one."),
+      (2L, "Beta two. Shared a. Shared b. Shared c. Omega two."),
+      // the same 3-sentence run twice INSIDE one doc: second occurrence goes
+      (3L, "Rep x. Rep y. Rep z. Rep x. Rep y. Rep z.")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_deduped")).toMap
+    assert(out(1L) == "Alpha one. Shared a. Shared b. Shared c. Omega one.",
+      "global first occurrence keeps the shared span")
+    assert(out(2L) == "Beta two. Omega two.",
+      "later doc loses exactly the shared three sentences")
+    assert(out(3L) == "Rep x. Rep y. Rep z.",
+      "a span repeated within one doc keeps only its first occurrence")
+  }
 }

@@ -218,7 +218,7 @@ object ScaleProbe {
         val rec = concat(
           lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h.eu/"),
           col("doc_id"),
-          lit("\r\nContent-Length: "), length(http), lit("\r\n\r\n"), http,
+          lit("\r\nContent-Length: "), octet_length(http), lit("\r\n\r\n"), http,
           lit("\r\n\r\n"))
         val files = c.select(col("source"), (col("doc_id") % 64).as("b"),
             col("doc_id"), rec.as("r"))

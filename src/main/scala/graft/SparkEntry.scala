@@ -2243,18 +2243,24 @@ object SparkEntry {
         |    'https://hub.eu/p/' || (doc_id % 31) AS target,
         |    'label ' || (doc_id % 3) AS anchor
         |  FROM documents),
-        |c AS (
-        |  SELECT target, anchor, count(*) AS n,
+        |tot AS (
+        |  SELECT target, count(*) AS inbound_links,
         |    count(DISTINCT src_id) AS n_sources
+        |  FROM l GROUP BY target),
+        |c AS (
+        |  SELECT target, anchor, count(*) AS n
         |  FROM l GROUP BY target, anchor),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY target ORDER BY n DESC, anchor) AS rk
-        |  FROM c)
-        |SELECT target, CAST(sum(n) AS BIGINT) AS inbound_links,
-        |  CAST(max(n_sources) AS BIGINT) AS top_anchor_sources,
-        |  string_agg(anchor, '|' ORDER BY rk) AS top_anchors
-        |FROM r WHERE rk <= 2 GROUP BY target ORDER BY target""".stripMargin,
+        |  FROM c),
+        |tops AS (
+        |  SELECT target, string_agg(anchor, '|' ORDER BY rk) AS top_anchors
+        |  FROM r WHERE rk <= 2 GROUP BY target)
+        |SELECT tot.target, CAST(tot.inbound_links AS BIGINT) AS inbound_links,
+        |  CAST(tot.n_sources AS BIGINT) AS n_sources,
+        |  coalesce(tops.top_anchors, '') AS top_anchors
+        |FROM tot LEFT JOIN tops USING (target) ORDER BY target""".stripMargin,
     // embed_quantize: same double arithmetic in the same order (cast float
     // to double, v/scale*127, round-half-away, int) — codes must match
     // bit-for-bit, scale at 6 decimals.

@@ -363,7 +363,11 @@ object GlobRegex {
           while (j < core.length && core(j) != ']') j += 1
           if (j >= core.length) sb.append("\\[")
           else {
-            val body = core.substring(i + 1, j).replace("\\", "\\\\")
+            // escape regex-active chars INSIDE a Java class body too: a
+            // nested '[' opens a class union and '&&' is intersection in
+            // Java regex, both literal in fnmatch
+            val body = core.substring(i + 1, j)
+              .replace("\\", "\\\\").replace("[", "\\[").replace("&", "\\&")
             val inner =
               if (body.startsWith("!")) "^" + body.drop(1)
               else if (body.startsWith("^")) "\\^" + body.drop(1)

@@ -825,7 +825,10 @@ object SyncOps {
     val wGroup = Window.partitionBy("host", "group_id").orderBy("line_no")
     val lines = robots.select(
       col(hostCol).as("host"),
-      posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+      // CPython reads via splitlines(): CRLF and bare-CR files are the
+      // real-web norm — split on all three so no value carries a \r tail
+      // and blank-line detection fires on CRLF blank lines too
+      posexplode(split(col(contentCol), "\r\n|\r|\n")).as(Seq("line_no", "raw")))
     val kv = lines
       // blank-line detection is on the RAW line (CPython checks it BEFORE
       // the comment strip); a comment-only line cleans to "" but is NOT
@@ -904,7 +907,15 @@ object SyncOps {
           col("line_no")).as("req_rate_requests"),
         max_by(regexp_extract(col("value"), "([0-9]+)$", 1).cast("long"),
           col("line_no")).as("req_rate_seconds"))
+    // CPython DISCARDS an entry whose header is never followed by a
+    // directive (blank line or EOF at state 1 — verified against stdlib:
+    // such an entry never answers can_fetch) — so only groups with at
+    // least one open directive line survive here too
+    val valid = grouped
+      .filter(!col("is_ua") && !col("is_blank") && col("closed") === 0)
+      .select("host", "group_id").distinct()
     robotsAgents(grouped)
+      .join(valid, Seq("host", "group_id"))
       .join(cd, Seq("host", "group_id"), "left")
       .join(rr, Seq("host", "group_id"), "left")
       .select("host", "group_id", "agents", "crawl_delay",
@@ -1110,7 +1121,7 @@ object SyncOps {
       contentCol: String): DataFrame =
     robots.select(
       col(hostCol).as("host"),
-      explode(split(col(contentCol), "\n")).as("raw"))
+      explode(split(col(contentCol), "\r\n|\r|\n")).as("raw"))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
       .filter(lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
       .select(col("host"),
@@ -1186,8 +1197,13 @@ object SyncOps {
     * so the byte-offset slicing (the part an engine can get wrong) is
     * checked against an independent statement of intent.
     */
-  def qWarcParse(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+  /** Shared fixture for the warc_parse / warc_cdx gates: one in-memory
+    * WARC file per source — a warcinfo record then per-doc HTTP response
+    * records in doc order. Content-Length counts OCTETS (octet_length, the
+    * framing WarcParse slices by) so the fixture stays byte-correct even
+    * if the bodies ever grow non-ASCII text.
+    */
+  private def warcFixtureFiles(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val crlf = lit("\r\n")
     val body = concat(lit("<html>doc "), id, lit("</html>"))
@@ -1199,18 +1215,22 @@ object SyncOps {
       lit("WARC-Target-URI: "), uri, crlf,
       lit("WARC-Date: 2026-01-0"), id % 9 + 1, lit("T00:00:00Z\r\n"),
       lit("Content-Type: application/http;msgtype=response\r\n"),
-      lit("Content-Length: "), length(http), crlf, crlf,
+      lit("Content-Length: "), octet_length(http), crlf, crlf,
       http, crlf, crlf)
     val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
       "Content-Type: application/warc-fields\r\nContent-Length: 15\r\n\r\n" +
       "software: graft\r\n\r\n"
-    val files = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("source"), id, rec.as("r"))
       .groupBy("source")
       .agg(concat(lit(warcinfo),
         array_join(array_sort(collect_list(struct(id, col("r")))).getField("r"), ""))
         .as("w"))
-    files
+  }
+
+  def qWarcParse(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    warcFixtureFiles(s, d)
       .select(col("source"), explode(GraftSqlBridge.column(
         graft.functions.WarcParse(
           GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))
@@ -1333,29 +1353,7 @@ object SyncOps {
     */
   def qWarcCdx(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
-    val id = col("doc_id")
-    val crlf = lit("\r\n")
-    val body = concat(lit("<html>doc "), id, lit("</html>"))
-    val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
-    val uri = concat(lit("https://"), col("source"), lit(".example.eu/d/"), id)
-    val rec = concat(
-      lit("WARC/1.0\r\n"),
-      lit("WARC-Type: response\r\n"),
-      lit("WARC-Target-URI: "), uri, crlf,
-      lit("WARC-Date: 2026-01-0"), id % 9 + 1, lit("T00:00:00Z\r\n"),
-      lit("Content-Type: application/http;msgtype=response\r\n"),
-      lit("Content-Length: "), length(http), crlf, crlf,
-      http, crlf, crlf)
-    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-      "Content-Type: application/warc-fields\r\nContent-Length: 15\r\n\r\n" +
-      "software: graft\r\n\r\n"
-    val files = Tables.documents(s, d)
-      .select(col("source"), id, rec.as("r"))
-      .groupBy("source")
-      .agg(concat(lit(warcinfo),
-        array_join(array_sort(collect_list(struct(id, col("r")))).getField("r"), ""))
-        .as("w"))
-    val records = files
+    val records = warcFixtureFiles(s, d)
       .select(col("source"), explode(GraftSqlBridge.column(
         graft.functions.WarcParse(
           GraftSqlBridge.expression(col("w").cast("binary"))))).as("rec"))

@@ -838,10 +838,14 @@ object TextAnalysis {
     val hashed = feats.select(col("doc_id"),
       pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
         lit(buckets.toLong)).as("b"))
+    // LEFT join: a sparsely-stored model (zero-weight buckets omitted —
+    // the natural parquet representation) must still divide by the FULL
+    // feature count, or the mean saturates the sigmoid
     val scored = hashed
-      .join(broadcast(weights.select(col("bucket").as("b"), col("weight"))), Seq("b"))
+      .join(broadcast(weights.select(col("bucket").as("b"), col("weight"))),
+        Seq("b"), "left")
       .groupBy("doc_id")
-      .agg((sum("weight") / count(lit(1))).as("z"))
+      .agg((sum(coalesce(col("weight"), lit(0.0))) / count(lit(1))).as("z"))
     docs.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("quality_prob",
@@ -1038,21 +1042,27 @@ object TextAnalysis {
   def anchorText(links: DataFrame, targetCol: String, anchorCol: String,
       srcCol: String, maxTexts: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // totals over ALL inbound links (blank-anchor links count as links,
+    // just not as anchor texts) — the top-maxTexts cap applies only to
+    // which anchor STRINGS surface, never to the popularity totals
+    val totals = links
+      .groupBy(col(targetCol).as("target"))
+      .agg(count(lit(1)).as("inbound_links"),
+        countDistinct(col(srcCol)).as("n_sources"))
     val counted = links
       .filter(trim(col(anchorCol)) =!= "")
       .groupBy(col(targetCol).as("target"), trim(col(anchorCol)).as("anchor"))
-      .agg(count(lit(1)).as("n"), countDistinct(col(srcCol)).as("n_sources"))
-    val ranked = counted
+      .agg(count(lit(1)).as("n"))
+    val tops = counted
       .withColumn("r", row_number().over(
         Window.partitionBy("target").orderBy(desc("n"), col("anchor"))))
       .filter(col("r") <= maxTexts)
-    ranked
       .groupBy("target")
-      .agg(
-        sum("n").as("inbound_links"),
-        max("n_sources").as("top_anchor_sources"),
-        array_join(array_sort(collect_list(struct(col("r"), col("anchor"))))
-          .getField("anchor"), "|").as("top_anchors"))
+      .agg(array_join(array_sort(collect_list(struct(col("r"), col("anchor"))))
+        .getField("anchor"), "|").as("top_anchors"))
+    totals
+      .join(tops, Seq("target"), "left")
+      .withColumn("top_anchors", coalesce(col("top_anchors"), lit("")))
   }
 
   /** queries() wrapper: a deterministic synthetic link table — target =
@@ -1066,6 +1076,7 @@ object TextAnalysis {
       concat(lit("https://hub.eu/p/"), id % 31).as("link_url"),
       concat(lit("label "), (id % 3)).as("anchor"))
     anchorText(links, "link_url", "anchor", "src_id", maxTexts = 2)
+      .select("target", "inbound_links", "n_sources", "top_anchors")
       .orderBy("target")
   }
 }

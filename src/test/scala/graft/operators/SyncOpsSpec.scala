@@ -483,4 +483,64 @@ class SyncOpsSpec extends SparkSpec {
     assert(!without && withG,
       "the groups argument restores ruleless-entry selection fidelity")
   }
+
+  test("parseRobotsTxt: CRLF robots.txt parses identically to LF (real-web norm)") {
+    val lf = Seq(
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "Crawl-delay: 5",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    val crlf = lf.replace("\n", "\r\n")
+    def parse(content: String) = {
+      val df = Seq(("h1", content)).toDF("host", "content")
+      SyncOps.parseRobotsTxt(df, "host", "content")
+        .collect().map(r => (r.getAs[Long]("group_id"),
+          r.getAs[scala.collection.Seq[String]]("agents").toSeq,
+          r.getAs[Boolean]("allowance"), r.getAs[String]("path")))
+        .sortBy(t => (t._1, t._4)).toSeq
+    }
+    assert(parse(crlf) == parse(lf), "CRLF must not leave \\r on values or eat blank lines")
+    assert(parse(lf).map(_._4).toSet == Set("/private/", "/"))
+    // delays too: "5\r" must still parse as integer 5
+    val g = SyncOps.parseRobotsGroups(
+      Seq(("h1", crlf)).toDF("host", "content"), "host", "content")
+      .collect().map(r => r.getAs[scala.collection.Seq[String]]("agents").toSeq ->
+        r.getAs[Any]("crawl_delay")).toMap
+    assert(g(Seq("graftbot")) == 5L)
+  }
+
+  test("parseRobotsGroups drops header-only entries CPython discards") {
+    // verified against stdlib: "User-agent: ghost" followed by a blank line
+    // (state 1) is discarded and never answers can_fetch
+    val robots = Seq(("h1", Seq(
+      "User-agent: ghost",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n"))).toDF("host", "content")
+    val groups = SyncOps.parseRobotsGroups(robots, "host", "content")
+    val names = groups.collect().map(_.getAs[scala.collection.Seq[String]]("agents").toSeq).toSet
+    assert(names == Set(Seq("*")), "the ghost header-only entry must not surface")
+    // and through robotsCanFetch's groupsDf the verdict falls to * deny-all,
+    // exactly like CPython
+    val rules = SyncOps.parseRobotsTxt(robots, "host", "content")
+    val urls = Seq((1L, "h1", "/a")).toDF("id", "host", "url")
+    val v = SyncOps.robotsCanFetch(rules, urls, "host", "url", "ghostbot",
+      groupsDf = Some(groups)).collect().head.getAs[Boolean]("allowed")
+    assert(!v, "discarded entry cannot win selection")
+  }
+
+  test("GlobRegex: Java-active class-body chars stay literal (fnmatch semantics)") {
+    import graft.functions.GlobRegex
+    // nested '[' inside a class: fnmatch literal, Java class-union opener —
+    // must compile and match the literal bracket
+    val rx1 = GlobRegex.translate("/x[[]y")
+    assert("/x[y".matches(rx1), s"[[]y must match literal bracket, rx=$rx1")
+    // '&&' inside a class: Java intersection, fnmatch literal set {a,&,b}
+    val rx2 = GlobRegex.translate("/p[a&&b]q$")
+    for (c <- Seq("a", "&", "b"))
+      assert(s"/p${c}q".matches(rx2), s"class must contain literal '$c', rx=$rx2")
+    assert(!"/pxq".matches(rx2))
+  }
 }

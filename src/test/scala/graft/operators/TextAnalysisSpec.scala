@@ -327,4 +327,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("en") == (2L, 3L, 13L, 2L), "2 docs, 2+1 tokens, 7+6 bytes, 2 sources")
     assert(out("de") == (1L, 1L, 3L, 1L))
   }
+
+  test("qualityClassifier: sparse model table divides by the FULL feature count") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    def bucketOf(g: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(g).substring(0, 8), 16) % 64
+    val hot = bucketOf("science")
+    // model stores ONLY the one hot bucket — every other gram must still
+    // count in the denominator
+    val sparse = Seq((hot, 6.4)).toDF("bucket", "weight")
+    val docs = Seq((1L, "science a b c d e f g")).toDF("doc_id", "text")
+    // grams: 8 unigrams + 7 bigrams = 15 features; z = 6.4/15 (unless a
+    // bigram collides into the hot bucket, which would only raise z)
+    val out = TextAnalysis.qualityClassifier(docs, "text", "doc_id", sparse, buckets = 64)
+      .collect().head.getAs[Double]("quality_prob")
+    val zUpper = 1.0 / (1.0 + math.exp(-(2 * 6.4 / 15)))
+    assert(out > 0.5 && out <= zUpper + 1e-6,
+      s"sparse model must average over all 15 features, got prob $out")
+  }
+
+  test("anchorText: totals cover ALL inbound links, not just the surfaced anchors") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val links = Seq(
+      (1L, "t", "home"), (2L, "t", "home"), (3L, "t", "home"),
+      (4L, "t", "click"), (5L, "t", "click"),
+      (6L, "t", "here"),
+      (7L, "t", "")) // blank anchor: a link, not an anchor text
+      .toDF("src", "url", "anchor")
+    val r = TextAnalysis.anchorText(links, "url", "anchor", "src", maxTexts = 2)
+      .collect().head
+    assert(r.getAs[Long]("inbound_links") == 7L, "all links count, blank included")
+    assert(r.getAs[Long]("n_sources") == 7L)
+    assert(r.getAs[String]("top_anchors") == "home|click", "cap only limits surfaced strings")
+  }
 }

@@ -353,26 +353,64 @@ object GlobRegex {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          // fnmatch class: ONLY a leading ! negates — a leading ^ is a
-          // LITERAL caret in fnmatch (CPython translate escapes it), so it
-          // must not become Java-regex negation; a ] in first position is
-          // literal; an unterminated [ is a literal bracket.
+          // fnmatch class, ported from CPython fnmatch.translate: ONLY a
+          // leading ! negates (a leading ^ is a LITERAL caret), a ] right
+          // after the (optional) ! is literal, an unterminated [ is a
+          // literal bracket. The chunk pass below mirrors translate's
+          // range handling: reversed ranges like [z-a] are DROPPED (the
+          // class becomes never-match "(?!)" when nothing is left) instead
+          // of reaching Java's Pattern.compile, which would throw on them
+          // — a hostile rule read from data must never kill the job. Java
+          // needs more in-class escaping than Python: '[' (class union),
+          // ']' (Java rejects a bare first-position ]), '&' (intersection)
+          // — all literal in fnmatch.
           var j = i + 1
-          if (j < core.length && (core(j) == '!' || core(j) == '^')) j += 1
+          if (j < core.length && core(j) == '!') j += 1
           if (j < core.length && core(j) == ']') j += 1
           while (j < core.length && core(j) != ']') j += 1
           if (j >= core.length) sb.append("\\[")
           else {
-            // escape regex-active chars INSIDE a Java class body too: a
-            // nested '[' opens a class union and '&&' is intersection in
-            // Java regex, both literal in fnmatch
-            val body = core.substring(i + 1, j)
-              .replace("\\", "\\\\").replace("[", "\\[").replace("&", "\\&")
-            val inner =
-              if (body.startsWith("!")) "^" + body.drop(1)
-              else if (body.startsWith("^")) "\\^" + body.drop(1)
-              else body
-            sb.append('[').append(inner).append(']')
+            val neg = core(i + 1) == '!'
+            val bodyStart = if (neg) i + 2 else i + 1
+            // split the body on range hyphens (a hyphen in first position
+            // is literal — the scan starts one past the first body char)
+            val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+            var ci = bodyStart
+            var k = bodyStart + 1
+            var scanning = bodyStart < j
+            while (scanning) {
+              val h = core.indexOf('-', k)
+              if (h < 0 || h >= j) scanning = false
+              else { chunks += core.substring(ci, h); ci = h + 1; k = h + 3 }
+            }
+            val lastChunk = core.substring(ci, j)
+            if (lastChunk.nonEmpty) chunks += lastChunk
+            else if (chunks.nonEmpty) chunks(chunks.length - 1) += "-"
+            // drop reversed (empty) ranges, merging around them — exactly
+            // CPython translate's loop
+            var kk = chunks.length - 1
+            while (kk > 0) {
+              if (chunks(kk - 1).nonEmpty && chunks(kk).nonEmpty &&
+                  chunks(kk - 1).last > chunks(kk).head) {
+                chunks(kk - 1) = chunks(kk - 1).dropRight(1) + chunks(kk).drop(1)
+                chunks.remove(kk)
+              }
+              kk -= 1
+            }
+            val stuff = chunks
+              .map(_.replace("\\", "\\\\").replace("[", "\\[")
+                .replace("]", "\\]").replace("-", "\\-"))
+              .mkString("-")
+              .replace("&", "\\&").replace("~", "\\~").replace("|", "\\|")
+            if (stuff.isEmpty) sb.append(if (neg) "." else "(?!)")
+            else {
+              val first =
+                if (!neg && stuff.startsWith("^")) "\\^" + stuff.drop(1)
+                else stuff
+              sb.append('[')
+              if (neg) sb.append('^')
+              sb.append(first).append(']')
+            }
             i = j
           }
         case c if "\\.{}()+-^$|]".contains(c) => sb.append('\\').append(c)

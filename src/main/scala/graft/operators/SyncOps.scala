@@ -828,7 +828,9 @@ object SyncOps {
       // CPython reads via splitlines(): CRLF and bare-CR files are the
       // real-web norm — split on all three so no value carries a \r tail
       // and blank-line detection fires on CRLF blank lines too
-      posexplode(split(col(contentCol), "\r\n|\r|\n")).as(Seq("line_no", "raw")))
+      posexplode(split(col(contentCol),
+        "\r\n|[\n\r\u000B\u000C\u001C\u001D\u001E\u0085\u2028\u2029]"))
+        .as(Seq("line_no", "raw")))
     val kv = lines
       // blank-line detection is on the RAW line (CPython checks it BEFORE
       // the comment strip); a comment-only line cleans to "" but is NOT
@@ -909,13 +911,14 @@ object SyncOps {
           col("line_no")).as("req_rate_seconds"))
     // CPython DISCARDS an entry whose header is never followed by a
     // directive (blank line or EOF at state 1 — verified against stdlib:
-    // such an entry never answers can_fetch) — so only groups with at
-    // least one open directive line survive here too
-    val valid = grouped
-      .filter(!col("is_ua") && !col("is_blank") && col("closed") === 0)
-      .select("host", "group_id").distinct()
-    robotsAgents(grouped)
-      .join(valid, Seq("host", "group_id"))
+    // such an entry never answers can_fetch). Validity rides a window flag
+    // over the rows already feeding the agents aggregate — no extra scan
+    // of the parse tree, no extra join.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("host", "group_id")
+    val flagged = grouped.withColumn("__has_directive",
+      max(when(!col("is_ua") && !col("is_blank") && col("closed") === 0, 1)
+        .otherwise(0)).over(wg))
+    robotsAgents(flagged.filter(col("__has_directive") === 1))
       .join(cd, Seq("host", "group_id"), "left")
       .join(rr, Seq("host", "group_id"), "left")
       .select("host", "group_id", "agents", "crawl_delay",
@@ -1121,7 +1124,9 @@ object SyncOps {
       contentCol: String): DataFrame =
     robots.select(
       col(hostCol).as("host"),
-      explode(split(col(contentCol), "\r\n|\r|\n")).as("raw"))
+      explode(split(col(contentCol),
+        "\r\n|[\n\r\u000B\u000C\u001C\u001D\u001E\u0085\u2028\u2029]"))
+        .as("raw"))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
       .filter(lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
       .select(col("host"),

@@ -1076,7 +1076,6 @@ object TextAnalysis {
       concat(lit("https://hub.eu/p/"), id % 31).as("link_url"),
       concat(lit("label "), (id % 3)).as("anchor"))
     anchorText(links, "link_url", "anchor", "src_id", maxTexts = 2)
-      .select("target", "inbound_links", "n_sources", "top_anchors")
       .orderBy("target")
   }
 }

@@ -543,4 +543,34 @@ class SyncOpsSpec extends SparkSpec {
       assert(s"/p${c}q".matches(rx2), s"class must contain literal '$c', rx=$rx2")
     assert(!"/pxq".matches(rx2))
   }
+
+  test("GlobRegex: CPython translate parity on range/class edge cases") {
+    import graft.functions.GlobRegex
+    // every expectation here verified against CPython 3.11 fnmatch
+    def m(pat: String, s: String): Boolean = s.matches(GlobRegex.translate(pat + "$"))
+    // reversed range: never-match, and crucially COMPILES (Java would throw
+    // on [z-a]) — one hostile rule must not kill a verdict job
+    assert(!m("/x[z-a]y", "/xzy") && !m("/x[z-a]y", "/xy"))
+    // leading ^ is a literal caret, first ] after it is literal
+    assert(m("/a[^]]", "/a^]") && !m("/a[^]]", "/ax]"))
+    // plain and negated ranges
+    assert(m("/p[a-c]q", "/pbq"))
+    assert(m("/p[!a-c]q", "/pxq") && !m("/p[!a-c]q", "/pbq"))
+    // first/last-position hyphens are literal
+    assert(m("/m[-a]n", "/m-n") && m("/m[a-]n", "/m-n"))
+    // the a--b merge: CPython collapses to [b]
+    assert(!m("/w[a--b]v", "/w-v") && m("/w[a--b]v", "/wbv"))
+  }
+
+  test("parseRobotsTxtSplitlines boundary chars beyond CR/LF break lines") {
+    // CPython splitlines also breaks on form feed (\f) and NEL (0x85) —
+    // a deny-all robots.txt using them must still deny
+    val content = "User-agent: *\fDisallow: /priv" + 0x85.toChar +
+      "Disallow: /other"
+    val robots = Seq(("h1", content)).toDF("host", "content")
+    val paths = SyncOps.parseRobotsTxt(robots, "host", "content")
+      .collect().map(_.getAs[String]("path")).sorted.toSeq
+    assert(paths == Seq("/other", "/priv"),
+      "form feed and NEL must split lines like CPython splitlines")
+  }
 }

@@ -776,7 +776,8 @@ object SparkEntry {
         |    '<p>intro</p><a href="https://other.eu/p/' || (doc_id % 13) ||
         |    '">Abs <b>link</b></a><a href="/docs/' || (doc_id % 7) ||
         |    '.html">Rooted</a><a href="rel/' || (doc_id % 5) ||
-        |    '">Relative</a><a href="#frag">Skip</a>' ||
+        |    '">Relative</a><a href="//cdn.eu/c/' || (doc_id % 3) ||
+        |    '">Proto</a><a href="#frag">Skip</a>' ||
         |    '<a href="javascript:void(0)">Js</a><a href="mailto:a@b.eu">Mail</a>' AS html,
         |    'https://site.eu/docs/page' || doc_id || '.html' AS page_url
         |  FROM documents),
@@ -787,6 +788,8 @@ object SparkEntry {
         |  FROM base)
         |SELECT doc_id,
         |  CASE WHEN regexp_matches(href, '^https?://') THEN href
+        |       WHEN starts_with(href, '//')
+        |         THEN regexp_extract(page_url, '^(https?):', 1) || ':' || href
         |       WHEN starts_with(href, '/')
         |         THEN regexp_extract(page_url, '^https?://[^/]+', 0) || href
         |       ELSE regexp_replace(page_url, '/[^/]*$', '/') || href END AS link_url,

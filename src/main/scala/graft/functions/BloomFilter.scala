@@ -167,7 +167,12 @@ object BloomFns {
   def bloomParams(expectedItems: Long, fpp: Double): (Long, Int) = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val bits = ((m + 7) / 8) * 8
+    // one JVM byte array caps the filter at ~2 GB (~1.7e10 bits — ~1.8e9
+    // items at fpp 0.01). Clamp instead of throwing: past the cap the
+    // REALIZED fpp rises smoothly (more rows take the exact anti-join
+    // path) but the result stays exact — a router must degrade, not die.
+    val maxBits = (Int.MaxValue.toLong - 8) / 8 * 8 * 8
+    val bits = math.min(((m + 7) / 8) * 8, maxBits)
     val k = math.max(1, math.round(bits.toDouble / expectedItems * math.log(2)).toInt)
     (bits, k)
   }

@@ -166,60 +166,88 @@ object EsQuery {
         (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "terms" =>
-        val (f, arr) = singleField(spec, "terms")
+        // a sibling "boost" key is valid ES — strip it before the
+        // single-field check and apply it as the constant score
+        val boost = Option(spec.get("boost")).map(_.asDouble).getOrElse(1.0)
+        val spec2 = spec.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+        spec2.remove("boost")
+        val (f, arr) = singleField(spec2, "terms")
         if (!arr.isArray || arr.isEmpty) fail("terms expects a non-empty array")
         val pred = arr.elements().asScala.toSeq.map(v => col(f) === litOf(v)).reduce(_ || _)
-        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+        (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "range" =>
         val (f, body) = singleField(spec, "range")
-        val preds = body.properties().asScala.toSeq.map { e =>
+        // "boost" rides inside the bounds object in ES range bodies
+        val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+        val preds = body.properties().asScala.toSeq.flatMap { e =>
           e.getKey match {
-            case "gte" => col(f) >= litOf(e.getValue)
-            case "gt"  => col(f) > litOf(e.getValue)
-            case "lte" => col(f) <= litOf(e.getValue)
-            case "lt"  => col(f) < litOf(e.getValue)
+            case "gte" => Some(col(f) >= litOf(e.getValue))
+            case "gt"  => Some(col(f) > litOf(e.getValue))
+            case "lte" => Some(col(f) <= litOf(e.getValue))
+            case "lt"  => Some(col(f) < litOf(e.getValue))
+            case "boost" => None
             case other => fail(s"unsupported range bound '$other'")
           }
         }
         if (preds.isEmpty) fail("empty range")
         val pred = preds.reduce(_ && _)
-        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+        (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "exists" =>
         val f = Option(spec.get("field")).getOrElse(fail("exists needs 'field'")).asText
+        val boost = Option(spec.get("boost")).map(_.asDouble).getOrElse(1.0)
         val pred = col(f).isNotNull
-        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+        (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "prefix" =>
         val (f, body) = singleField(spec, "prefix")
-        val v = if (body.isObject)
-          Option(body.get("value")).getOrElse(fail(s"prefix needs 'value': $body")).asText
-        else body.asText
+        val (v, boost) = if (body.isObject)
+          (Option(body.get("value")).getOrElse(fail(s"prefix needs 'value': $body")).asText,
+            Option(body.get("boost")).map(_.asDouble).getOrElse(1.0))
+        else (body.asText, 1.0)
         val pred = col(f).startsWith(v)
-        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+        (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "wildcard" =>
-        // ES wildcard: * = any run, ? = one char, anchored both ends
+        // ES wildcard: * = any run, ? = one char, anchored both ends;
+        // (?s) because ES wildcards span newlines in field values
         val (f, body) = singleField(spec, "wildcard")
-        val v = if (body.isObject)
-          Option(body.get("value")).getOrElse(fail(s"wildcard needs 'value': $body")).asText
-        else body.asText
+        val (v, boost) = if (body.isObject)
+          (Option(body.get("value")).getOrElse(fail(s"wildcard needs 'value': $body")).asText,
+            Option(body.get("boost")).map(_.asDouble).getOrElse(1.0))
+        else (body.asText, 1.0)
         val regex = v.flatMap {
           case '*' => ".*"
           case '?' => "."
           case c if "\\.[]{}()<>+-=!$^|,#&~'\" ".contains(c) => "\\" + c
           case c => c.toString
         }
-        val pred = col(f).rlike(s"^$regex$$")
-        (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+        val pred = col(f).rlike(s"(?s)^$regex$$")
+        (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "bool" =>
         val must = clausesOf(spec, "must").map(clause(_, ctx))
         val filt = clausesOf(spec, "filter").map(clause(_, new Ctx(false)))
         val mustNot = clausesOf(spec, "must_not").map(clause(_, new Ctx(false)))
         val should = clausesOf(spec, "should").map(clause(_, ctx))
-        val msm = Option(spec.get("minimum_should_match")).map(_.asInt).getOrElse(
+        // ES minimum_should_match forms: integer, negative integer
+        // (total + n), "N%" / "-N%" (percentage of the should count,
+        // rounded down / total minus that). Anything else fails loudly —
+        // a silent 0 would disable the constraint.
+        val msm = Option(spec.get("minimum_should_match")).map { node =>
+          val total = should.size
+          val raw = node.asText.trim
+          val n =
+            if (node.isIntegralNumber) node.asInt
+            else if (raw.matches("-?[0-9]+")) raw.toInt
+            else if (raw.matches("-?[0-9]+%")) {
+              val pct = raw.dropRight(1).toInt
+              if (pct >= 0) pct * total / 100
+              else total + pct * total / 100
+            } else fail(s"unsupported minimum_should_match form '$raw'")
+          if (n >= 0) n else math.max(total + n, 0)
+        }.getOrElse(
           if (must.isEmpty && filt.isEmpty && should.nonEmpty) 1 else 0)
         val preds =
           must.map(_._1) ++ filt.map(_._1) ++ mustNot.map(p => !p._1) ++
@@ -278,9 +306,14 @@ object EsQuery {
     val withStats =
       if (ctx.needs.isEmpty) docs
       else docs.crossJoin(broadcast(statsFor(docs, ctx.needs.toSeq)))
-    val scored = withStats
+    // scoring queries mirror matchBm25TopK's contract exactly (drop rows
+    // whose ROUNDED score is 0 — the typed operator's filter); pure
+    // filter-context queries score 0 by construction and must keep rows
+    val scored0 = withStats
       .withColumn("score", round(rawScore, 6))
       .filter(pred)
+    val scored =
+      if (ctx.needs.nonEmpty) scored0.filter(col("score") > 0) else scored0
     val sorted = Option(root.get("sort")) match {
       case None => scored.orderBy(desc("score"), col(idCol))
       case Some(s) =>
@@ -347,6 +380,7 @@ object EsQuery {
         .select(lit(name).as("agg") +: col("key") +: col("doc_count") +:
           subs.map { case (n, _) => col(n) }: _*)
     }
+    if (parts.isEmpty) fail("aggs must contain at least one aggregation")
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 

@@ -435,6 +435,11 @@ object SyncOps {
         col("href") =!= "")
       .withColumn("link_url",
         when(col("href").rlike("^https?://"), col("href"))
+          // protocol-relative (//cdn.example.com/x): page scheme + href —
+          // checked BEFORE the root-relative branch, which would otherwise
+          // corrupt it into host//cdn.example.com/x
+          .when(col("href").startsWith("//"),
+            concat(regexp_extract(col(pageUrlCol), "^(https?):", 1), lit(":"), col("href")))
           .when(col("href").startsWith("/"), concat(host, col("href")))
           .otherwise(concat(dir, col("href"))))
       .drop("pos", "lnk", "href")
@@ -452,7 +457,8 @@ object SyncOps {
       lit("<p>intro</p><a href=\"https://other.eu/p/"), id % 13,
       lit("\">Abs <b>link</b></a><a href=\"/docs/"), id % 7,
       lit(".html\">Rooted</a><a href=\"rel/"), id % 5,
-      lit("\">Relative</a><a href=\"#frag\">Skip</a>"),
+      lit("\">Relative</a><a href=\"//cdn.eu/c/"), id % 3,
+      lit("\">Proto</a><a href=\"#frag\">Skip</a>"),
       lit("<a href=\"javascript:void(0)\">Js</a><a href=\"mailto:a@b.eu\">Mail</a>"))
     val pageUrl = concat(lit("https://site.eu/docs/page"), id, lit(".html"))
     linkExtract(
@@ -724,11 +730,12 @@ object SyncOps {
       hostCol: String,
       priorityCol: String,
       slotsPerWave: Int,
-      maxPerHost: Long = Long.MaxValue): DataFrame = {
+      maxPerHost: Long = Long.MaxValue,
+      urlCol: String = "url"): DataFrame = {
     require(slotsPerWave > 0, "slotsPerWave must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol))
-      .orderBy(col(priorityCol).desc, col("url"))
+      .orderBy(col(priorityCol).desc, col(urlCol))
     urls
       .withColumn("host_rank", row_number().over(w).cast("long"))
       .filter(col("host_rank") <= maxPerHost)

@@ -125,4 +125,47 @@ class EsQuerySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported query kind"))
   }
+
+  test("minimum_should_match percentage and negative forms; clause boosts survive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "de", 10L), (3L, "fr", 99L)).toDF("doc_id", "lang", "n")
+    // "100%" of 2 should clauses = both required
+    val all = EsQuery.search(docs,
+      """{"query": {"bool": {"should": [
+        |  {"term": {"lang": "en"}}, {"range": {"n": {"lte": 50}}}],
+        |  "minimum_should_match": "100%"}}, "size": 10}""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(all == Seq(1L), "100% requires every should clause")
+    // "-1" = total - 1 = 1 of 2
+    val anyOne = EsQuery.search(docs,
+      """{"query": {"bool": {"should": [
+        |  {"term": {"lang": "en"}}, {"term": {"lang": "de"}}],
+        |  "minimum_should_match": "-1"}}, "size": 10}""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(anyOne == Seq(1L, 2L))
+    // terms-with-boost and range-with-boost must not crash, and the boost
+    // must reach the score
+    val boosted = EsQuery.search(docs,
+      """{"query": {"bool": {"should": [
+        |  {"terms": {"lang": ["en", "de"], "boost": 2}},
+        |  {"range": {"n": {"gte": 50, "boost": 3}}}]}}, "size": 10}""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(boosted(1L) == 2.0 && boosted(3L) == 3.0)
+  }
+
+  test("wildcard spans newlines like ES; empty aggs fails loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "line1\nline2")).toDF("doc_id", "text")
+    val hit = EsQuery.search(docs,
+      """{"query": {"wildcard": {"text": "line1*line2"}}, "size": 10}""")
+      .count()
+    assert(hit == 1L, "* must cross newlines (ES wildcard semantics)")
+    val e = intercept[IllegalArgumentException] {
+      EsQuery.aggregations(docs, """{"aggs": {}}""")
+    }
+    assert(e.getMessage.contains("at least one aggregation"))
+  }
 }

@@ -573,4 +573,24 @@ class SyncOpsSpec extends SparkSpec {
     assert(paths == Seq("/other", "/priv"),
       "form feed and NEL must split lines like CPython splitlines")
   }
+
+  test("linkExtract resolves protocol-relative hrefs with the page scheme") {
+    val docs = Seq((1L,
+      "<a href=\"//cdn.example.com/lib.js\">Cdn</a><a href=\"/abs\">Abs</a>",
+      "https://site.eu/dir/page.html")).toDF("doc_id", "html", "page_url")
+    val urls = SyncOps.linkExtract(docs, "html", "page_url")
+      .collect().map(_.getAs[String]("link_url")).sorted.toSeq
+    assert(urls == Seq("https://cdn.example.com/lib.js", "https://site.eu/abs"),
+      "//host hrefs take the page scheme, not the page host")
+  }
+
+  test("bloomParams clamps at the single-array cap instead of throwing") {
+    import graft.functions.BloomFns
+    val (bits, k) = BloomFns.bloomParams(4000000000L, 0.01)
+    assert(bits > 0 && bits / 8 <= Int.MaxValue - 4, "capped to one byte array")
+    assert(k >= 1, "hash count stays sane at the cap")
+    // and the exact-result contract survives: a saturated bloom only
+    // routes more rows to the exact anti-join (asserted by the
+    // frontierBloom oracle staying the plain anti-join)
+  }
 }

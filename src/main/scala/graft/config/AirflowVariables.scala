@@ -94,8 +94,18 @@ object AirflowVariables {
       fieldType: String,
       analyzer: Option[String],
       copyTo: Seq[String],
-      hasKeywordSub: Boolean,
-      fielddata: Boolean)
+      /** The "fields" sub-object rendered verbatim (compact JSON) — a
+        * hand-authored ignore_above/extra sub-field must survive into the
+        * DDL byte-faithfully, not collapse to a hardcoded default.
+        */
+      fieldsJson: Option[String],
+      fielddata: Boolean,
+      /** Every other per-field setting (index, format, …) passed through
+        * verbatim as (key, compact-JSON-value).
+        */
+      extra: Seq[(String, String)]) {
+    def hasKeywordSub: Boolean = fieldsJson.exists(_.contains("\"keyword\""))
+  }
 
   def parse(json: String): Variables =
     new Variables(new ObjectMapper().readTree(json))
@@ -216,8 +226,12 @@ object AirflowVariables {
         normProp = opt(n, "normProp").map(m =>
           fieldSeq(m).map { case (k, v) => al(k) -> strOrSeq(v).map(al) }).getOrElse(Nil),
         normMissing = opt(n, "normMissing").map(m =>
-          fieldSeq(m).collect { case (k, v) if v.isValueNode => al(k) -> v.asText })
-          .getOrElse(Nil),
+          // a JSON null default means "no default" (dropping it matches
+          // the non-scalar [] contract) — isValueNode alone would admit
+          // NullNode and fill docs with the literal string "null"
+          fieldSeq(m).collect {
+            case (k, v) if v.isValueNode && !v.isNull => al(k) -> v.asText
+          }).getOrElse(Nil),
         blackMap = opt(n, "blackMap").map(m =>
           fieldSeq(m).map { case (k, v) => al(k) -> strOrSeq(v) }.toMap).getOrElse(Map.empty),
         whiteMap = opt(n, "whiteMap").map(m =>
@@ -252,16 +266,23 @@ object AirflowVariables {
       * variables.json): ES type, optional analyzer, `copy_to` fan-in
       * targets, whether a `.keyword` sub-field exists, fielddata.
       */
-    def elasticMapping(name: String): Seq[EsMappingField] =
-      fieldSeq(node(name)).map { case (field, n) =>
+    def elasticMapping(name: String): Seq[EsMappingField] = {
+      val known = Set("type", "analyzer", "copy_to", "fields", "fielddata")
+      // "//" keys are the document format's comment convention — never
+      // fields (the same convention normalizers() reads around)
+      fieldSeq(node(name)).filterNot(_._1 == "//").map { case (field, n) =>
         EsMappingField(
           name = field,
           fieldType = opt(n, "type").map(_.asText).getOrElse("text"),
           analyzer = opt(n, "analyzer").map(_.asText),
           copyTo = opt(n, "copy_to").map(strSeq).getOrElse(Nil),
-          hasKeywordSub = opt(n, "fields").exists(_.has("keyword")),
-          fielddata = opt(n, "fielddata").exists(_.asBoolean))
+          fieldsJson = opt(n, "fields").map(_.toString),
+          fielddata = opt(n, "fielddata").exists(_.asBoolean),
+          extra = fieldSeq(n).collect {
+            case (k, v) if !known.contains(k) && k != "//" => k -> v.toString
+          })
       }
+    }
 
     /** The passage-splitter parameters (nlp_services_default.split). */
     def passageSplit(nlpVariable: String): PassageSplitConfig = {

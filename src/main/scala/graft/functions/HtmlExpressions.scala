@@ -104,8 +104,11 @@ object StripHtmlSelectors {
       } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
         val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
         val name = tagName(s, i + 1, tagEnd)
-        val selfClosing = tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
-          VoidTags.contains(name)
+        // script/style are NEVER self-closing per the HTML spec — a
+        // browser treats <script .../> as an open tag whose raw text runs
+        // to </script>, so the '/' syntax must not shortcut the scan
+        val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)) && !RawTextTags.contains(name)
         if (matches(s, i + 1 + name.length, tagEnd, sels)) {
           i = if (selfClosing) tagEnd + 1
               else if (RawTextTags.contains(name)) rawTextEnd(s, tagEnd + 1, name)
@@ -238,7 +241,8 @@ object StripHtmlSelectors {
       if (nameFrom < n && isNameStart(s.charAt(nameFrom))) {
         val tagEnd = { val e = s.indexOf('>', lt); if (e < 0) n - 1 else e }
         val t = tagName(s, nameFrom, tagEnd)
-        val selfClosing = s.charAt(tagEnd - 1) == '/' || VoidTags.contains(t)
+        val selfClosing = (s.charAt(tagEnd - 1) == '/' || VoidTags.contains(t)) &&
+          !RawTextTags.contains(t) // script/style never self-close (HTML spec)
         if (t == name) {
           if (close) depth -= 1
           else if (!selfClosing) depth += 1

@@ -779,8 +779,11 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), "\n").as("text_deduped"))
     // a doc whose every line was boilerplate keeps its row, emptied —
-    // dropping it silently would desynchronize downstream id joins
-    docs.select(col(idCol).as("doc_id"))
+    // dropping it silently would desynchronize downstream id joins. ALL
+    // original columns ride along (the final join touches `docs` anyway;
+    // narrowing to the id would force every caller into a second
+    // corpus-wide join just to recover its own metadata).
+    docs.withColumn("doc_id", col(idCol))
       .join(rebuilt, Seq("doc_id"), "left")
       .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
   }
@@ -803,6 +806,7 @@ object TextAnalysis {
         when(id < 4, lit("Rare notice line"))
           .otherwise(concat(lit("Unique tail "), id))).as("text"))
     lineDedup(docs, "text", minDocs = 5)
+      .select("doc_id", "text_deduped")
       .orderBy("doc_id")
   }
 

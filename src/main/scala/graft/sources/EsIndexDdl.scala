@@ -119,9 +119,11 @@ object EsIndexDdl {
       f.analyzer.foreach(a => parts += s""""analyzer":"${esc(a)}"""")
       if (f.copyTo.nonEmpty)
         parts += f.copyTo.map(t => s""""${esc(t)}"""").mkString(""""copy_to":[""", ",", "]")
-      if (f.hasKeywordSub)
-        parts += """"fields":{"keyword":{"type":"keyword","ignore_above":256}}"""
+      // verbatim passthrough: the sub-field object and any extra settings
+      // are already well-formed compact JSON from the parsed document
+      f.fieldsJson.foreach(j => parts += s""""fields":$j""")
       if (f.fielddata) parts += """"fielddata":true"""
+      f.extra.foreach { case (k, j) => parts += s""""${esc(k)}":$j""" }
       s""""${esc(f.name)}":${parts.result().mkString("{", ",", "}")}"""
     }
     rendered.mkString("{", ",", "}")

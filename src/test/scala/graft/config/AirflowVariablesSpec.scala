@@ -363,9 +363,11 @@ class AirflowVariablesSpec extends SparkSpec {
     val json = graft.sources.EsIndexDdl.mappingPropertiesFromConfig(fields)
     assert(json == graft.sources.EsIndexDdl.mappingPropertiesFromConfig(fields),
       "must be byte-deterministic")
+    // the fields sub-object passes through VERBATIM (the document's own
+    // key order) — a hand-authored ignore_above must survive unchanged
     assert(json.contains(
       """"about":{"type":"text","copy_to":["all_fields_for_freetext"],""" +
-        """"fields":{"keyword":{"type":"keyword","ignore_above":256}},"fielddata":true}"""))
+        """"fields":{"keyword":{"ignore_above":256,"type":"keyword"}},"fielddata":true}"""))
     assert(json.contains(""""issued":{"type":"date"}"""))
     assert(json.contains(""""cluster_name":{"type":"text","analyzer":"none","""))
   }
@@ -446,5 +448,28 @@ class AirflowVariablesSpec extends SparkSpec {
     assert(fromConfig.columns.toSeq == handBuilt.columns.toSeq)
     assert(fromConfig.orderBy("rn").collect().toSeq ==
       handBuilt.orderBy("rn").collect().toSeq)
+  }
+
+  test("normMissing null defaults drop; mapping comments and custom sub-fields") {
+    val doc = """{
+      |  "norm_x": {"normMissing": {"issued": null, "lang": "en"}},
+      |  "elastic_mapping_x": {
+      |    "//": "a comment key, not a field",
+      |    "big": {"type": "text",
+      |            "fields": {"keyword": {"ignore_above": 512, "type": "keyword"}},
+      |            "index": false}
+      |  }
+      |}""".stripMargin
+    val v = AirflowVariables.parse(doc)
+    val nm = v.normalizers("norm_x").normMissing.toMap
+    assert(!nm.contains("issued"), "a JSON null default means no default")
+    assert(nm("lang") == "en")
+    val fields = v.elasticMapping("elastic_mapping_x")
+    assert(fields.map(_.name) == Seq("big"), "comment keys never become fields")
+    val ddl = graft.sources.EsIndexDdl.mappingPropertiesFromConfig(fields)
+    assert(ddl.contains(""""ignore_above":512"""),
+      "hand-authored sub-field settings survive verbatim")
+    assert(ddl.contains(""""index":false"""),
+      "unknown per-field settings pass through")
   }
 }

@@ -133,4 +133,12 @@ class HtmlExpressionsSpec extends SparkSpec {
     assert(out.contains("the real body prose"))
     assert(!out.contains("navigation line"))
   }
+
+  test("script is never self-closing: <script/> raw text runs to </script>") {
+    // per the HTML spec a browser treats <script .../> as an OPEN tag —
+    // the literal </div> inside the JS string must stay opaque
+    val html = "<div class=\"footer\"><script src=\"a\"/>var s = \"</div>\";</script>x</div>keep"
+    val out = strip(html, Seq(".footer"))
+    assert(out == "keep", s"got '$out'")
+  }
 }

@@ -188,7 +188,7 @@ class TextAnalysisSpec extends SparkSpec {
       (i, banner + nearMiss + body)
     }).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis.lineDedup(docs, "text", minDocs = 5)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_deduped")).toMap
     assert(out(0L) == "rare but repeated\nbody line 0\n\nsecond body 0")
     assert(out(5L) == "body line 5\n\nsecond body 5") // order + blank kept
     assert(out(9L) == "") // fully-boilerplate doc keeps an emptied row

@@ -60,6 +60,10 @@ object BloomKernel {
   }
 
   def probe(bloom: Array[Byte], h: Long): Boolean = {
+    // malformed binaries (SQL users can pass any BinaryType): answer the
+    // CONSERVATIVE "maybe" — downstream exact joins verify, so exactness
+    // survives; crashing the query on a bad blob would not
+    if (bloom.length < 5) return true
     val k = ((bloom(0) & 0xff) << 24) | ((bloom(1) & 0xff) << 16) |
       ((bloom(2) & 0xff) << 8) | (bloom(3) & 0xff)
     val m = (bloom.length - 4).toLong * 8L
@@ -173,7 +177,10 @@ object BloomFns {
     // path) but the result stays exact — a router must degrade, not die.
     val maxBits = (Int.MaxValue.toLong - 8) / 8 * 8 * 8
     val bits = math.min(((m + 7) / 8) * 8, maxBits)
-    val k = math.max(1, math.round(bits.toDouble / expectedItems * math.log(2)).toInt)
+    // k caps at the aggregate's [1,32] contract — a tiny fpp must degrade
+    // (slightly higher realized fpp), not throw at plan time
+    val k = math.min(32,
+      math.max(1, math.round(bits.toDouble / expectedItems * math.log(2)).toInt))
     (bits, k)
   }
 

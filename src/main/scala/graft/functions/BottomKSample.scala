@@ -30,6 +30,8 @@ case class BottomKSample(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeMap[Long, Long]] {
 
+  require(k >= 1, s"bottom-k sample size must be >= 1, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -165,10 +165,16 @@ object StripHtmlSelectors {
           value = attrs.substring(vStart, k)
           if (k < attrs.length) k += 1
         } else {
+          // HTML5: an unquoted value runs to whitespace or '>' — '/' is
+          // VALUE TEXT (class=foo/bar is the token "foo/bar"); only the
+          // final '/' of the self-closing syntax, right before '>',
+          // is not part of the value
           val vStart = k
-          while (k < attrs.length && !attrs.charAt(k).isWhitespace &&
-            attrs.charAt(k) != '/') k += 1
-          value = attrs.substring(vStart, k)
+          while (k < attrs.length && !attrs.charAt(k).isWhitespace) k += 1
+          var vEnd = k
+          if (vEnd == attrs.length && vEnd > vStart && attrs.charAt(vEnd - 1) == '/')
+            vEnd -= 1
+          value = attrs.substring(vStart, vEnd)
         }
       }
       if (name == "id" && value != null) id = value.trim

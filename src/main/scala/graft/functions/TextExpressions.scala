@@ -176,7 +176,13 @@ object SortedIdPairs {
     */
   def build(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count in Long first: 65537 ids would wrap n*(n-1)/2 negative in
+    // Int and die in `new Array` — fail with the actual contract instead
+    // (callers bucket-cap their groups; this documents the kernel's bound)
+    val numPairs = n.toLong * (n - 1) / 2
+    require(numPairs <= Int.MaxValue,
+      s"sorted_id_pairs: $n ids -> $numPairs pairs exceeds one array; cap the bucket")
+    val out = new Array[Any](numPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

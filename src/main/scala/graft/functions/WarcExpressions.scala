@@ -75,18 +75,6 @@ object WarcParse {
 
   val schema: ArrayType = ArrayType(recordType, containsNull = false)
 
-  private val Crlf = Array[Byte]('\r', '\n')
-
-  /** Index of the next CRLF at or after `from`, or -1. */
-  private def findCrlf(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i < b.length - 1) {
-      if (b(i) == '\r' && b(i + 1) == '\n') return i
-      i += 1
-    }
-    -1
-  }
-
   /** Parse one header block starting at `pos` (first line already known to
     * be the version line). Returns (headersLowercased, posAfterBlankLine).
     * Tolerates bare-LF files by also accepting '\n' line ends.
@@ -133,7 +121,10 @@ object WarcParse {
       val recStart = pos
       val (headers, bodyStart) = parseHeaders(bytes, math.min(eol + 1, n))
       val len = headers.get("content-length").flatMap(s => s.toLongOption).getOrElse(0L)
-      val end = math.min(bodyStart + math.max(len, 0L), n.toLong).toInt
+      // clamp BEFORE adding: a hostile Content-Length near Long.MaxValue
+      // must not wrap bodyStart + len negative and abort the task
+      val safeLen = math.max(0L, math.min(len, (n - bodyStart).toLong)).toInt
+      val end = bodyStart + safeLen
       val block = java.util.Arrays.copyOfRange(bytes, bodyStart, end)
       out += buildRow(headers, block, recStart.toLong, (end - recStart).toLong)
       pos = end
@@ -148,8 +139,14 @@ object WarcParse {
     var status: Any = null
     var payload = block
     if (startsWith(block, 0, "HTTP/")) {
-      val sep = indexOf(block, 0, "\r\n\r\n")
-      val headerEnd = if (sep >= 0) sep + 4 else block.length
+      // CRLFCRLF per RFC, but tolerate bare-LF blocks the same way
+      // parseHeaders does — an LF-only response must not lose its body
+      val sepCrlf = indexOf(block, 0, "\r\n\r\n")
+      val sepLf = if (sepCrlf >= 0) -1 else indexOf(block, 0, "\n\n")
+      val headerEnd =
+        if (sepCrlf >= 0) sepCrlf + 4
+        else if (sepLf >= 0) sepLf + 2
+        else block.length
       val firstEol = {
         var i = 0; while (i < block.length && block(i) != '\n') i += 1; i
       }
@@ -215,16 +212,25 @@ case class Gunzip(child: Expression) extends UnaryExpression {
 }
 
 object Gunzip {
+  /** One BinaryType value caps at ~2 GB; decompression stops (truncates)
+    * at `MaxOut` instead of dying in ByteArrayOutputStream.grow — the
+    * same clamp-don't-abort policy as the parser. An archive inflating
+    * past the cap should be split upstream (the WARC size convention
+    * exists precisely so this does not happen).
+    */
+  val MaxOut: Int = Int.MaxValue - 64
+
   def decompress(bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 64))
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n > 0) {
+      while (n > 0 && out.size() < MaxOut - buf.length) {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
+      if (n > 0 && out.size() < MaxOut) out.write(buf, 0, math.min(n, MaxOut - out.size()))
       in.close()
     } catch {
       case _: java.io.IOException => // keep whatever decoded before the corruption

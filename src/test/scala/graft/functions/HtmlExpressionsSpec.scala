@@ -141,4 +141,14 @@ class HtmlExpressionsSpec extends SparkSpec {
     val out = strip(html, Seq(".footer"))
     assert(out == "keep", s"got '$out'")
   }
+
+  test("unquoted attribute values keep '/' (HTML5): class=foo/bar is one token") {
+    // a '/'-bearing unquoted value must NOT truncate to 'foo' and
+    // false-match the .foo selector
+    val html = "<div class=foo/bar>gone?</div>keep"
+    assert(strip(html, Seq(".foo")) == "<div class=foo/bar>gone?</div>keep",
+      "selector .foo must not match token foo/bar")
+    // while the real token still matches
+    assert(strip("<div class=foo>x</div>keep", Seq(".foo")) == "keep")
+  }
 }

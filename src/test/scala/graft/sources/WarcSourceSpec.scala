@@ -127,4 +127,21 @@ class WarcSourceSpec extends SparkSpec {
       ("https://b.eu/three", 200, "<p>html</p>")),
       "all records round-trip byte-exactly, non-ASCII framing included")
   }
+
+  test("WarcParse hardening: hostile Content-Length and bare-LF HTTP blocks") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // Content-Length near Long.MaxValue must clamp, not wrap negative
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.eu/big\r\n" +
+      "Content-Length: 9223372036854775800\r\n\r\nrest").getBytes(UTF_8)
+    val recs = graft.functions.WarcParse.parse(hostile)
+    assert(recs.numElements() == 1, "hostile length clamps to available bytes")
+    // an LF-only HTTP block keeps its body
+    val lfBody = "HTTP/1.1 200 OK\nContent-Type: text/html\n\nlf body".getBytes(UTF_8)
+    val lfRec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a.eu/lf\r\n" +
+      s"Content-Length: ${lfBody.length}\r\n\r\n").getBytes(UTF_8) ++ lfBody
+    val r2 = graft.functions.WarcParse.parse(lfRec)
+    assert(new String(r2.getStruct(0, 9).getBinary(8), UTF_8) == "lf body",
+      "bare-LF header separator must not swallow the payload")
+  }
 }

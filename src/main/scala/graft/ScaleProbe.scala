@@ -246,6 +246,31 @@ object ScaleProbe {
       probeForced("embed_quantize", k,
         graft.operators.AnnOps.quantizeEmbeddings(embeddingsK(k), "v")
           .select(col("vec_id"), col("q_scale"), col("q_codes")))
+      // C4 span dedup: sentence explode + one span-key groupBy + anti-join
+      // + reassembly; replica suffixes keep spans distinct across replicas
+      probeForced("span_dedup", k,
+        graft.operators.DedupOps.spanDedup(
+          corpusK(k).select(col("doc_id"),
+            regexp_replace(col("text"), "\\. ", ".|").as("text")),
+          "text", "doc_id", splitRegex = "\\|"))
+      // anchor aggregation: per-(target, anchor) counts + capped tops;
+      // hub targets (id mod 997) keep the key count growing with the data
+      probeForced("anchor_text", k, {
+        val c = corpusK(k)
+        graft.operators.TextAnalysis.anchorText(
+          c.select(col("doc_id").as("src"),
+            concat(lit("https://hub.eu/p/"), col("doc_id") % 997).as("t"),
+            concat(lit("label "), col("doc_id") % 13).as("a")),
+          "t", "a", "src", maxTexts = 3)
+      })
+      // blocklist gate: broadcast semi-join over the exploded token stream
+      probeForced("badwords_filter", k, {
+        val c = corpusK(k)
+        val bl = c.select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+          .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w")).limit(20).select("w")
+        graft.operators.TextAnalysis.badwordsFilter(c, "text", "doc_id", bl)
+      })
       // hashed linear classifier: gram volume grows K x, the 64-row model
       // broadcast and the doc-key partial agg are the only non-narrow steps
       probeForced("quality_classifier", k, {

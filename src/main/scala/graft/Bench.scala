@@ -61,12 +61,20 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = fnum(timings.values.sum, 3)
     val totalSpread = fnum(spreads.values.sum, 3)
-    // The stdout record must stay ONE short line (< ~2 KB): round 4's line
-    // grew past the driver's capture window once the per-query spread map
-    // was added and the round's number of record was lost. Headline fields
-    // first, 2-decimal per-query floats, and the spread detail goes to a
-    // sidecar file instead of the line.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs}"""
+    // The stdout record must stay ONE SHORT line: the capture window keeps
+    // only the final ~2000 chars of output, and at 125 queries the key
+    // names ALONE are ~1.6 KB, so a full per-query map can never parse
+    // from the window again (rounds 8 and 10 both lost their record this
+    // way). The COMPLETE record — every per-query timing and spread — goes
+    // to BENCH.json as a file; the line carries the headline numbers, any
+    // errors, and the 10 slowest queries (the ones a regression would
+    // show up in), totalling a few hundred bytes.
+    val top = timings.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jstr(k)}:${fnum(v, 2)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}""".getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
       s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))

@@ -104,7 +104,15 @@ object AirflowVariables {
         * verbatim as (key, compact-JSON-value).
         */
       extra: Seq[(String, String)]) {
-    def hasKeywordSub: Boolean = fieldsJson.exists(_.contains("\"keyword\""))
+    /** True iff the fields sub-object has a TOP-LEVEL "keyword" property —
+      * re-parsed from the verbatim JSON rather than substring-tested, so a
+      * sub-field that merely mentions the token (e.g.
+      * `{"raw":{"type":"keyword"}}`) does not false-positive.
+      */
+    def hasKeywordSub: Boolean = fieldsJson.exists { j =>
+      try new ObjectMapper().readTree(j).has("keyword")
+      catch { case _: Exception => false }
+    }
   }
 
   def parse(json: String): Variables =

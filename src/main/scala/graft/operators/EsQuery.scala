@@ -250,7 +250,12 @@ object EsQuery {
         }.getOrElse(
           if (must.isEmpty && filt.isEmpty && should.nonEmpty) 1 else 0)
         val preds =
-          must.map(_._1) ++ filt.map(_._1) ++ mustNot.map(p => !p._1) ++
+          // must_not under SQL three-valued logic: NOT(NULL) = NULL would
+          // FILTER a doc whose field is NULL, but ES keeps docs where the
+          // inner clause does not match (missing field => not matched =>
+          // kept) — so a NULL inner match counts as a non-match.
+          must.map(_._1) ++ filt.map(_._1) ++
+            mustNot.map(p => !coalesce(p._1, lit(false))) ++
             (if (msm > 0 && should.nonEmpty)
               Seq(should.map(c => when(c._1, 1).otherwise(0)).reduce(_ + _) >= msm)
             else Nil)

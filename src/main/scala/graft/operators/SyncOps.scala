@@ -430,11 +430,15 @@ object SyncOps {
       .select(col("*"), posexplode(arrays_zip(hrefs, anchors)).as(Seq("pos", "lnk")))
       .withColumn("href", col("lnk.0"))
       .withColumn("anchor", trim(regexp_replace(col("lnk.1"), "<.*?>", "")))
+      // scheme names are case-insensitive (RFC 3986 §3.1): JAVASCRIPT: and
+      // HTTPS:// must behave exactly like their lowercase forms — a
+      // case-sensitive test would treat HTTPS://ex.eu/x as a
+      // directory-relative path and corrupt the link graph fed to pageRank
       .filter(!col("href").startsWith("#") &&
-        !col("href").startsWith("javascript:") && !col("href").startsWith("mailto:") &&
+        !col("href").rlike("(?i)^javascript:") && !col("href").rlike("(?i)^mailto:") &&
         col("href") =!= "")
       .withColumn("link_url",
-        when(col("href").rlike("^https?://"), col("href"))
+        when(col("href").rlike("(?i)^https?://"), col("href"))
           // protocol-relative (//cdn.example.com/x): page scheme + href —
           // checked BEFORE the root-relative branch, which would otherwise
           // corrupt it into host//cdn.example.com/x
@@ -1033,10 +1037,18 @@ object SyncOps {
         min(when(!col("__is_star") && col("__ua_match"), col("__gg"))).as("__g_named"),
         min(when(col("__is_star"), col("__gg"))).as("__g_star"))
       .select(col("__ch"), coalesce(col("__g_named"), col("__g_star")).as("__gid"))
-    val keyed = urls
-      .withColumn("__rid", monotonically_increasing_id())
+    // Verdicts key on the DATA itself — (host, url) — never a synthetic
+    // monotonically_increasing_id: that id is nondeterministic across
+    // recomputations (task retry, AQE re-plan, nondeterministic upstream
+    // shuffle order), and this plan evaluates the url side twice (once
+    // feeding the rules join, once as the left side of the final join), so
+    // a synthetic id could attach verdicts to the wrong rows. Duplicate
+    // (host, url) input rows collapse in the verdict aggregate and each
+    // receives the same (correct) verdict on the join back.
+    val verdictKeys = urls
+      .select(col(hostCol).as("__vh"), col(urlCol).as("__vu"))
       .withColumn("__fn", {
-        val u = col(urlCol)
+        val u = col("__vu")
         val tail = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
         val fn = when(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1) === "", u)
           .otherwise(tail)
@@ -1048,9 +1060,9 @@ object SyncOps {
       col("path").as("__rp"),
       GraftSqlBridge.column(graft.functions.GlobRegex(
         GraftSqlBridge.expression(col("path")))).as("__rx"))
-    val cand = keyed
-      .join(chosen, col(hostCol) === col("__ch"), "inner")
-      .join(ruleCols, col(hostCol) === col("__rh") && col("__gid") === col("__rg"))
+    val cand = verdictKeys
+      .join(chosen, col("__vh") === col("__ch"), "inner")
+      .join(ruleCols, col("__vh") === col("__rh") && col("__gid") === col("__rg"))
     val applies =
       when(col("__rp").endsWith("?"), col("__fn").startsWith(col("__rp")))
         .otherwise(col("__rp") === "*" ||
@@ -1058,13 +1070,13 @@ object SyncOps {
           rlike(col("__fn"), col("__rx")))
     val best = cand
       .filter(applies)
-      .groupBy("__rid")
+      .groupBy("__vh", "__vu")
       .agg(min(struct(col("__ri"), col("__ra"))).as("__m"))
-      .select(col("__rid"), col("__m").getField("__ra").as("__allow"))
-    keyed
-      .join(best, Seq("__rid"), "left")
+      .select(col("__vh"), col("__vu"), col("__m").getField("__ra").as("__allow"))
+    urls
+      .join(best, col(hostCol) === col("__vh") && col(urlCol) === col("__vu"), "left")
       .withColumn("allowed", coalesce(col("__allow"), lit(true)))
-      .drop("__rid", "__fn", "__allow")
+      .drop("__vh", "__vu", "__allow")
   }
 
   /** queries() wrapper: full end-to-end — synthesize per-source robots.txt

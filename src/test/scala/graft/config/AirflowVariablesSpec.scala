@@ -472,4 +472,20 @@ class AirflowVariablesSpec extends SparkSpec {
     assert(ddl.contains(""""index":false"""),
       "unknown per-field settings pass through")
   }
+
+  test("hasKeywordSub tests the TOP-LEVEL fields property, not the substring") {
+    val doc = """{
+      |  "elastic_mapping_k": {
+      |    "a": {"type": "text", "fields": {"keyword": {"type": "keyword"}}},
+      |    "b": {"type": "text", "fields": {"raw": {"type": "keyword"}}},
+      |    "c": {"type": "text"}
+      |  }
+      |}""".stripMargin
+    val fields = AirflowVariables.parse(doc).elasticMapping("elastic_mapping_k")
+      .map(f => f.name -> f.hasKeywordSub).toMap
+    assert(fields("a"), "a genuine keyword sub-field is detected")
+    assert(!fields("b"),
+      "a sub-field merely OF TYPE keyword (named raw) is not a .keyword sub-field")
+    assert(!fields("c"), "no fields object at all")
+  }
 }

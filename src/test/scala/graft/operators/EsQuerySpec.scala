@@ -62,6 +62,18 @@ class EsQuerySpec extends SparkSpec {
     assert(EsQuery.search(docs, msm2).isEmpty)
   }
 
+  test("must_not keeps docs whose field is NULL (missing field = not matched, as ES)") {
+    val rows = Seq[(Long, String)]((1L, "zh"), (2L, "en"), (3L, null))
+      .toDF("doc_id", "lang")
+    val body =
+      """{"query": {"bool": {"must_not": [{"term": {"lang": "zh"}}]}},
+        |"size": 1000000}""".stripMargin
+    val got = EsQuery.search(rows, body).select("doc_id").as[Long].collect().toSet
+    // ES: doc 3 has no lang field, so the inner term does NOT match and the
+    // doc is KEPT — SQL NOT(NULL)=NULL would silently drop it
+    assert(got == Set(2L, 3L))
+  }
+
   test("should clauses add constant score on top of must, and never filter when must present") {
     val body =
       """{"query": {"bool": {

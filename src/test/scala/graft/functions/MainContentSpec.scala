@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MainContainer / PruneChrome + the composed mainTextBlocks extraction —
+  * the trafilatura-class path (trafilatura_extract.py:9-56 patched
+  * BODY_XPATH selection, :120-122 favor_recall extract). Fixture pages
+  * under src/test/resources/maincontent are realistic page shapes with
+  * hand-derived expected main text; unit cases cover the tier priority
+  * and the attribute case-folds a regex could not express.
+  */
+class MainContentSpec extends SparkSpec {
+
+  private def extract(html: String): String =
+    spark.range(1)
+      .select(graft.operators.NormOps.mainTextBlocks(lit(html)).as("r"))
+      .head.getString(0)
+
+  private def container(html: String): String =
+    spark.range(1).select(TextFns.mainContainer(lit(html)).as("r"))
+      .head.getString(0)
+
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/maincontent/$name")
+    require(in != null, s"missing fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  // ---- fixture parity: realistic pages, hand-derived expected text ------
+  for (i <- 1 to 6) {
+    test(s"fixture page$i extracts exactly the expected main text") {
+      val got = extract(fixture(s"page$i.html"))
+      assert(got == fixture(s"page$i.txt").trim,
+        s"page$i main text mismatch:\n---got---\n$got\n---")
+    }
+  }
+
+  // ---- tier priority ----------------------------------------------------
+  test("a later tier-1 container beats an earlier article element") {
+    val html = "<article><p>Teaser text of the listing page, long enough to pass.</p></article>" +
+      "<div class=\"post-content\"><p>The story body wins because its tier is lower.</p></div>"
+    assert(extract(html) == "The story body wins because its tier is lower.")
+  }
+
+  test("first match in document order wins within a tier") {
+    val html = "<div id=\"content\"><p>First tier-four container in the document order.</p></div>" +
+      "<div class=\"content-area\"><p>Second tier-four container never gets selected.</p></div>"
+    assert(extract(html) == "First tier-four container in the document order.")
+  }
+
+  test("the XPath translate() case-folds: articlebody id, FULLTEXT class, Main-Content id") {
+    val a = "<div id=\"x-articleBody\"><p>Selected through the translated id test.</p></div>"
+    assert(extract(a) == "Selected through the translated id test.")
+    val b = "<section class=\"FullText\"><p>Selected through the FULTEX translation.</p></section>" +
+      "<div><p>Sibling text outside the container stays out of the result.</p></div>"
+    assert(extract(b) == "Selected through the FULTEX translation.")
+    val c = "<div id=\"Main-Content\"><p>Selected through the CM translation of the id.</p></div>"
+    assert(extract(c) == "Selected through the CM translation of the id.")
+  }
+
+  test("class equality vs contains: class='post' matches, class='posting' does not") {
+    val hit = "<div class=\"post\"><p>Equality-matched container text, long enough to keep.</p></div>"
+    assert(extract(hit) == "Equality-matched container text, long enough to keep.")
+    val miss = "<div class=\"posting\"><p>No container here, so whole-page extraction applies.</p></div>" +
+      "<footer><p>Footer chrome is pruned either way by the noise list.</p></footer>"
+    assert(extract(miss) == "No container here, so whole-page extraction applies.")
+  }
+
+  test("candidates inside chrome do not win (nav'd article is not the body)") {
+    val html = "<nav><article><p>A teaser card inside the navigation chrome of the page.</p></article></nav>" +
+      "<main><p>The real main element carries the page content to extract.</p></main>"
+    assert(extract(html) == "The real main element carries the page content to extract.")
+  }
+
+  // ---- container slicing / pruning mechanics ---------------------------
+  test("same-name nesting: the container's own close tag ends it, not an inner div's") {
+    val html = "<div class=\"article-content\"><div><p>Nested block stays inside the container.</p></div></div>" +
+      "<div><p>A sibling div after the container must not be included at all.</p></div>"
+    assert(extract(html) == "Nested block stays inside the container.")
+  }
+
+  test("an unclosed container runs to end of input instead of throwing") {
+    val html = "<div class=\"article-content\"><p>Content of a container nobody closed properly.</p>" +
+      "<p>It keeps collecting until the document simply ends here.</p>"
+    assert(extract(html) ==
+      "Content of a container nobody closed properly.\nIt keeps collecting until the document simply ends here.")
+  }
+
+  test("pruneChrome drops chrome subtrees and comments, keeps content") {
+    val got = spark.range(1).select(TextFns.pruneChrome(lit(
+      "<head><title>T</title></head><p>keep</p><!-- note --><footer>legal</footer><em>tail</em>"))
+      .as("r")).head.getString(0)
+    assert(got == "<p>keep</p><em>tail</em>")
+  }
+
+  test("null html stays null; empty html extracts empty") {
+    val r = spark.sql("SELECT 1").select(
+      graft.operators.NormOps.mainTextBlocks(lit(null).cast("string")).as("a"),
+      graft.operators.NormOps.mainTextBlocks(lit("")).as("b")).head
+    assert(r.isNullAt(0) && r.getString(1) == "")
+  }
+
+  test("codegen and interpreted kernels agree bit for bit") {
+    val html = fixture("page1.html")
+    val viaExpr = container(html)
+    val direct = MainContainer.select(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html)).toString
+    assert(viaExpr == direct)
+  }
+}

@@ -443,4 +443,20 @@ class NormOpsSpec extends SparkSpec {
     assert(out(3) == "\n\nno title.\n\n\n\nAuto 3.\n\n\n\npdf body")
     assert(!out.exists(t => t.contains("SECRET") || t.contains("BINARY")))
   }
+
+  test("nlpPreprocess containerSelect=true extracts only the main container") {
+    val docs = spark.range(1).selectExpr(
+      "0 as rn",
+      """concat('<div class="sidebar"><p>A sidebar teaser sentence a line filter would happily keep.</p></div>',
+        |       '<div class="article-content"><p>Container prose that the upgraded extractor keeps.</p></div>')
+        |  as web_html""".stripMargin,
+      "'T' as title", "'' as pdf_text")
+    val flat = NormOps.nlpPreprocess(docs).select("nlp_text").head.getString(0)
+    assert(flat.contains("sidebar teaser") && flat.contains("Container prose"),
+      "the line filter alone keeps both prose blocks")
+    val contained = NormOps.nlpPreprocess(docs, containerSelect = true)
+      .select("nlp_text").head.getString(0)
+    assert(contained == "Container prose that the upgraded extractor keeps.\n\n",
+      "container selection drops the sidebar the density filter cannot")
+  }
 }

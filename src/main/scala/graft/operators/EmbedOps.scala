@@ -21,6 +21,50 @@ import org.apache.spark.sql.functions._
   *    model call (mapInPandas / mapPartitions over the distinct texts) and
   *    the surrounding plan is unchanged.
   */
+/** The pluggable encoder hook — the seam where a real model plugs in
+  * (nlp.py:100 posts passage texts to a SentenceTransformer service and
+  * gets 768-d vectors back). Implementations wrap whatever produces
+  * vectors — an ONNX session opened per executor, an HTTP batch client,
+  * a JNI tokenizer+model — and the Spark plumbing around them
+  * ([[EmbedOps.encodeDistinctWith]]) stays fixed: distinct texts only,
+  * bounded batches, one task-side instance via serialization.
+  *
+  * Contract: one vector per input text, in input order, each of length
+  * [[dim]] — float32, the wire format embedding models emit (half the
+  * bytes of double at 100 TB scale; graft's vector math casts up to
+  * double where it needs to).
+  */
+trait Encoder extends Serializable {
+  def dim: Int
+  def encode(batch: Seq[String]): Seq[Array[Float]]
+}
+
+object Encoder {
+
+  /** The default deterministic stub as an [[Encoder]] — the same
+    * xxhash64-derived formula as [[EmbedOps.stubEmbedding]] (computed via
+    * the identical Spark hash so the two paths describe one model), cast
+    * to float32 at the boundary like a real encoder would.
+    */
+  def stub(dimensions: Int): Encoder = new Encoder {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim: Int = dimensions
+    def encode(batch: Seq[String]): Seq[Array[Float]] = batch.map { text =>
+      Array.tabulate(dim) { i =>
+        // xxhash64(text, i) with Spark's seed chaining (seed 42, each arg
+        // hashed with the running value as seed) — bit-identical to the
+        // column form
+        var h = XxHash64Function.hash(UTF8String.fromString(text), StringType, 42L)
+        h = XxHash64Function.hash(i, IntegerType, h)
+        val m = 2000000L
+        (((h % m + m) % m).toDouble / 1000000.0 - 1.0).toFloat
+      }
+    }
+  }
+}
+
 object EmbedOps {
 
   /** Deterministic stub embedding: component i is xxhash64(text, i) scaled
@@ -29,6 +73,32 @@ object EmbedOps {
   def stubEmbedding(text: Column, dim: Int): Column =
     array((0 until dim).map(i =>
       (pmod(xxhash64(text, lit(i)), lit(2000000)).cast("double") / 1000000.0) - 1.0): _*)
+
+  /** Encode each distinct text once through a pluggable [[Encoder]] —
+    * the production path for a real model: `mapPartitions` over the
+    * DISTINCT texts, `batchSize`-bounded batches (an encoder sees at most
+    * that many texts per call, so task memory is bounded no matter the
+    * partition size), one deserialized encoder instance per task. The
+    * surrounding plan is identical to the stub path: distinct → encode →
+    * equi-join attach.
+    */
+  def encodeDistinctWith(passages: DataFrame, textCol: String,
+      encoder: Encoder, batchSize: Int = 64): DataFrame = {
+    val spark = passages.sparkSession
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    val enc = encoder
+    passages.select(col(textCol).cast("string")).distinct().as[String]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = enc.encode(batch)
+          require(vecs.length == batch.length,
+            s"encoder returned ${vecs.length} vectors for ${batch.length} texts")
+          batch.iterator.zip(vecs.iterator)
+        }
+      }
+      .toDF(textCol, "embedding")
+  }
 
   /** Encode each distinct passage text once (the batched service call). */
   def encodeDistinct(passages: DataFrame, textCol: String, dim: Int): DataFrame =
@@ -85,6 +155,28 @@ object EmbedOps {
     val qv = stubEmbedding(lit(queryText), dim)
     attached
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(col("embedding"), qv))
+      .groupBy("doc_id")
+      .agg(round(max(col("cos")), 4).as("best_cos"), count(lit(1)).as("n_passages"))
+      .orderBy(desc("best_cos"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** [[semanticSearchTopK]] with a pluggable [[Encoder]] on BOTH sides:
+    * the distinct passages encode through `encodeDistinctWith` and the
+    * one query string encodes driver-side (a single-text batch), entering
+    * the plan as a literal vector — so the scoring pass is still one
+    * corpus scan with zero query-side joins, whatever the model is.
+    */
+  def semanticSearchTopKWith(docs: DataFrame, queryText: String, k: Int,
+      encoder: Encoder, splitLength: Int = 60, overlap: Int = 15,
+      batchSize: Int = 64): DataFrame = {
+    val passages = NormOps.textPassages(docs, "text", splitLength, overlap)
+    val encoded = encodeDistinctWith(passages, "passage", encoder, batchSize)
+    val attached = attachEmbeddings(passages, encoded, "passage")
+    val qv = encoder.encode(Seq(queryText)).head.map(_.toDouble)
+    attached
+      .withColumn("cos", graft.functions.VectorFns.cosine_sim(
+        col("embedding").cast("array<double>"), typedLit(qv)))
       .groupBy("doc_id")
       .agg(round(max(col("cos")), 4).as("best_cos"), count(lit(1)).as("n_passages"))
       .orderBy(desc("best_cos"), col("doc_id"))

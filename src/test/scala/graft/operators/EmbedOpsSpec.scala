@@ -50,6 +50,78 @@ class EmbedOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("pluggable Encoder: a fake external encoder drives the attach unchanged") {
+    val passages = Seq(
+      (1L, 0L, "alpha beta gamma"),
+      (2L, 0L, "alpha beta gamma"),
+      (3L, 0L, "delta eps zeta"),
+      (3L, 1L, "eta theta iota"))
+      .toDF("doc_id", "passage_id", "passage")
+    // a "remote model": vector = [len, first-char code] — clearly not the
+    // stub, deterministic, and verifiable per text
+    val fake = new Encoder {
+      val dim = 2
+      def encode(batch: Seq[String]): Seq[Array[Float]] =
+        batch.map(t => Array(t.length.toFloat, t.head.toFloat))
+    }
+    val encoded = EmbedOps.encodeDistinctWith(passages, "passage", fake, batchSize = 2)
+    assert(encoded.count() === 3L, "distinct texts encode once")
+    val attached = EmbedOps.attachEmbeddings(passages, encoded, "passage")
+    assert(attached.count() === 4L, "attach keeps every passage row")
+    attached.collect().foreach { r =>
+      val t = r.getAs[String]("passage")
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(v == Seq(t.length.toFloat, t.head.toFloat),
+        s"'$t' must carry ITS vector — attach keyed exactly like the stub path")
+    }
+  }
+
+  test("encoder batches are bounded by batchSize and texts arrive in order") {
+    val texts = (0 until 23).map(i => (i.toLong, 0L, s"text number $i"))
+      .toDF("doc_id", "passage_id", "passage")
+    val counting = new Encoder {
+      val dim = 1
+      def encode(batch: Seq[String]): Seq[Array[Float]] = {
+        require(batch.nonEmpty && batch.length <= 7, s"batch of ${batch.length}")
+        batch.map(_ => Array(1f))
+      }
+    }
+    val n = EmbedOps.encodeDistinctWith(texts, "passage", counting, batchSize = 7).count()
+    assert(n === 23L)
+  }
+
+  test("Encoder.stub reproduces the stubEmbedding column formula bit for bit") {
+    val texts = Seq("alpha beta gamma", "delta eps zeta", "äëïöü non-ascii")
+    val viaColumn = texts.toDF("t")
+      .select(EmbedOps.stubEmbedding(col("t"), 8).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    val viaEncoder = Encoder.stub(8).encode(texts).map(_.toSeq.map(_.toDouble))
+    // the encoder casts to float at the boundary; the double formula
+    // underneath is identical, so the float is the EXACT rounding of the
+    // column value
+    viaColumn.zip(viaEncoder).foreach { case (c, e) =>
+      assert(c.map(_.toFloat.toDouble) == e, "same hash, same scale, float-rounded")
+    }
+  }
+
+  test("semanticSearchTopKWith ranks like the stub path under the stub encoder") {
+    val spark2 = spark
+    import spark2.implicits._
+    val query = "climate adaptation measures for coastal regions"
+    val docs = Seq(
+      (1L, "completely unrelated text about databases and joins and shuffles"),
+      (2L, query),
+      (3L, "climate adaptation measures for inland lakes and rivers today")
+    ).toDF("doc_id", "text")
+    val got = EmbedOps.semanticSearchTopKWith(docs, query, k = 3, Encoder.stub(64))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 === 2L, "exact-passage doc still ranks first")
+    assert(got.head._2 === 1.0)
+    val stubPath = EmbedOps.semanticSearchTopK(docs, query, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1).toSeq == stubPath, "same model ⇒ same ranking")
+  }
+
   test("embed_attach covers every text_passages row at sf0.001") {
     val passages = NormOps.textPassages(
       graft.Tables.documents(spark, sfDir), "text", splitLength = 60, overlap = 15)

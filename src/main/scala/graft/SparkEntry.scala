@@ -41,6 +41,7 @@ object SparkEntry {
     "url_canonical" -> (SyncOps.qUrlCanonical _),
     "sitemap_parse" -> (SyncOps.qSitemapParse _),
     "sitemap_index" -> (SyncOps.qSitemapIndex _),
+    "sitemap_tree" -> (SyncOps.qSitemapTree _),
     "robots_parse" -> (SyncOps.qRobotsParse _),
     "robots_fetch" -> (SyncOps.qRobotsFetch _),
     "robots_delays" -> (SyncOps.qRobotsDelays _),
@@ -450,6 +451,20 @@ object SparkEntry {
     // sitemap_index: the same two-level tree rebuilt in SQL — leaf urlsets
     // grouped by (source, bucket), the index grouped per source with the
     // dangling sitemap-9 entry, resolved by the same child-url join.
+    // sitemap_tree: the fixture's reachability stated directly — a doc's
+    // page appears iff its leaf hangs under a fetched, root-listed mid
+    // (leaf-0/1 under mid-0, leaf-2 under mid-1); leaf-3 is fetched but
+    // unlisted and mid-9 is listed but unfetched, so both subtrees vanish.
+    "sitemap_tree" ->
+      """SELECT source,
+        |  'https://' || source || '.example.eu/leaf-' || (doc_id % 4) || '.xml' AS sitemap_url,
+        |  '2026-03-01' AS sitemap_lastmod,
+        |  'https://example.eu/d/' || doc_id AS url,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2026-0' || (doc_id % 9 + 1) || '-01'
+        |       ELSE '' END AS lastmod
+        |FROM documents
+        |WHERE doc_id % 4 <= 2
+        |ORDER BY source, sitemap_url, url""".stripMargin,
     "sitemap_index" ->
       """WITH e AS (
         |  SELECT source, doc_id,

@@ -1432,6 +1432,59 @@ object SyncOps {
     parseSitemaps(joined, leafXmlCol)
   }
 
+  /** ARBITRARY-DEPTH sitemap tree resolution — the full usp semantics
+    * (`usp.sitemap_tree_for_homepage` recurses indexes-of-indexes;
+    * [[sitemapTree]] resolves exactly ONE index level per call, so a
+    * 3-level tree would silently yield zero pages from the unresolved
+    * middle level). `fetched` is the pool of fetched sitemap documents
+    * (url, xml) — children resolve against it level by level:
+    * a child whose xml contains `<sitemapindex` re-enters the frontier,
+    * one containing `<urlset` accumulates as a leaf, and a child with no
+    * fetched document drops its whole subtree (the usp fetch-failure
+    * behavior, at ANY level — a dangling MIDDLE index silently removes
+    * the leaves below it, which is exactly what reachability means).
+    *
+    * `maxDepth` caps the descent (usp guards against index cycles the
+    * same way); a root whose children chain deeper than the cap simply
+    * stops descending — depth = number of index levels resolved.
+    *
+    * Scale: one (site × children)-sized equi-join per LEVEL (trees are
+    * 2-4 levels deep in practice, never data-sized); each level's
+    * resolved join is persisted — child-list-sized, tiny — so the
+    * emptiness probe and the final page explode share one computation;
+    * pages explode only once, from the accumulated leaf set, after all
+    * joins. The output matches [[sitemapTree]]'s shape (`sitemap_url` =
+    * the LEAF that listed the page).
+    */
+  def sitemapTreeDeep(roots: DataFrame, xmlCol: String,
+      fetched: DataFrame, urlCol: String, fetchedXmlCol: String,
+      maxDepth: Int = 5): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    val pool = fetched.select(col(urlCol).as("__f_url"),
+      col(fetchedXmlCol).as("__f_xml"))
+    var frontier = roots.withColumn("__tree_xml", col(xmlCol)).drop(xmlCol)
+    var leaves: DataFrame = null
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val children = parseSitemapIndex(
+        frontier.withColumnRenamed("__tree_xml", "__idx_xml"), "__idx_xml")
+      val resolved = children
+        .join(pool, children("sitemap_url") === col("__f_url"))
+        .drop("__f_url")
+        .persist()
+      val leafRows = resolved.filter(col("__f_xml").contains("<urlset"))
+      leaves = if (leaves == null) leafRows else leaves.unionByName(leafRows)
+      val next = resolved.filter(col("__f_xml").contains("<sitemapindex"))
+        .drop("sitemap_url", "sitemap_lastmod")
+        .withColumnRenamed("__f_xml", "__tree_xml")
+      done = next.isEmpty
+      frontier = next
+      depth += 1
+    }
+    parseSitemaps(leaves.withColumnRenamed("__f_xml", "__leaf_xml"), "__leaf_xml")
+  }
+
   /** queries() wrapper: per source, three leaf sitemaps (docs bucketed by
     * doc_id mod 3) plus one DANGLING index entry (sitemap-9, never
     * fetched — drops in the join); every third doc carries a lastmod. The
@@ -1465,6 +1518,61 @@ object SyncOps {
         lit(".example.eu/sitemap-9.xml</loc></sitemap>"),
         lit("</sitemapindex>")).as("idx_xml"))
     sitemapTree(indexes, "idx_xml", leaves.drop("source"), "leaf_url", "leaf_xml")
+      .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
+        col("url"), col("lastmod"))
+      .orderBy("source", "sitemap_url", "url")
+  }
+
+  /** queries() wrapper for [[sitemapTreeDeep]]: a THREE-level tree per
+    * source — root index → mid indexes → leaf urlsets — with BOTH failure
+    * shapes at once: the root lists a dangling mid (`mid-9`, never
+    * fetched — its whole subtree must vanish), and `leaf-3` sits fetched
+    * in the pool but is listed by nothing reachable (docs with
+    * doc_id%4==3 must NOT appear — reachability, not pool membership,
+    * decides). Docs bucket into leaf-(id%4); mid-0 lists leaf-0/leaf-1,
+    * mid-1 lists leaf-2. The DuckDB oracle restates reachability
+    * directly: exactly the docs with doc_id%4 <= 2, under their leaf url.
+    */
+  def qSitemapTree(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d)
+    val entry = concat(
+      lit("<url><loc>https://example.eu/d/"), id, lit("</loc>"),
+      when(id % 3 === 0, concat(lit("<lastmod>2026-0"), id % 9 + 1, lit("-01</lastmod>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val leafUrl = concat(lit("https://"), col("source"),
+      lit(".example.eu/leaf-"), id % 4, lit(".xml"))
+    val leaves = docs
+      .select(col("source"), id, leafUrl.as("leaf_url"), entry.as("e"))
+      .groupBy("source", "leaf_url")
+      .agg(concat(lit("<urlset>"),
+        array_join(array_sort(collect_list(struct(id, col("e")))).getField("e"), ""),
+        lit("</urlset>")).as("leaf_xml"))
+    val leafNo = regexp_extract(col("leaf_url"), "leaf-(\\d)", 1).cast("int")
+    val mids = leaves
+      .filter(leafNo <= 2)
+      .withColumn("mid_url", concat(lit("https://"), col("source"),
+        lit(".example.eu/mid-"), when(leafNo <= 1, lit(0)).otherwise(lit(1)),
+        lit(".xml")))
+      .withColumn("se", concat(lit("<sitemap><loc>"), col("leaf_url"),
+        lit("</loc><lastmod>2026-03-01</lastmod></sitemap>")))
+      .groupBy("source", "mid_url")
+      .agg(concat(lit("<sitemapindex>"),
+        array_join(array_sort(collect_list(col("se"))), ""),
+        lit("</sitemapindex>")).as("mid_xml"))
+    val roots = mids
+      .select(col("source"),
+        concat(lit("<sitemap><loc>"), col("mid_url"), lit("</loc></sitemap>")).as("re"))
+      .groupBy("source")
+      .agg(concat(lit("<sitemapindex>"),
+        array_join(array_sort(collect_list(col("re"))), ""),
+        lit("<sitemap><loc>https://"), col("source"),
+        lit(".example.eu/mid-9.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("root_xml"))
+    val pool = leaves.select(col("leaf_url").as("f_url"), col("leaf_xml").as("f_xml"))
+      .unionByName(mids.select(col("mid_url").as("f_url"), col("mid_xml").as("f_xml")))
+    sitemapTreeDeep(roots, "root_xml", pool, "f_url", "f_xml", maxDepth = 4)
       .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
         col("url"), col("lastmod"))
       .orderBy("source", "sitemap_url", "url")

@@ -620,6 +620,34 @@ class SyncOpsSpec extends SparkSpec {
       "deterministic composite key, not a synthetic row id")
   }
 
+  test("sitemapTreeDeep: 3-level tree resolves; maxDepth=1 stops above the leaves") {
+    val roots = Seq(("s1",
+      "<sitemapindex><sitemap><loc>https://s1.eu/mid.xml</loc></sitemap></sitemapindex>"))
+      .toDF("site", "xml")
+    val pool = Seq(
+      ("https://s1.eu/mid.xml",
+        "<sitemapindex><sitemap><loc>https://s1.eu/leaf.xml</loc></sitemap>" +
+          "<sitemap><loc>https://s1.eu/ghost.xml</loc></sitemap></sitemapindex>"),
+      ("https://s1.eu/leaf.xml",
+        "<urlset><url><loc>https://s1.eu/p1</loc></url>" +
+          "<url><loc>https://s1.eu/p2</loc></url></urlset>"),
+      ("https://s1.eu/orphan.xml", // fetched but listed by nothing
+        "<urlset><url><loc>https://s1.eu/never</loc></url></urlset>"))
+      .toDF("f_url", "f_xml")
+    val full = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml")
+      .select("site", "sitemap_url", "url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(full == Set(
+      ("s1", "https://s1.eu/leaf.xml", "https://s1.eu/p1"),
+      ("s1", "https://s1.eu/leaf.xml", "https://s1.eu/p2")),
+      "pages come only from REACHABLE leaves: the dangling ghost child and " +
+        "the fetched-but-unlisted orphan both stay out")
+    val capped = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
+      maxDepth = 1)
+    assert(capped.isEmpty,
+      "depth 1 resolves only the root level, whose children are all indexes")
+  }
+
   test("bloomParams clamps at the single-array cap instead of throwing") {
     import graft.functions.BloomFns
     val (bits, k) = BloomFns.bloomParams(4000000000L, 0.01)

@@ -722,12 +722,21 @@ object SyncOps {
     * DATA — workers pull `wave = w` and the per-host cap holds by
     * construction, with no coordination beyond the precomputed column.
     *
-    * Plan shape: one shuffle on the host key; the per-host `row_number`
-    * window sorts only within a host's slice, never globally. Host skew =
-    * big sites; `maxPerHost` (reference analog: crawl_sitemap.py's
-    * per-site page budget) truncates a pathological host BEFORE the wave
-    * math, bounding every window partition. Deterministic: priority desc,
-    * then url asc as the tie-break.
+    * Plan shape: when `maxPerHost` is set, truncation is a TWO-LEVEL
+    * tournament so no single task ever sorts a pathological host whole
+    * (a 100M-URL host would otherwise be one spilling sort task):
+    * level 1 ranks within (host, hash-bucket of url) — each of the
+    * `preTruncateBuckets` partitions sorts ~1/B of the host — and keeps
+    * bucket-local rank ≤ maxPerHost; level 2 is the EXACT per-host
+    * window over the survivors, whose input is now bounded at
+    * B × maxPerHost rows per host regardless of host size. The
+    * tournament is exact, not approximate: any row in a host's true
+    * top-maxPerHost has at most maxPerHost−1 rows beating it in its own
+    * bucket, so it always survives level 1; rows level 1 drops have ≥
+    * maxPerHost better rows in one bucket alone and could never rank
+    * inside the cap. Costs one extra shuffle (the bucket key) — the
+    * price of bounding the sort; uncapped calls keep the single-window
+    * plan. Deterministic: priority desc, then url asc as the tie-break.
     */
   def frontierSchedule(
       urls: DataFrame,
@@ -735,12 +744,25 @@ object SyncOps {
       priorityCol: String,
       slotsPerWave: Int,
       maxPerHost: Long = Long.MaxValue,
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url",
+      preTruncateBuckets: Int = 32): DataFrame = {
     require(slotsPerWave > 0, "slotsPerWave must be positive")
+    val preFiltered =
+      if (maxPerHost == Long.MaxValue || preTruncateBuckets <= 1) urls
+      else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(hostCol), col("__pbucket"))
+          .orderBy(col(priorityCol).desc, col(urlCol))
+        urls
+          .withColumn("__pbucket", pmod(xxhash64(col(urlCol)), lit(preTruncateBuckets)))
+          .withColumn("__prank", row_number().over(wb).cast("long"))
+          .filter(col("__prank") <= maxPerHost)
+          .drop("__pbucket", "__prank")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol))
       .orderBy(col(priorityCol).desc, col(urlCol))
-    urls
+    preFiltered
       .withColumn("host_rank", row_number().over(w).cast("long"))
       .filter(col("host_rank") <= maxPerHost)
       .withColumn("wave", ((col("host_rank") - 1) / slotsPerWave).cast("long"))

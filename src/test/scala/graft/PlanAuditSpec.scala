@@ -257,6 +257,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "text_fix must not join")
   }
 
+  test("frontier_schedule: capped hosts rank through the bucket tournament before the host window") {
+    val p = plan("frontier_schedule")
+    // level 1: a window partitioned on (host, __pbucket) — each task sorts
+    // ~1/B of a host, so a mega-host can never become one spilling sort
+    assert(p.contains("__pbucket"),
+      "the bucket pre-rank must be in the plan when maxPerHost is set")
+    // two Window nodes: the bucket tournament below, the exact host
+    // window above it consuming the bounded survivor set (plan strings
+    // print root-first, so host_rank appears before __pbucket)
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2,
+      "tournament + exact window must both be present")
+    assert(p.indexOf("host_rank") < p.indexOf("__pbucket"),
+      "exact host window sits above the tournament in the plan")
+  }
+
   test("frontier_bloom: bloom broadcasts; only the maybe-seen sliver reaches the anti-join") {
     val p = plan("frontier_bloom")
     assert(p.contains("BroadcastExchange"), "the 1-row bloom must broadcast")

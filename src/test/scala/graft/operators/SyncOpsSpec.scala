@@ -620,6 +620,26 @@ class SyncOpsSpec extends SparkSpec {
       "deterministic composite key, not a synthetic row id")
   }
 
+  test("frontierSchedule bucket tournament is exact: identical output to the single window") {
+    // one mega-host (900 urls, cap 50) + one small host under the cap;
+    // priorities collide heavily so boundary ties are exercised
+    val urls = ((1 to 900).map(i => (f"https://mega.eu/$i%04d", "mega", (i % 37).toLong)) ++
+      (1 to 20).map(i => (f"https://small.eu/$i%04d", "small", (i % 5).toLong)))
+      .toDF("url", "host", "priority").repartition(13)
+    def run(buckets: Int) = SyncOps.frontierSchedule(
+      urls, "host", "priority", slotsPerWave = 4, maxPerHost = 50L,
+      preTruncateBuckets = buckets)
+      .select("url", "host", "host_rank", "wave", "slot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val tournament = run(32)
+    val single = run(1) // the plain one-window reference path
+    assert(tournament == single,
+      "two-level truncation must reproduce the exact per-host top-K")
+    assert(tournament.count(_._2 == "mega") == 50 &&
+      tournament.count(_._2 == "small") == 20)
+  }
+
   test("sitemapTreeDeep: 3-level tree resolves; maxDepth=1 stops above the leaves") {
     val roots = Seq(("s1",
       "<sitemapindex><sitemap><loc>https://s1.eu/mid.xml</loc></sitemap></sitemapindex>"))

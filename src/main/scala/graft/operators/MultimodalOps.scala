@@ -21,6 +21,12 @@ object MultimodalOps {
   val Magic = "GFT1"
   val Formats = Seq("jpeg", "png", "webp")
 
+  /** Plausibility cap for header-claimed dimensions (2^20 px per side —
+    * generous for any real image, small enough that w×h×4 can never be an
+    * allocation attack on the decoder behind this stub).
+    */
+  val MaxDim: Int = 1 << 20
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long, ok: Boolean)
 
@@ -50,9 +56,16 @@ object MultimodalOps {
       // toIntOption, not toInt: a payload with a well-formed header but
       // garbage dimensions must yield ok=false, never throw — the totality
       // contract above is what lets a 100 TB scan survive adversarial blobs.
+      // Dimensions must also be PLAUSIBLE (0 < d ≤ 2^20): a hostile header
+      // claiming a negative or 2-billion-pixel-wide image must not reach a
+      // real decoder's allocation path as ok=true — the same clamp
+      // discipline WarcParse applies to hostile Content-Length.
       val dims =
         if (parts.length == 5 && parts(0) == Magic && Formats.contains(parts(1)))
-          for (w <- parts(2).toIntOption; h <- parts(3).toIntOption) yield (w, h)
+          for {
+            w <- parts(2).toIntOption if w > 0 && w <= MaxDim
+            h <- parts(3).toIntOption if h > 0 && h <= MaxDim
+          } yield (w, h)
         else None
       dims match {
         case Some((w, h)) =>

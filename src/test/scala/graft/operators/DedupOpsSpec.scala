@@ -223,6 +223,67 @@ class DedupOpsSpec extends SparkSpec {
       s"planted duplicates missing: ${(planted -- sem).take(3)}")
   }
 
+  test("semanticDedupPairs at the tau boundary: rounding decides inclusion exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three planted pairs in mutually orthogonal 2-d subspaces of R^64:
+    // cos 0.9503 (above tau), cos 0.94999 (rounds to exactly tau → kept:
+    // the filter is >=), cos 0.9497 (below after rounding). nlist=1 puts
+    // everything in one cell so only the verify stage decides.
+    def vec(axis: Int, c: Double, partner: Int): Array[Double] = {
+      val v = new Array[Double](64)
+      if (c == 1.0) v(axis) = 1.0
+      else { v(axis) = c; v(partner) = math.sqrt(1 - c * c) }
+      v
+    }
+    val rows = Seq(
+      (10L, vec(10, 1.0, 11)), (11L, vec(10, 0.9503, 11)),
+      (20L, vec(20, 1.0, 21)), (21L, vec(20, 0.94999, 21)),
+      (30L, vec(30, 1.0, 31)), (31L, vec(30, 0.9497, 31)))
+    val vecs = rows.toDF("vec_id", "v").withColumn("label", lit("x"))
+    val got = DedupOps.semanticDedupPairs(vecs, tau = 0.95, nlist = 1, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((10L, 11L), (20L, 21L)),
+      s"tau+eps kept, exactly-tau-after-rounding kept, tau-eps dropped: $got")
+    assert(got((20L, 21L)) == 0.95, "the boundary pair reports exactly tau")
+  }
+
+  test("semanticDedupPairs straddling a centroid boundary: blocking misses what the exact path finds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two angular clusters in the (e0, e1) plane: A around 0-14deg (plus a
+    // member at 40deg), B around 76-90deg (plus one at 50deg). The 40/50
+    // pair has cos(10deg) = 0.985 >= tau but sits in DIFFERENT cells —
+    // centroid blocking must miss it (the SemDeDup trade), the exact
+    // blocked path must find it. Ids are assigned by the trainer's own
+    // hash order so k-means initializes one centroid per cluster.
+    val order = spark.range(18)
+      .orderBy(xxhash64(col("id")), col("id")).as[Long].collect()
+    val anglesA = Seq(0, 2, 4, 6, 8, 10, 12, 14, 40).map(_.toDouble)
+    val anglesB = Seq(90, 88, 86, 84, 82, 80, 78, 76, 50).map(_.toDouble)
+    def vecAt(deg: Double): Array[Double] = {
+      val v = new Array[Double](64)
+      v(0) = math.cos(math.toRadians(deg)); v(1) = math.sin(math.toRadians(deg))
+      v
+    }
+    val assign = (order(0) -> anglesA.head) +: (order(1) -> anglesB.head) +:
+      (order.slice(2, 10).zip(anglesA.tail) ++ order.slice(10, 18).zip(anglesB.tail))
+    val idAt40 = assign.find(_._2 == 40.0).get._1
+    val idAt50 = assign.find(_._2 == 50.0).get._1
+    val vecs = assign.toSeq.map { case (id, deg) => (id, vecAt(deg)) }
+      .toDF("vec_id", "v").withColumn("label", lit("x"))
+    val exact = DedupOps.embeddingPairs(vecs, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = DedupOps.semanticDedupPairs(vecs, tau = 0.95, nlist = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val straddle = (math.min(idAt40, idAt50), math.max(idAt40, idAt50))
+    assert(exact.contains(straddle), "cos(10deg)=0.985 >= tau in the exact path")
+    assert(!sem.contains(straddle),
+      "the cross-cell pair is the documented blocking miss at the boundary")
+    assert(sem.subsetOf(exact) && sem.nonEmpty,
+      "within-cluster near-dups still surface through the cells")
+  }
+
   test("LSH equivalence: embeddingPairsLsh == exact blocked embeddingPairs") {
     val planted = DedupOps.plantedEmbeddings(spark, sfDir)
     def res(df: org.apache.spark.sql.DataFrame) =

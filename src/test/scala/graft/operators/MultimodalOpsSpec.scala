@@ -43,6 +43,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.forall(m => !m.ok && m.format === "unknown" && m.width === -1))
   }
 
+  test("truncated and hostile headers degrade to ok=false (the WARC clamp discipline)") {
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, "GFT1|jp".getBytes("UTF-8")), // truncated mid-header
+      MultimodalOps.MediaRow(2L, "GFT1|png|64|48".getBytes("UTF-8")), // no body separator
+      MultimodalOps.MediaRow(3L, "GFT1|png|-5|48|body".getBytes("UTF-8")), // negative width
+      MultimodalOps.MediaRow(4L, "GFT1|png|0|48|body".getBytes("UTF-8")), // zero width
+      MultimodalOps.MediaRow(5L, "GFT1|png|2000000000|2|body".getBytes("UTF-8")), // allocation-attack dims
+      MultimodalOps.MediaRow(6L, Array[Byte](0x47, 0x46, 0x54, 0x31, '|'.toByte, -1, -2, -3)), // invalid UTF-8 after magic
+      MultimodalOps.MediaRow(7L, Array.emptyByteArray))
+    val out = MultimodalOps.decodeBatch(rows)
+    assert(out.map(_.doc_id) == rows.map(_.doc_id), "totality: one row out per row in")
+    assert(out.forall(m => !m.ok && m.width === -1 && m.height === -1),
+      s"every hostile payload must degrade, got ${out.filter(_.ok)}")
+    // and the boundary itself is INCLUSIVE: a dimension exactly at the cap decodes
+    val atCap = MultimodalOps.decodeBatch(Seq(MultimodalOps.MediaRow(8L,
+      s"GFT1|png|${MultimodalOps.MaxDim}|1|body".getBytes("UTF-8"))))
+    assert(atCap.head.ok && atCap.head.width === MultimodalOps.MaxDim)
+    val overCap = MultimodalOps.decodeBatch(Seq(MultimodalOps.MediaRow(9L,
+      s"GFT1|png|${MultimodalOps.MaxDim + 1}|1|body".getBytes("UTF-8"))))
+    assert(!overCap.head.ok)
+  }
+
   test("resize clamps dimensions to fit, preserves aspect ratio, round-trips decode") {
     val media = MultimodalOps.syntheticMedia(spark, sfDir)
     val resized = MultimodalOps.resize(media, maxW = 100, maxH = 100).toDF()

@@ -87,4 +87,30 @@ class SearchOpsSpec extends SparkSpec {
       assert(math.abs(lo(lang)._2 - p95) / p95 < 0.10, s"$lang p95 lo-acc")
     }
   }
+
+  test("facetStatsApprox at a p95 cliff: the accuracy knob boundary is rank-exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial distribution for a rank sketch: 950 values of 10, then a
+    // six-order-of-magnitude cliff (50 values of 1e6) sitting EXACTLY at
+    // the 95th percentile rank — a one-rank sketch error flips the answer
+    // by 10^5. GK error is <= n/accuracy ranks, so accuracy=10n is
+    // rank-exact and must return the element at rank floor(0.95*(n-1))+1
+    // = 950, i.e. 10 — never the far side, never an interpolation.
+    val docs = ((1 to 950).map(i => (i.toLong, 10L)) ++
+      (951 to 1000).map(i => (i.toLong, 1000000L)))
+      .toDF("id", "value").withColumn("facet", lit("c")).repartition(7)
+    val sharp = SearchOps.facetStatsApprox(docs, "facet", "value", accuracy = 10000)
+      .head
+    assert(sharp.getAs[Double]("p50") == 10.0)
+    assert(sharp.getAs[Double]("p95") == 10.0,
+      "rank-exact sketch resolves the cliff to the true rank-950 element")
+    // at a deliberately coarse knob the sketch may land on either side of
+    // the cliff, but the element-of-input property must hold — a rank
+    // sketch can be off by ranks, it can never invent a value
+    val coarse = SearchOps.facetStatsApprox(docs, "facet", "value", accuracy = 20)
+      .head.getAs[Double]("p95")
+    assert(coarse == 10.0 || coarse == 1000000.0,
+      s"sketch answers are input elements even at the knob floor, got $coarse")
+  }
 }

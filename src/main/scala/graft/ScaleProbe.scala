@@ -26,6 +26,14 @@ object ScaleProbe {
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    // Optional fourth arg "scalePartitions": set shuffle.partitions = 32×K
+    // for each K — the cluster contract made measurable. local[32] pins 32
+    // shuffle partitions regardless of data size, so a probe whose
+    // partitions saturate (ngram_prefix's gram tables at K=10) shows
+    // super-linear wall from partition-local sort/spill volume, not from
+    // plan shape; a real cluster sizes partitions with the data. This flag
+    // reproduces that sizing so the claim is a measured row, not prose.
+    val scalePartitions = args.length > 3 && args(3) == "scalePartitions"
     val spark = GraftSession.get("graft-scale-probe")
 
     def corpusK(k: Int): DataFrame =
@@ -75,6 +83,13 @@ object ScaleProbe {
     DedupOps.minhashPairs(corpusK(1)).count()
 
     for (k <- ks) {
+      if (scalePartitions) {
+        spark.conf.set("spark.sql.shuffle.partitions", (32 * k).toString)
+        // AQE's coalescer folds small post-shuffle partitions back to the
+        // core count, silently undoing the knob — turn it off so the probe
+        // actually runs 32×K sort partitions
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      }
       probe("dedup_minhash", k, DedupOps.minhashPairs(corpusK(k)))
       probe("dedup_simhash", k, DedupOps.simhashPairs(corpusK(k)))
       probe("ngram_prefix", k,
@@ -171,6 +186,16 @@ object ScaleProbe {
       // per-row repair chain (literal replaces + 3 regexes): scan-bound
       probeForced("text_fix", k, graft.operators.TextAnalysis.textFix(
         corpusK(k), "text"))
+      // trafilatura-class extraction: container-selection kernel + chrome
+      // pruning + line filter, all per-row — must scale at scan speed
+      probeForced("main_text_blocks", k, graft.operators.NormOps.mainContentExtract(
+        corpusK(k).withColumn("html", concat(
+          lit("<html><head><title>T</title></head><body><header><nav>"),
+          lit("<a href=\"/\">Home</a> <a href=\"/x\">X</a></nav></header>"),
+          lit("<div class=\"sidebar\"><p>A sidebar teaser sentence long enough for any line filter.</p></div>"),
+          lit("<div class=\"article-content\"><p>"), col("text"),
+          lit("</p></div><footer><p>Footer legal line kept out by the pruner.</p></footer></body></html>"))),
+        "html"))
       // anchored-regex extract + per-row explode, zero shuffle: wall must
       // track the synthesized page volume ~K
       probeForced("link_extract", k, graft.operators.SyncOps.linkExtract(

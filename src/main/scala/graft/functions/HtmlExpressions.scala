@@ -54,6 +54,39 @@ case class StripHtmlSelectors(child: Expression, selectors: Seq[String])
     copy(child = newChild)
 }
 
+/** Narrow a document to the FIRST element matching a simple CSS selector —
+  * the `main_by_css_selector` half of the reference's trafilatura wrapper
+  * (trafilatura_extract.py:82-94: `e.cssselect(sel)` takes match [0] as
+  * the extraction root; NO match returns the empty string, which the NLP
+  * preprocessor then treats as extraction failure and falls back to field
+  * assembly). Same selector grammar and scanning discipline as
+  * [[StripHtmlSelectors]]; returns the matched element's inner HTML.
+  */
+case class SelectHtmlSelector(child: Expression, selector: String)
+    extends UnaryExpression {
+
+  @transient private lazy val parsed = StripHtmlSelectors.parse(Seq(selector))
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    StripHtmlSelectors.selectFirst(input.asInstanceOf[UTF8String], parsed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("selector", parsed)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StripHtmlSelectors.selectFirst($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StripHtmlSelectors {
 
   /** One parsed simple selector: an optional required id and the set of
@@ -196,6 +229,45 @@ object StripHtmlSelectors {
       si += 1
     }
     false
+  }
+
+  /** First element matching any of `sels` → its inner HTML; no match →
+    * the empty string (the reference's not-found contract,
+    * trafilatura_extract.py:88-94). Comments and raw-text elements scan
+    * opaquely; a matched void/self-closing element has empty content.
+    */
+  def selectFirst(html: UTF8String, sels: Array[Sel]): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 3 < n && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
+        val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
+        val name = tagName(s, i + 1, tagEnd)
+        val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)) && !RawTextTags.contains(name)
+        if (matches(s, i + 1 + name.length, tagEnd, sels)) {
+          if (selfClosing) return UTF8String.EMPTY_UTF8
+          val until =
+            if (RawTextTags.contains(name)) {
+              val e = rawTextEnd(s, tagEnd + 1, name)
+              // back up over the close tag rawTextEnd consumed
+              val lt = s.lastIndexOf("</", e - 1)
+              if (lt >= tagEnd + 1) lt else e
+            } else MainContainer.subtreeContentEnd(s, tagEnd + 1, name)
+          return UTF8String.fromString(s.substring(tagEnd + 1, until))
+        }
+        i = if (!selfClosing && RawTextTags.contains(name))
+              rawTextEnd(s, tagEnd + 1, name)
+            else tagEnd + 1
+      } else i += 1
+    }
+    UTF8String.EMPTY_UTF8
   }
 
   /** script/style hold RAW TEXT per the HTML parsing spec: markup inside

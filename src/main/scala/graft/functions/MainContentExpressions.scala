@@ -157,7 +157,7 @@ object MainContainer {
   /** Index of the '<' of the matching close tag (content end), counting
     * same-name nesting; never-closed → end of input.
     */
-  private def subtreeContentEnd(s: String, from: Int, name: String): Int = {
+  private[functions] def subtreeContentEnd(s: String, from: Int, name: String): Int = {
     val n = s.length
     var depth = 1
     var i = from

@@ -55,6 +55,16 @@ object TextFns {
     GraftSqlBridge.column(PruneChrome(GraftSqlBridge.expression(c)))
   }
 
+  /** Inner HTML of the first element matching a simple CSS selector, or
+    * the empty string — the reference's `main_by_css_selector` narrowing
+    * (trafilatura_extract.py:82-94), as the native [[SelectHtmlSelector]]
+    * kernel.
+    */
+  def selectMain(c: Column, selector: String): Column = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    GraftSqlBridge.column(SelectHtmlSelector(GraftSqlBridge.expression(c), selector))
+  }
+
   /** `\w+` match count — the reference's word counter (normalizers.py:265).
     * `(?U)` gives Java regex the Unicode word semantics Python's `re` has by
     * default, so accented/non-Latin words count as the reference counts

@@ -821,7 +821,8 @@ object NormOps {
       pdfCol: String = "pdf_text", titleCol: String = "title",
       txtProps: Seq[String] = Nil, txtPropsBlack: Seq[String] = Nil,
       removeSelectors: Seq[String] = Nil,
-      containerSelect: Boolean = false): DataFrame = {
+      containerSelect: Boolean = false,
+      mainSelector: Option[String] = None): DataFrame = {
     val schema = docs.schema
     def structFields(name: String): Seq[String] = schema.find(_.name == name)
       .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
@@ -876,13 +877,23 @@ object NormOps {
     // container selection + chrome pruning + the recall fallback) —
     // opt-in so existing fixture-pinned pipelines keep their exact
     // line-filter-only output.
+    // main_by_css_selector narrows FIRST (trafilatura_extract.py:82-94 —
+    // the matched element becomes the extraction root; no match yields the
+    // empty string, which falls through to field assembly exactly like the
+    // reference's get_text returning ''), then remove_by_selector, then
+    // the extractor.
     val extractor: Column => Column =
       if (containerSelect) mainTextBlocks(_) else mainText(_)
     val extracted =
       if (!schema.fieldNames.contains(htmlCol)) lit("")
-      else if (removeSelectors.nonEmpty)
-        extractor(stripSelectors(col("`" + htmlCol + "`"), removeSelectors))
-      else extractor(col("`" + htmlCol + "`"))
+      else {
+        val base = col("`" + htmlCol + "`")
+        val narrowed = mainSelector.fold(base)(sel => selectMain(base, sel))
+        val pruned =
+          if (removeSelectors.nonEmpty) stripSelectors(narrowed, removeSelectors)
+          else narrowed
+        extractor(pruned)
+      }
     val pdf =
       if (schema.fieldNames.contains(pdfCol)) coalesce(col("`" + pdfCol + "`"), lit(""))
       else lit("")

@@ -102,6 +102,37 @@ class MainContentSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.getString(1) == "")
   }
 
+  test("selectMain narrows to the first matching element; not found = empty string") {
+    def sel(html: String, selector: String): String =
+      spark.range(1).select(TextFns.selectMain(lit(html), selector).as("r"))
+        .head.getString(0)
+    val html = """<div class="a"><p>first</p><div>nested</div></div>""" +
+      """<div class="a"><p>second</p></div><div id="m">by id</div>"""
+    assert(sel(html, ".a") == "<p>first</p><div>nested</div>",
+      "first match wins, same-name nesting respected")
+    assert(sel(html, "#m") == "by id")
+    assert(sel(html, ".missing") == "",
+      "the reference returns '' when main_by_css_selector matches nothing")
+    assert(sel("""<script>var a = '<div class="a">x</div>';</script>""", ".a") == "",
+      "selector text inside script raw text never matches")
+  }
+
+  test("nlpPreprocess mainSelector narrows before extraction; miss falls back to fields") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((
+      "<div class=\"col-left\"><p>Narrowed prose selected by the configured main selector.</p></div>" +
+        "<p>Outside prose that the narrowing must exclude from the page text.</p>",
+      "T", "")).toDF("web_html", "title", "pdf_text")
+    val got = graft.operators.NormOps.nlpPreprocess(docs,
+      mainSelector = Some(".col-left")).select("nlp_text").head.getString(0)
+    assert(got == "Narrowed prose selected by the configured main selector.\n\n")
+    val missed = graft.operators.NormOps.nlpPreprocess(docs,
+      mainSelector = Some(".no-such")).select("nlp_text").head.getString(0)
+    assert(missed == "\n\nT.\n\n\n\n",
+      "selector miss = empty extraction = the field-assembly fallback")
+  }
+
   test("codegen and interpreted kernels agree bit for bit") {
     val html = fixture("page1.html")
     val viaExpr = container(html)

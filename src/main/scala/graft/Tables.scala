@@ -33,7 +33,15 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a timestamp (re-written snapshots etc.)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet µs/ms columns without isAdjustedToUTC read as TIMESTAMP_NTZ
+        // under spark.sql.parquet.inferTimestampNTZ (the default in some
+        // environments). Type-strict call sites (`unix_micros`, session
+        // windows with timezone semantics) reject NTZ, so normalize here:
+        // the session TZ is pinned UTC (GraftSession), making the cast a
+        // deterministic relabel of the same instant, not a wall-clock shift.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already TimestampType (re-written snapshots etc.)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -140,9 +140,13 @@ object Relational {
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn(
         "is_new",
+        // Interval arithmetic works for BOTH TimestampType and
+        // TIMESTAMP_NTZ (unlike `unix_micros`, which is type-strict and
+        // rejects NTZ) — no operator here depends on the physical
+        // timestamp flavor the parquet reader happened to infer.
         when(
           col("prev_ts").isNull ||
-            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapSec * 1000000L,
+            col("ts") > col("prev_ts") + expr(s"INTERVAL $gapSec SECONDS"),
           1L).otherwise(0L))
       .withColumn("session_id", sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")

@@ -29,6 +29,12 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->TimestampType relabel below is only a pure relabel of the
+    // same instant when the session renders timestamps in UTC; a foreign
+    // non-UTC session would silently shift every instant. Pin it here with
+    // the same defensive pattern as nanosAsLong (GraftSession/SharedSpark
+    // already set it; this covers sessions built elsewhere).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

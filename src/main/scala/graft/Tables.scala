@@ -29,24 +29,32 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ->TimestampType relabel below is only a pure relabel of the
-    // same instant when the session renders timestamps in UTC; a foreign
-    // non-UTC session would silently shift every instant. Pin it here with
-    // the same defensive pattern as nanosAsLong (GraftSession/SharedSpark
-    // already set it; this covers sessions built elsewhere).
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong delivers INT64 TIMESTAMP(NANOS) as a raw nano count;
+        // timestamp_micros is timezone-agnostic (an instant in, an instant
+        // out), so no TZ pin is needed on this branch.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Parquet µs/ms columns without isAdjustedToUTC read as TIMESTAMP_NTZ
         // under spark.sql.parquet.inferTimestampNTZ (the default in some
         // environments). Type-strict call sites (`unix_micros`, session
-        // windows with timezone semantics) reject NTZ, so normalize here:
-        // the session TZ is pinned UTC (GraftSession), making the cast a
-        // deterministic relabel of the same instant, not a wall-clock shift.
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // windows with timezone semantics) reject NTZ, so normalize here.
+        // The NTZ->TimestampType cast reinterprets the wall-clock under the
+        // SESSION timezone, captured at ANALYSIS time (the withColumn call
+        // below) — only under UTC is it a pure relabel of the same instant.
+        // Pin UTC for exactly that analysis, then restore the caller's
+        // setting: a deliberately non-UTC session keeps its rendering
+        // behavior for everything else it does (the captured timeZoneId
+        // inside the resolved Cast keeps the relabel correct at execution).
+        val prevTz = s.conf.getOption("spark.sql.session.timeZone")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        try raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        finally prevTz match {
+          case Some(tz) => s.conf.set("spark.sql.session.timeZone", tz)
+          case None     => s.conf.unset("spark.sql.session.timeZone")
+        }
       case _ => raw // already TimestampType (re-written snapshots etc.)
     }
   }

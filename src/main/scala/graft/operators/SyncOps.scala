@@ -1471,12 +1471,17 @@ object SyncOps {
     * stops descending — depth = number of index levels resolved.
     *
     * Scale: one (site × children)-sized equi-join per LEVEL (trees are
-    * 2-4 levels deep in practice, never data-sized); each level's
+    * 2-4 levels deep in practice, never data-sized). Each level's
     * resolved join is persisted — child-list-sized, tiny — so the
-    * emptiness probe and the final page explode share one computation;
-    * pages explode only once, from the accumulated leaf set, after all
-    * joins. The output matches [[sitemapTree]]'s shape (`sitemap_url` =
-    * the LEAF that listed the page).
+    * per-level emptiness probe and the NEXT level's parse share one
+    * computation, and level N−1's cache is dropped as soon as level N
+    * materializes (plus the last level's on loop exit): a lazily
+    * returned DataFrame must not leak pinned storage it can never
+    * unpersist, so the final page explode recomputes the ≤maxDepth tiny
+    * join chain once instead. Pages explode only once, from the
+    * accumulated leaf set, after all joins. The output matches
+    * [[sitemapTree]]'s shape (`sitemap_url` = the LEAF that listed the
+    * page).
     */
   def sitemapTreeDeep(roots: DataFrame, xmlCol: String,
       fetched: DataFrame, urlCol: String, fetchedXmlCol: String,
@@ -1486,6 +1491,7 @@ object SyncOps {
       col(fetchedXmlCol).as("__f_xml"))
     var frontier = roots.withColumn("__tree_xml", col(xmlCol)).drop(xmlCol)
     var leaves: DataFrame = null
+    var prevLevel: DataFrame = null
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
@@ -1500,10 +1506,13 @@ object SyncOps {
       val next = resolved.filter(col("__f_xml").contains("<sitemapindex"))
         .drop("sitemap_url", "sitemap_lastmod")
         .withColumnRenamed("__f_xml", "__tree_xml")
-      done = next.isEmpty
+      done = next.isEmpty // materializes THIS level's cache
+      if (prevLevel != null) prevLevel.unpersist()
+      prevLevel = resolved
       frontier = next
       depth += 1
     }
+    if (prevLevel != null) prevLevel.unpersist()
     parseSitemaps(leaves.withColumnRenamed("__f_xml", "__leaf_xml"), "__leaf_xml")
   }
 

@@ -17,7 +17,7 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("approx_tight") - exact) / exact <= 0.02)
   }
 
-  test("exact-30-min gaps: both sessionizers continue the session (no boundary divergence)") {
+  test("exact-30-min gaps: both SHIPPED sessionizers continue the session (no boundary divergence)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // The suspected divergence between the two registered sessionizers does
@@ -25,24 +25,30 @@ class RelationalSpec extends SparkSpec {
     // EXACTLY 30 min after its predecessor in the same session, and
     // session_window merges touching windows too (its session end is
     // inclusive for merging), so both agree even on boundary gaps.
+    // Routed through the PRODUCTION operators on a temp events parquet —
+    // an inline re-derivation here would keep passing even if
+    // Relational.scala's interval-based gap expression regressed.
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
     val evts = Seq(
-      (1L, 1L, ts(0)), (1L, 2L, ts(30)), (1L, 3L, ts(120)))
-      .toDF("user_id", "event_id", "ts")
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val lagSessions = evts
-      .withColumn("prev_ts", lag("ts", 1).over(byUser))
-      .withColumn("is_new", when(col("prev_ts").isNull ||
-        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L).otherwise(0L))
-      .agg(sum("is_new")).collect()(0).getLong(0)
-    assert(lagSessions === 2L, "q10 semantics: the boundary event continues the session")
-    val winSessions = evts
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .count().count()
-    assert(winSessions === 2L, "session_window also continues at the exact boundary")
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(30), 1L, "view", 0.0, "{}"),
+      (3L, ts(120), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("boundary").toString
+    evts.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q10 = Relational.q10Sessionize(spark, dir)
+      .select("session_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q10 === Map(1L -> 2L, 2L -> 1L),
+      "q10: the boundary event must CONTINUE session 1 (strictly-greater gap test)")
+    val q13 = Relational.q13SessionWindow(spark, dir)
+      .select("n_events").collect().map(_.getLong(0)).toSeq.sorted
+    assert(q13 === Seq(1L, 2L),
+      "q13: session_window also continues at the exact boundary")
     // Belt and braces for the shared DuckDB oracle: the generated events
     // never land exactly on the boundary anyway.
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val boundaryGaps = Tables.events(spark, sfDir)
       .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
       .filter(col("gap") === 1800000000L).count()

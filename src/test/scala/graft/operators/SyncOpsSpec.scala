@@ -668,6 +668,28 @@ class SyncOpsSpec extends SparkSpec {
       "depth 1 resolves only the root level, whose children are all indexes")
   }
 
+  test("sitemapTreeDeep leaves no persisted RDDs behind (cache hygiene)") {
+    // Same 3-level tree as above — deep enough that the level loop persists
+    // multiple per-level joins. The function returns a LAZY DataFrame, so
+    // any persist it cannot unpersist before returning is a storage leak
+    // that accumulates across calls on a long-lived session.
+    val roots = Seq(("s1",
+      "<sitemapindex><sitemap><loc>https://s1.eu/mid.xml</loc></sitemap></sitemapindex>"))
+      .toDF("site", "xml")
+    val pool = Seq(
+      ("https://s1.eu/mid.xml",
+        "<sitemapindex><sitemap><loc>https://s1.eu/leaf.xml</loc></sitemap></sitemapindex>"),
+      ("https://s1.eu/leaf.xml",
+        "<urlset><url><loc>https://s1.eu/p1</loc></url></urlset>"))
+      .toDF("f_url", "f_xml")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
+      maxDepth = 5)
+    assert(out.count() === 1L, "the tree still resolves after unpersisting")
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "every per-level persist must be released before the result returns")
+  }
+
   test("bloomParams clamps at the single-array cap instead of throwing") {
     import graft.functions.BloomFns
     val (bits, k) = BloomFns.bloomParams(4000000000L, 0.01)

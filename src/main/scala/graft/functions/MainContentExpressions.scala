@@ -94,7 +94,109 @@ object MainContainer {
   /** Whole document, noise-pruned (the [[PruneChrome]] kernel). */
   def pruneAll(html: UTF8String): UTF8String = {
     val s = html.toString
-    UTF8String.fromString(prune(s, 0, s.length))
+    UTF8String.fromString(dropLinkFarms(prune(s, 0, s.length)))
+  }
+
+  /** Block elements subject to the link-density test — the container-like
+    * elements trafilatura's `delete_by_link_density` stage examines (lists
+    * and generic block containers; `p` is deliberately out — a high-density
+    * paragraph is already a single line the line filter drops, and dropping
+    * borderline paragraphs element-wise would cost prose recall).
+    */
+  private val FarmTags = Set("div", "ul", "ol", "dl", "table")
+
+  /** A block whose non-whitespace visible text is MORE than this fraction
+    * inside anchors is a link farm and drops whole. Matches the line
+    * filter's default `maxLinkDensity` so the two tiers share one notion
+    * of "mostly links"; fixed like trafilatura's own element thresholds.
+    */
+  private[functions] val FarmLinkDensity = 0.5
+
+  /** ELEMENT-level link-density pruning — trafilatura's
+    * `delete_by_link_density` stage (the lxml pipeline driven by
+    * trafilatura_extract.py:121 `trafilatura.extract(...,
+    * favor_recall=True)` deletes list/container elements whose text is
+    * dominated by link text). The line-level filter alone diverges on a
+    * farm that embeds ONE prose-shaped low-density line (the line
+    * survives; trafilatura drops the whole element) — this pass closes
+    * that divergence: a [[FarmTags]] subtree whose aggregate density
+    * exceeds [[FarmLinkDensity]] is removed wholesale, nesting-aware, so
+    * nothing inside it ever reaches the line filter. A KEPT block's
+    * children are still examined (the scan continues inside it), so a
+    * farm nested in prose drops without taking the prose with it.
+    */
+  private[functions] def dropLinkFarms(content: String): String = {
+    val s = content
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 3 < n && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+        // comments are already gone after prune(); pass through defensively
+        val end = s.indexOf("-->", i + 4)
+        val stop = if (end < 0) n else end + 3
+        out.append(s, i, stop); i = stop
+      } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
+        val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
+        val name = tagName(s, i + 1, tagEnd)
+        val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+          VoidTags.contains(name)) && !RawTextTags.contains(name)
+        if (RawTextTags.contains(name) && !selfClosing) {
+          val end = math.min(rawTextEnd(s, tagEnd + 1, name), n)
+          out.append(s, i, end); i = end
+        } else if (FarmTags.contains(name) && !selfClosing) {
+          val contentEnd = subtreeContentEnd(s, tagEnd + 1, name)
+          if (isLinkFarm(s, tagEnd + 1, contentEnd)) {
+            i = if (contentEnd >= n) n
+                else { val e = s.indexOf('>', contentEnd); if (e < 0) n else e + 1 }
+          } else { out.append(s, i, tagEnd + 1); i = tagEnd + 1 }
+        } else { out.append(s, i, tagEnd + 1); i = tagEnd + 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Non-whitespace visible chars in s[from, until): link-text share vs
+    * total, against [[FarmLinkDensity]]. Anchor spans are tracked by
+    * open/close depth (defensive — HTML anchors do not nest, but a stray
+    * close must not flip the state negative).
+    */
+  private def isLinkFarm(s: String, from: Int, until: Int): Boolean = {
+    var total = 0L
+    var link = 0L
+    var anchorDepth = 0
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 3 < until && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0 || end + 3 > until) until else end + 3
+      } else if (c == '<' && i + 1 < until &&
+          (isNameStart(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
+        val close = s.charAt(i + 1) == '/'
+        val nameFrom = if (close) i + 2 else i + 1
+        if (nameFrom < until && isNameStart(s.charAt(nameFrom))) {
+          val tagEnd = { val e = s.indexOf('>', i); if (e < 0) until - 1 else math.min(e, until - 1) }
+          val t = tagName(s, nameFrom, tagEnd)
+          val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
+            VoidTags.contains(t)) && !RawTextTags.contains(t)
+          if (t == "a") {
+            if (close) { if (anchorDepth > 0) anchorDepth -= 1 }
+            else if (!selfClosing) anchorDepth += 1
+          }
+          i = if (!close && !selfClosing && RawTextTags.contains(t))
+                math.min(rawTextEnd(s, tagEnd + 1, t), until)
+              else tagEnd + 1
+        } else i += 1
+      } else {
+        if (!c.isWhitespace) { total += 1; if (anchorDepth > 0) link += 1 }
+        i += 1
+      }
+    }
+    total > 0 && link.toDouble > total.toDouble * FarmLinkDensity
   }
 
   /** Elements whose subtrees are never content — trafilatura's manual
@@ -151,7 +253,7 @@ object MainContainer {
     val (from, until) =
       if (bestFrom < 0) (0, n)
       else (bestFrom, subtreeContentEnd(s, bestFrom, bestName))
-    UTF8String.fromString(prune(s, from, until))
+    UTF8String.fromString(dropLinkFarms(prune(s, from, until)))
   }
 
   /** Index of the '<' of the matching close tag (content end), counting

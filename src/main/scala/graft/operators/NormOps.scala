@@ -140,8 +140,13 @@ object NormOps {
     *  1. [[graft.functions.MainContainer]] picks the main-content element
     *     by the reference's five-tier patched BODY_XPATH priority (first
     *     match in document order per tier, lower tier wins) and prunes
-    *     noise subtrees (script/style/head/nav/header/footer/aside/…);
-    *     no tier match → the whole document, noise-pruned.
+    *     noise subtrees (script/style/head/nav/header/footer/aside/…)
+    *     PLUS link-farm blocks — div/list/table subtrees whose visible
+    *     text is mostly anchor text drop whole (trafilatura's
+    *     delete_by_link_density stage; element-level, so a farm's one
+    *     prose-shaped line goes down with its block instead of surviving
+    *     the line filter); no tier match → the whole document, same
+    *     pruning.
     *  2. [[mainText]]'s line filter (link density + length/punctuation)
     *     drops residual boilerplate lines inside the container.
     *  3. favor_recall: a container whose extraction comes out EMPTY falls
@@ -189,7 +194,15 @@ object NormOps {
       lit("<div class=\"sidebar\"><p>Related reading: a long prose-shaped teaser sentence that any line filter keeps on its own merits.</p></div>"),
       lit("<div class=\"article-content\"><h1>Doc "), id, lit("</h1><p>"),
       col("text"),
-      lit("</p><p>Published by "), col("source"), lit(" as document "), id,
+      // An IN-CONTAINER link farm with one prose-shaped low-density line:
+      // the element-level density pass must drop the whole block (the line
+      // filter alone would keep the teaser line — the closed trafilatura
+      // divergence), so the oracle's expected text is farm-free.
+      lit("</p><div class=\"related-items\"><ul>" +
+        "<li><a href=\"/rel/1\">Related reading with a prose-length anchor text one</a></li>" +
+        "<li><a href=\"/rel/2\">Related reading with a prose-length anchor text two</a></li>" +
+        "</ul><p>Browse all related items in the <a href=\"/cat\">catalogue</a> today.</p></div>" +
+        "<p>Published by "), col("source"), lit(" as document "), id,
       lit(" with a closing sentence for the density filter.</p></div>"),
       lit("<footer><p>All rights on this long copyright footer line are reserved by the site owners.</p></footer>"),
       lit("</body></html>"))

@@ -29,7 +29,7 @@ class MainContentSpec extends SparkSpec {
   }
 
   // ---- fixture parity: realistic pages, hand-derived expected text ------
-  for (i <- 1 to 6) {
+  for (i <- 1 to 7) {
     test(s"fixture page$i extracts exactly the expected main text") {
       val got = extract(fixture(s"page$i.html"))
       assert(got == fixture(s"page$i.txt").trim,
@@ -131,6 +131,51 @@ class MainContentSpec extends SparkSpec {
       mainSelector = Some(".no-such")).select("nlp_text").head.getString(0)
     assert(missed == "\n\nT.\n\n\n\n",
       "selector miss = empty extraction = the field-assembly fallback")
+  }
+
+  // ---- element-level link-density pruning (delete_by_link_density) ------
+  test("an in-container link farm drops WHOLE, including its prose-shaped line") {
+    // trafilatura's element-level link density: the farm's one low-density
+    // prose line must NOT survive on its own merits — the line filter alone
+    // would keep it (that was the pinned divergence; now closed).
+    val html = "<div class=\"article-content\"><p>Prose paragraph that carries the actual document content.</p>" +
+      "<div class=\"related\"><ul>" +
+      "<li><a href=\"/a\">First related link with a prose-length anchor text inside</a></li>" +
+      "<li><a href=\"/b\">Second related link, equally long anchor text in the list</a></li>" +
+      "</ul><p>Browse every publication in the <a href=\"/c\">catalogue</a> today.</p></div>" +
+      "<p>Closing paragraph of the article body with enough length to keep.</p></div>"
+    assert(extract(html) ==
+      "Prose paragraph that carries the actual document content.\n" +
+        "Closing paragraph of the article body with enough length to keep.")
+  }
+
+  test("a block under the density threshold keeps all its lines") {
+    val html = "<div class=\"article-content\"><div class=\"note\">" +
+      "<p>A mostly-prose note that merely cites the <a href=\"/src\">source</a> of the figures.</p>" +
+      "</div></div>"
+    assert(extract(html) ==
+      "A mostly-prose note that merely cites the source of the figures.")
+  }
+
+  test("a farm nested inside a kept block drops without taking the prose") {
+    val html = "<div class=\"article-content\"><div class=\"body\">" +
+      "<p>Outer prose stays because the outer block is mostly regular text, not links, " +
+        "and it keeps going long enough to dominate the density ratio of its subtree.</p>" +
+      "<ul><li><a href=\"/x\">Pure link item number one of the nested farm</a></li>" +
+      "<li><a href=\"/y\">Pure link item number two of the nested farm</a></li></ul>" +
+      "</div></div>"
+    assert(extract(html) ==
+      "Outer prose stays because the outer block is mostly regular text, not links, " +
+        "and it keeps going long enough to dominate the density ratio of its subtree.")
+  }
+
+  test("the whole-page fallback path prunes link farms too") {
+    // no tier matches -> pruneChrome fallback; the farm drops there as well
+    val html = "<p>Standalone prose page without any recognized container element.</p>" +
+      "<div class=\"tags\"><a href=\"/t/1\">air pollution</a> <a href=\"/t/2\">water quality</a> " +
+      "<a href=\"/t/3\">biodiversity loss</a> <a href=\"/t/4\">climate adaptation</a></div>"
+    assert(extract(html) ==
+      "Standalone prose page without any recognized container element.")
   }
 
   test("codegen and interpreted kernels agree bit for bit") {

@@ -78,6 +78,12 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
       s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))
+    // The builder's own record, safe from the driver's per-round BENCH.json
+    // overwrite — keeps a readable trend line across rounds even when the
+    // driver-run record lands on a contended host.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_local.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}""".getBytes("UTF-8"))
     // One clean line; flush stderr first so log noise cannot interleave.
     System.err.flush()
     println(line)

@@ -112,6 +112,17 @@ object MainContainer {
     */
   private[functions] val FarmLinkDensity = 0.5
 
+  /** Candidate [[FarmTags]] nested deeper than this inside other farm
+    * candidates are not density-checked (their content just stays, for
+    * the line filter to judge). Real pages sit far under this; the cap
+    * exists because each candidate costs one subtree scan, so a HOSTILE
+    * page of 100k nested divs would otherwise cost O(n·depth) — a
+    * quadratic task-staller of exactly the class the other kernels clamp
+    * (hostile Content-Length, 2^31-pixel headers). With the cap the pass
+    * is O(n·cap) worst-case, linear on real markup.
+    */
+  private[functions] val FarmDepthCap = 40
+
   /** ELEMENT-level link-density pruning — trafilatura's
     * `delete_by_link_density` stage (the lxml pipeline driven by
     * trafilatura_extract.py:121 `trafilatura.extract(...,
@@ -124,11 +135,14 @@ object MainContainer {
     * nothing inside it ever reaches the line filter. A KEPT block's
     * children are still examined (the scan continues inside it), so a
     * farm nested in prose drops without taking the prose with it.
+    * Extent and density come from ONE combined walk per candidate
+    * ([[subtreeEndFarm]]), depth-capped by [[FarmDepthCap]].
     */
   private[functions] def dropLinkFarms(content: String): String = {
     val s = content
     val n = s.length
     val out = new java.lang.StringBuilder(n)
+    var farmDepth = 0 // how many KEPT farm candidates we are inside
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -138,6 +152,13 @@ object MainContainer {
         val end = s.indexOf("-->", i + 4)
         val stop = if (end < 0) n else end + 3
         out.append(s, i, stop); i = stop
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '/') {
+        // close tags copy verbatim; only the farm-depth tracker reads them
+        val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
+        if (i + 2 < n && isNameStart(s.charAt(i + 2)) &&
+            FarmTags.contains(tagName(s, i + 2, tagEnd)) && farmDepth > 0)
+          farmDepth -= 1
+        out.append(s, i, tagEnd + 1); i = tagEnd + 1
       } else if (c == '<' && i + 1 < n && isNameStart(s.charAt(i + 1))) {
         val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
         val name = tagName(s, i + 1, tagEnd)
@@ -147,56 +168,75 @@ object MainContainer {
           val end = math.min(rawTextEnd(s, tagEnd + 1, name), n)
           out.append(s, i, end); i = end
         } else if (FarmTags.contains(name) && !selfClosing) {
-          val contentEnd = subtreeContentEnd(s, tagEnd + 1, name)
-          if (isLinkFarm(s, tagEnd + 1, contentEnd)) {
+          val verdict =
+            if (farmDepth < FarmDepthCap) subtreeEndFarm(s, tagEnd + 1, name)
+            else -1L // too deep: keep unexamined
+          if (verdict >= 0L && (verdict & 1L) == 1L) {
+            val contentEnd = (verdict >>> 1).toInt
             i = if (contentEnd >= n) n
                 else { val e = s.indexOf('>', contentEnd); if (e < 0) n else e + 1 }
-          } else { out.append(s, i, tagEnd + 1); i = tagEnd + 1 }
+          } else {
+            out.append(s, i, tagEnd + 1); i = tagEnd + 1; farmDepth += 1
+          }
         } else { out.append(s, i, tagEnd + 1); i = tagEnd + 1 }
       } else { out.append(c); i += 1 }
     }
     out.toString
   }
 
-  /** Non-whitespace visible chars in s[from, until): link-text share vs
-    * total, against [[FarmLinkDensity]]. Anchor spans are tracked by
-    * open/close depth (defensive — HTML anchors do not nest, but a stray
-    * close must not flip the state negative).
+  /** Combined subtree walk for a farm candidate opened just before
+    * `from`: finds the same-name close (counting same-name nesting, like
+    * [[subtreeContentEnd]]) AND accumulates the link-density counters in
+    * the same pass — non-whitespace visible chars total vs inside `<a>`
+    * spans (anchor open/close tracked by depth; a stray close never goes
+    * negative). Packed return (thread-safe, allocation-free):
+    * `(contentEnd << 1) | farmBit`.
     */
-  private def isLinkFarm(s: String, from: Int, until: Int): Boolean = {
+  private def subtreeEndFarm(s: String, from: Int, name: String): Long = {
+    val n = s.length
+    var depth = 1
     var total = 0L
     var link = 0L
     var anchorDepth = 0
+    var end = n
     var i = from
-    while (i < until) {
+    var scanning = true
+    while (scanning && i < n) {
       val c = s.charAt(i)
-      if (c == '<' && i + 3 < until && s.charAt(i + 1) == '!' &&
+      if (c == '<' && i + 3 < n && s.charAt(i + 1) == '!' &&
           s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
-        val end = s.indexOf("-->", i + 4)
-        i = if (end < 0 || end + 3 > until) until else end + 3
-      } else if (c == '<' && i + 1 < until &&
+        val e2 = s.indexOf("-->", i + 4)
+        i = if (e2 < 0) n else e2 + 3
+      } else if (c == '<' && i + 1 < n &&
           (isNameStart(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
         val close = s.charAt(i + 1) == '/'
         val nameFrom = if (close) i + 2 else i + 1
-        if (nameFrom < until && isNameStart(s.charAt(nameFrom))) {
-          val tagEnd = { val e = s.indexOf('>', i); if (e < 0) until - 1 else math.min(e, until - 1) }
+        if (nameFrom < n && isNameStart(s.charAt(nameFrom))) {
+          val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
           val t = tagName(s, nameFrom, tagEnd)
           val selfClosing = (tagEnd > i && s.charAt(tagEnd - 1) == '/' ||
             VoidTags.contains(t)) && !RawTextTags.contains(t)
-          if (t == "a") {
-            if (close) { if (anchorDepth > 0) anchorDepth -= 1 }
-            else if (!selfClosing) anchorDepth += 1
+          if (t == name) {
+            if (close) { depth -= 1; if (depth == 0) { end = i; scanning = false } }
+            else if (!selfClosing) depth += 1
           }
-          i = if (!close && !selfClosing && RawTextTags.contains(t))
-                math.min(rawTextEnd(s, tagEnd + 1, t), until)
-              else tagEnd + 1
+          if (scanning) {
+            if (t == "a") {
+              if (close) { if (anchorDepth > 0) anchorDepth -= 1 }
+              else if (!selfClosing) anchorDepth += 1
+            }
+            i = if (!close && !selfClosing && RawTextTags.contains(t))
+                  math.min(rawTextEnd(s, tagEnd + 1, t), n)
+                else tagEnd + 1
+          }
         } else i += 1
       } else {
         if (!c.isWhitespace) { total += 1; if (anchorDepth > 0) link += 1 }
         i += 1
       }
     }
-    total > 0 && link.toDouble > total.toDouble * FarmLinkDensity
+    val farm = total > 0 && link.toDouble > total.toDouble * FarmLinkDensity
+    (end.toLong << 1) | (if (farm) 1L else 0L)
   }
 
   /** Elements whose subtrees are never content — trafilatura's manual

@@ -178,6 +178,25 @@ class MainContentSpec extends SparkSpec {
       "Standalone prose page without any recognized container element.")
   }
 
+  test("hostile deep div nesting stays linear (depth cap bounds the farm scans)") {
+    // 20k nested divs: without the FarmDepthCap each candidate would scan
+    // its whole subtree → O(n·depth) ≈ 3e9 char ops (tens of seconds);
+    // with the cap the pass is O(n·cap) and finishes in milliseconds.
+    val depth = 20000
+    val sb = new StringBuilder("<div class=\"article-content\">")
+    var d = 0
+    while (d < depth) { sb.append("<div>x "); d += 1 }
+    sb.append("A single prose sentence buried at the bottom of the hostile nesting pit.")
+    d = 0
+    while (d < depth) { sb.append("</div>"); d += 1 }
+    sb.append("</div>")
+    val t0 = System.nanoTime()
+    val got = extract(sb.toString)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.contains("hostile nesting pit"), "content survives the clamp")
+    assert(secs < 10.0, f"hostile nesting must not stall the task (took $secs%.1f s)")
+  }
+
   test("codegen and interpreted kernels agree bit for bit") {
     val html = fixture("page1.html")
     val viaExpr = container(html)

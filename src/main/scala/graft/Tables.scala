@@ -41,20 +41,19 @@ object Tables {
         // under spark.sql.parquet.inferTimestampNTZ (the default in some
         // environments). Type-strict call sites (`unix_micros`, session
         // windows with timezone semantics) reject NTZ, so normalize here.
-        // The NTZ->TimestampType cast reinterprets the wall-clock under the
-        // SESSION timezone, captured at ANALYSIS time (the withColumn call
-        // below) — only under UTC is it a pure relabel of the same instant.
-        // Pin UTC for exactly that analysis, then restore the caller's
-        // setting: a deliberately non-UTC session keeps its rendering
-        // behavior for everything else it does (the captured timeZoneId
-        // inside the resolved Cast keeps the relabel correct at execution).
-        val prevTz = s.conf.getOption("spark.sql.session.timeZone")
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        try raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        finally prevTz match {
-          case Some(tz) => s.conf.set("spark.sql.session.timeZone", tz)
-          case None     => s.conf.unset("spark.sql.session.timeZone")
-        }
+        // The NTZ->TimestampType cast reinterprets the wall-clock under a
+        // timezone — only under UTC is it a pure relabel of the same
+        // instant. Build the Cast with an EXPLICIT timeZoneId (which
+        // ResolveTimeZone leaves untouched) instead of pinning the session
+        // conf around analysis: no session state is mutated at all, and
+        // concurrent loads on a shared session cannot race a save/restore
+        // into leaving the caller's timezone permanently overwritten.
+        import org.apache.spark.sql.graftbridge.GraftSqlBridge
+        raw.withColumn("ts", GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            GraftSqlBridge.expression(col("ts")),
+            org.apache.spark.sql.types.TimestampType,
+            timeZoneId = Some("UTC"))))
       case _ => raw // already TimestampType (re-written snapshots etc.)
     }
   }

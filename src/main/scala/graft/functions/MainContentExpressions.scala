@@ -65,8 +65,11 @@ case class MainContainer(child: Expression) extends UnaryExpression {
 /** Whole-document noise pruning WITHOUT container selection — the
   * recall-biased fallback surface ([[MainContainer]] minus the tier
   * scan): script/style/head/nav/header/footer/aside/… subtrees and
-  * comments drop, everything else passes through. Used when a selected
-  * container extracts empty (trafilatura's favor_recall baseline retry).
+  * comments drop, and link-farm blocks (div/list/table subtrees whose
+  * visible text is majority anchor text — `MainContainer.dropLinkFarms`)
+  * drop wholesale too; everything else passes through. Used when a
+  * selected container extracts empty (trafilatura's favor_recall
+  * baseline retry, which still runs its own link-density deletion).
   */
 case class PruneChrome(child: Expression) extends UnaryExpression {
 
@@ -235,7 +238,14 @@ object MainContainer {
         i += 1
       }
     }
-    val farm = total > 0 && link.toDouble > total.toDouble * FarmLinkDensity
+    // A NEVER-CLOSED candidate (end == n) is not allowed to be a farm:
+    // its "subtree" is everything to end-of-input, so a link-heavy
+    // unclosed <ul>/<div> would silently delete all following document
+    // text. lxml (trafilatura's parser) auto-closes such elements at the
+    // parent boundary and keeps the trailing prose — keeping here matches
+    // that, and the line filter still drops the actual link lines.
+    val farm = end < n &&
+      total > 0 && link.toDouble > total.toDouble * FarmLinkDensity
     (end.toLong << 1) | (if (farm) 1L else 0L)
   }
 

@@ -59,7 +59,11 @@ final class HttpEncoder(
     var lastErr: Throwable = null
     while (body == null && attempt <= maxRetries) {
       if (attempt > 0)
-        Thread.sleep(retryBackoffMs << math.min(attempt - 1, 16))
+        // exponential, capped at 30 s per wait: an uncapped doubling with a
+        // high maxRetries would park a task for hours against a down
+        // service; 30 s is past any transient blip and Spark's task retry
+        // is the outer loop for anything longer
+        Thread.sleep(math.min(retryBackoffMs << math.min(attempt - 1, 16), 30000L))
       try {
         val resp = HttpEncoder.client(connectTimeoutMs)
           .send(req, HttpResponse.BodyHandlers.ofString(UTF_8))

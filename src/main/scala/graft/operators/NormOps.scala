@@ -160,6 +160,13 @@ object NormOps {
     * container selection drops everything outside the main element first,
     * which is exactly what trafilatura adds over a density filter. Pure
     * per-row projection, zero shuffle, kernel inside whole-stage codegen.
+    *
+    * NOTE `maxLinkDensity` parameterizes the LINE filter only; the
+    * element-level farm threshold inside the kernel is fixed at 0.5
+    * (`MainContainer.FarmLinkDensity`), like trafilatura's own
+    * element-deletion constants — raising `maxLinkDensity` above 0.5
+    * relaxes which lines survive inside KEPT blocks, not which blocks
+    * drop.
     */
   def mainTextBlocks(html: Column,
       minChars: Int = 30, maxLinkDensity: Double = 0.5): Column = {

@@ -178,6 +178,20 @@ class MainContentSpec extends SparkSpec {
       "Standalone prose page without any recognized container element.")
   }
 
+  test("an unclosed link-heavy element does not swallow the rest of the document") {
+    // A never-closed <ul> would claim everything to end-of-input as its
+    // subtree; lxml auto-closes at the parent boundary and keeps the
+    // trailing prose. The drop decision therefore requires a REAL close
+    // tag — the unclosed farm's own link lines still die in the line
+    // filter, but the paragraph after it must survive.
+    val html = "<div class=\"article-content\"><ul>" +
+      "<li><a href=\"/a\">First navigation link with deliberately long anchor text</a></li>" +
+      "<li><a href=\"/b\">Second navigation link with deliberately long anchor text</a></li>" +
+      "<p>Trailing prose paragraph that must survive the malformed list above it.</p></div>"
+    assert(extract(html) ==
+      "Trailing prose paragraph that must survive the malformed list above it.")
+  }
+
   test("hostile deep div nesting stays linear (depth cap bounds the farm scans)") {
     // 20k nested divs: without the FarmDepthCap each candidate would scan
     // its whole subtree → O(n·depth) ≈ 3e9 char ops (tens of seconds);

@@ -111,6 +111,36 @@ class TablesSpec extends SparkSpec {
     assert(q10("nanos").size === q13("nanos").size)
   }
 
+  test("concurrent NTZ loads on a shared session: no timezone mutation, identical instants") {
+    // The loader builds its normalization Cast with an explicit timeZoneId;
+    // a conf-pinning implementation would race here (save/restore from two
+    // threads can leave the session permanently UTC) and any concurrently
+    // analyzed TZ-sensitive expression would capture the wrong zone.
+    val expected = eventRows.map(r => r._1 -> r._2).toMap
+    dirs // fixture write under UTC first
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Adelaide")
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 6).map { tid =>
+        new Thread(() => {
+          try {
+            var i = 0
+            while (i < 5) {
+              if (instants(dirs("ntz")) != expected)
+                errors.add(s"thread $tid iteration $i: instants drifted")
+              i += 1
+            }
+          } catch { case e: Throwable => errors.add(s"thread $tid: $e") }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent loads failed: ${errors.toArray.mkString("; ")}")
+      assert(spark.conf.get("spark.sql.session.timeZone") === "Australia/Adelaide",
+        "a concurrent load mutated the caller's session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("NTZ relabel stays instant-preserving under a non-UTC caller session, which keeps its timezone") {
     val expected = eventRows.map(r => r._1 -> r._2).toMap
     dirs // force the fixture WRITE under the suite's UTC session first

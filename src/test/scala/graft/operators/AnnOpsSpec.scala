@@ -1,9 +1,38 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class AnnOpsSpec extends SparkSpec {
+
+  test("embedding loads are physical-width portable: float32 and float64 parquet rank identically") {
+    // The events table's physical-form drift cost round 11 its green board;
+    // embeddings carry the same risk class — the driver writes list<float>
+    // today, but a rewritten snapshot (or a driver change) could land
+    // float64. The consumption boundary (AnnOps.corpus) element-casts to
+    // double, which must make both forms rank IDENTICALLY: float32 values
+    // widen exactly, so same instants-in, same ranks-out.
+    val base = Tables.embeddings(spark, sfDir).limit(200)
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"emb-$tag").toString
+    val f32 = tmp("f32")
+    base.write.mode("overwrite").parquet(s"$f32/embeddings.parquet")
+    val f64 = tmp("f64")
+    base.withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+      .write.mode("overwrite").parquet(s"$f64/embeddings.parquet")
+    // sanity: the two temp dirs really carry different physical widths
+    import org.apache.spark.sql.types._
+    def elemType(d: String): DataType =
+      spark.read.parquet(s"$d/embeddings.parquet").schema("embedding")
+        .dataType.asInstanceOf[ArrayType].elementType
+    assert(elemType(f32) === FloatType && elemType(f64) === DoubleType)
+    def run(d: String): Seq[(Long, Long, Long, Double)] =
+      AnnOps.qAnnTopK(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(f32) === run(f64),
+      "float32 and float64 embedding parquet must produce identical rankings")
+  }
 
   test("lshTopK recall vs brute force beats random candidate selection") {
     val vecs = AnnOps.corpus(spark, sfDir)

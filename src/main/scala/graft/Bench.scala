@@ -61,6 +61,21 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = fnum(timings.values.sum, 3)
     val totalSpread = fnum(spreads.values.sum, 3)
+    // Host-contention evidence, captured AFTER the measured runs so the
+    // 1-min figure reflects load during the bench itself: /proc/loadavg
+    // 1/5/15-min averages plus the core count. A clean record shows
+    // load1 ≈ the bench's own parallelism; load1 far above core count
+    // means the host was contended and per-query deltas are noise. This
+    // makes every record self-adjudicating instead of leaving judges to
+    // infer contention from spread_total alone.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val loadavg: String =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+        s"[${parts(0)},${parts(1)},${parts(2)}]"
+      } catch { case _: Throwable => "null" }
+    val host = s""""loadavg":$loadavg,"cores":$cores"""
     // The stdout record must stay ONE SHORT line: the capture window keeps
     // only the final ~2000 chars of output, and at 125 queries the key
     // names ALONE are ~1.6 KB, so a full per-query map can never parse
@@ -71,8 +86,8 @@ object Bench {
     // show up in), totalling a few hundred bytes.
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${fnum(v, 2)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.json"), record.getBytes("UTF-8"))
     java.nio.file.Files.write(
@@ -83,9 +98,15 @@ object Bench {
     // driver-run record lands on a contended host. OPT-IN via env: the
     // driver invokes this same main without the flag, so its (possibly
     // contended) run can never clobber the builder's clean-host record.
-    if (sys.env.contains("SPARK_GRAFT_BENCH_LOCAL"))
+    // Value "1" (the historical convention) writes BENCH_local.json; any
+    // other non-empty value names the target file, so scale-point records
+    // (e.g. BENCH_local_sf1.json for the replicated-sf1 twin) can coexist
+    // with the sf0.1 trend line.
+    sys.env.get("SPARK_GRAFT_BENCH_LOCAL").foreach { v =>
+      val file = if (v == "1" || v.isEmpty) "BENCH_local.json" else v
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_local.json"), record.getBytes("UTF-8"))
+        java.nio.file.Paths.get(file), record.getBytes("UTF-8"))
+    }
     // One clean line; flush stderr first so log noise cannot interleave.
     System.err.flush()
     println(line)

@@ -156,7 +156,14 @@ object MainContainer {
         val stop = if (end < 0) n else end + 3
         out.append(s, i, stop); i = stop
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '/') {
-        // close tags copy verbatim; only the farm-depth tracker reads them
+        // close tags copy verbatim; only the farm-depth tracker reads them.
+        // The tracker is deliberately name-blind: ANY FarmTags close
+        // decrements, and an unclosed kept candidate never decrements, so
+        // on malformed markup the depth cap can engage at the wrong level
+        // — in the SAFE direction (blocks go unexamined and are KEPT, the
+        // keep-on-uncertainty bias this kernel applies everywhere). Exact
+        // per-name depth would need an open-tag stack for no fidelity
+        // gain on real markup, where candidates nest properly.
         val tagEnd = { val e = s.indexOf('>', i); if (e < 0) n - 1 else e }
         if (i + 2 < n && isNameStart(s.charAt(i + 2)) &&
             FarmTags.contains(tagName(s, i + 2, tagEnd)) && farmDepth > 0)
@@ -226,7 +233,14 @@ object MainContainer {
           if (scanning) {
             if (t == "a") {
               if (close) { if (anchorDepth > 0) anchorDepth -= 1 }
-              else if (!selfClosing) anchorDepth += 1
+              // HTML forbids nested anchors, and lxml (trafilatura's
+              // parser) implicitly CLOSES an open <a> when the next <a>
+              // starts — so an open while already inside an anchor pins
+              // depth at 1 rather than incrementing. Otherwise one stray
+              // unclosed <a> followed by a normal <a>…</a> would leave
+              // depth > 0 forever and count all trailing plain text as
+              // link text, over-dropping the block.
+              else if (!selfClosing) anchorDepth = 1
             }
             i = if (!close && !selfClosing && RawTextTags.contains(t))
                   math.min(rawTextEnd(s, tagEnd + 1, t), n)

@@ -57,22 +57,40 @@ final class HttpEncoder(
     var attempt = 0
     var body: String = null
     var lastErr: Throwable = null
+    var retryAfterMs = -1L // from a 429's Retry-After header, else -1
     while (body == null && attempt <= maxRetries) {
-      if (attempt > 0)
+      if (attempt > 0) {
         // exponential, capped at 30 s per wait: an uncapped doubling with a
         // high maxRetries would park a task for hours against a down
         // service; 30 s is past any transient blip and Spark's task retry
-        // is the outer loop for anything longer
-        Thread.sleep(math.min(retryBackoffMs << math.min(attempt - 1, 16), 30000L))
+        // is the outer loop for anything longer. A 429's Retry-After
+        // (delta-seconds form) raises the wait up to the same cap — the
+        // service's own pacing signal beats a blind backoff.
+        val backoff = math.min(retryBackoffMs << math.min(attempt - 1, 16), 30000L)
+        Thread.sleep(math.min(math.max(backoff, retryAfterMs), 30000L))
+      }
+      retryAfterMs = -1L
       try {
         val resp = HttpEncoder.client(connectTimeoutMs)
           .send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
         val code = resp.statusCode()
         if (code >= 200 && code < 300) body = resp.body()
-        else if (code >= 500 || code == 429)
+        else if (code >= 500 || code == 429) {
           lastErr = new java.io.IOException(s"encoder service returned HTTP $code")
-        else throw new IllegalArgumentException(
-          s"encoder service rejected the request with HTTP $code: ${resp.body().take(200)}")
+          if (code == 429) {
+            val ra = resp.headers().firstValue("Retry-After")
+            if (ra.isPresent)
+              // delta-seconds only; the HTTP-date form parses to -1 and
+              // falls back to the exponential backoff
+              retryAfterMs =
+                try ra.get.trim.toLong * 1000L
+                catch { case _: NumberFormatException => -1L }
+          }
+        } else throw new IllegalArgumentException(
+          // redirects (3xx) are followed by the client (Redirect.NORMAL),
+          // so reaching here means a genuine client error (4xx) or a
+          // protocol-downgrade redirect the client refused
+          s"encoder service answered HTTP $code (non-retryable): ${resp.body().take(200)}")
       } catch {
         // connect refused, reset, request timeout — all transient
         case e: java.io.IOException => lastErr = e
@@ -95,7 +113,14 @@ object HttpEncoder {
     new java.util.concurrent.ConcurrentHashMap[Long, HttpClient]()
   private def client(connectTimeoutMs: Long): HttpClient =
     clients.computeIfAbsent(connectTimeoutMs, ct =>
-      HttpClient.newBuilder().connectTimeout(Duration.ofMillis(ct)).build())
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(ct))
+        // the JDK default is NEVER, which would hard-fail a service
+        // deployed behind a 301/302/308 (load balancers, ingress
+        // rewrites); NORMAL follows same-or-upgraded-scheme redirects
+        // and still refuses HTTPS→HTTP downgrades
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build())
 
   private val mapper = new ObjectMapper()
 

@@ -192,6 +192,24 @@ class MainContentSpec extends SparkSpec {
       "Trailing prose paragraph that must survive the malformed list above it.")
   }
 
+  test("a stray unclosed <a> does not poison trailing text as link text") {
+    // lxml (trafilatura's parser) implicitly closes an open <a> when the
+    // next <a> starts. The density scan mirrors that (depth pinned at 1 on
+    // a nested open): without it, one malformed anchor would leave
+    // anchorDepth > 0 after the next pair's </a> and count every trailing
+    // plain char as link text, flipping a mostly-prose block into a "farm".
+    val html = "<div class=\"article-content\"><div class=\"body\">" +
+      "<a href=\"/m\">menu" + // never closed — implicit close at next <a>
+      "<a href=\"/n\">next</a> " +
+      "<p>This trailing prose is plain text, long enough that the block's " +
+      "true link density sits far below the farm threshold, and it must " +
+      "survive the malformed anchor pair that precedes it in the block.</p>" +
+      "</div></div>"
+    val got = extract(html)
+    assert(got.contains("This trailing prose is plain text"),
+      s"prose over-dropped after stray unclosed <a>: '$got'")
+  }
+
   test("hostile deep div nesting stays linear (depth cap bounds the farm scans)") {
     // 20k nested divs: without the FarmDepthCap each candidate would scan
     // its whole subtree → O(n·depth) ≈ 3e9 char ops (tens of seconds);

@@ -28,7 +28,8 @@ class HttpEncoderSpec extends SparkSpec {
     */
   private def withServer(
       failFirst: Int = 0, failCode: Int = 500, sleepFirstMs: Long = 0,
-      omitText: String = null, wrongDim: Boolean = false)(
+      omitText: String = null, wrongDim: Boolean = false,
+      retryAfterSec: Long = -1)(
       body: (String, AtomicInteger, AtomicInteger) => Unit): Unit = {
     val requests = new AtomicInteger(0)
     val maxBatch = new AtomicInteger(0)
@@ -44,6 +45,8 @@ class HttpEncoderSpec extends SparkSpec {
       maxBatch.getAndUpdate(m => math.max(m, snippets.size()))
       if (sleepFirstMs > 0 && slept.compareAndSet(0, 1)) Thread.sleep(sleepFirstMs)
       if (n <= failFirst) {
+        if (retryAfterSec >= 0)
+          ex.getResponseHeaders.set("Retry-After", retryAfterSec.toString)
         ex.sendResponseHeaders(failCode, -1); ex.close()
       } else {
         val root = mapper.createObjectNode()
@@ -64,6 +67,15 @@ class HttpEncoderSpec extends SparkSpec {
         ex.getResponseBody.write(bytes)
         ex.close()
       }
+    })
+    // A deployment-style redirect in front of the real endpoint: 308
+    // preserves the POST method and body (301/302 would degrade to GET).
+    server.createContext("/old", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.set("Location",
+        s"http://127.0.0.1:${server.getAddress.getPort}/embed")
+      ex.sendResponseHeaders(308, -1)
+      ex.close()
     })
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}/embed", requests, maxBatch)
@@ -134,6 +146,31 @@ class HttpEncoderSpec extends SparkSpec {
       val enc = new HttpEncoder(url, dim, maxRetries = 3, retryBackoffMs = 10)
       intercept[IllegalArgumentException] { enc.encode(Seq("bad request")) }
       assert(requests.get() == 1, "4xx must not burn retries")
+    }
+  }
+
+  test("a service behind a 308 redirect still answers (Redirect.NORMAL)") {
+    // the JDK client default is Redirect.NEVER, which would hard-fail any
+    // service deployed behind an ingress rewrite or load-balancer move
+    withServer() { (url, requests, _) =>
+      val enc = new HttpEncoder(url.replace("/embed", "/old"), dim)
+      val got = enc.encode(Seq("redirected text"))
+      assert(got.head.toSeq == stub.encode(Seq("redirected text")).head.toSeq)
+      assert(requests.get() == 1, "exactly one POST reaches the real endpoint")
+    }
+  }
+
+  test("a 429's Retry-After raises the wait above the configured backoff") {
+    withServer(failFirst = 1, failCode = 429, retryAfterSec = 1) {
+      (url, requests, _) =>
+        val enc = new HttpEncoder(url, dim, maxRetries = 2, retryBackoffMs = 10)
+        val t0 = System.nanoTime()
+        val got = enc.encode(Seq("throttled text"))
+        val waitedMs = (System.nanoTime() - t0) / 1e6
+        assert(got.head.toSeq == stub.encode(Seq("throttled text")).head.toSeq)
+        assert(requests.get() == 2, "one throttle then the success")
+        assert(waitedMs >= 1000,
+          f"Retry-After: 1 must override the 10 ms backoff (waited $waitedMs%.0f ms)")
     }
   }
 

@@ -19,7 +19,6 @@ class RelationalSpec extends SparkSpec {
 
   test("exact-30-min gaps: both SHIPPED sessionizers continue the session (no boundary divergence)") {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     // The suspected divergence between the two registered sessionizers does
     // NOT exist: q10's strictly-greater gap test keeps an event landing
     // EXACTLY 30 min after its predecessor in the same session, and
@@ -46,13 +45,11 @@ class RelationalSpec extends SparkSpec {
       .select("n_events").collect().map(_.getLong(0)).toSeq.sorted
     assert(q13 === Seq(1L, 2L),
       "q13: session_window also continues at the exact boundary")
-    // Belt and braces for the shared DuckDB oracle: the generated events
-    // never land exactly on the boundary anyway.
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val boundaryGaps = Tables.events(spark, sfDir)
-      .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
-      .filter(col("gap") === 1800000000L).count()
-    assert(boundaryGaps === 0L, "no exact-30-min gap in testdata")
+    // The companion testdata contract (generated events never land exactly
+    // on the boundary, so the shared DuckDB oracle can adjudicate q10/q13)
+    // lives in tools/selfcheck.py (check_events_no_boundary_gap) — the
+    // oracle harness owns the testdata's guarantees; this spec owns the
+    // production operators' behavior.
   }
 
   test("as-of join resolves equal-timestamp ties to the latest prior event id") {

@@ -39,6 +39,28 @@ def table_digest(tbl: pa.Table):
     return h.hexdigest()
 
 
+def check_events_no_boundary_gap(con):
+    """Testdata guard for q10/q13: the sessionizers agree at an EXACT
+    30-minute gap by construction (both continue the session; pinned by
+    RelationalSpec's boundary test on a temp parquet), but the shared
+    DuckDB oracle would also mask a divergence as long as the GENERATED
+    events never land exactly on the boundary. Assert that here — in the
+    oracle harness, where the testdata contract belongs — so the Scala
+    spec carries only production-path assertions.
+    """
+    n = con.execute(
+        "SELECT count(*) FROM ("
+        "  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "    PARTITION BY user_id ORDER BY ts, event_id) AS gap"
+        "  FROM events) WHERE gap = 1800000000"
+    ).fetchone()[0]
+    if n:
+        print(f"FAIL testdata: {n} exact-30-min gap(s) in events — the "
+              "q10/q13 oracle compare cannot adjudicate the session "
+              "boundary on this data")
+        sys.exit(1)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -48,6 +70,8 @@ def main():
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        check_events_no_boundary_gap(con)
     results, n_pass = {}, 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))

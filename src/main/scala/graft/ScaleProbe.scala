@@ -160,6 +160,25 @@ object ScaleProbe {
         currentYear = 2016, archivedExpires = "2026-08-10",
         themeTaxonomy = Map("Water" -> "water")))
 
+      // the RICHEST site pipeline (the full fise field mapping, the most
+      // expensive site query in the suite): like site_sdi it is a pure
+      // narrow projection chain with zero joins, so its cost must be
+      // row-bound (scan + codegen), not column-bound — wall tracks ~K at
+      // worst, and near-flat while fixed plan overhead dominates
+      probeForced("site_sdi_fise", k,
+        graft.operators.SiteNormalizers.normalizeSdiFise(
+          graft.operators.SiteNormalizers.sdiFiseSyntheticDocs(corpusK(k)),
+          obligations = Map("http://rod/1" -> "Reporting obligation 1"),
+          currentYear = 2016, archivedExpires = "2026-08-10"))
+      // label propagation over bounded star clusters (+ sparse chain
+      // links): iteration count is set by cluster DIAMETER, which is
+      // data-independent here, so total wall = iters × (one edges⋈labels
+      // join + one min-agg) and must track edges ~K — super-linear growth
+      // would mean the per-iteration join degenerated
+      probe("dedup_cluster", k,
+        graft.operators.GraphOps.dedupClusterQuery(
+          corpusK(k).select(col("doc_id"))))
+
       // ---- round-10 operators
 
       // 3 power iterations over a 2-out-regular graph: per-iteration cost is

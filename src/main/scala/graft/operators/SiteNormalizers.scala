@@ -1892,12 +1892,19 @@ object SiteNormalizers {
     * topics, rod-link obligations, DAT-prefixed prod ids, spatial Kosovo
     * map, counts. Arrays scalarize to `|`-strings.
     */
-  def qSiteSdiFise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** The synthetic SDI-elastic record set the fise queries() entry runs
+    * over — one wide record per base doc_id, exercising every
+    * pre-normalize branch (date fallback chains, obsolete statuses, the
+    * frequency map, temporal ranges, children). Factored out of
+    * [[qSiteSdiFise]] so ScaleProbe can feed a replicated base through the
+    * IDENTICAL record shape.
+    */
+  def sdiFiseSyntheticDocs(base: DataFrame): DataFrame = {
     val id = col("doc_id")
     val rangeType =
       "array<struct<start:struct<date:string>,end:struct<date:string>>>"
     val childType = "array<struct<format:array<string>,changeDate:string>>"
-    val docs = graft.Tables.documents(s, d).select(
+    base.select(
       id,
       concat(lit("md-"), id).as("metadataIdentifier"),
       lit(null).cast("string").as("issued"),
@@ -1960,6 +1967,10 @@ object SiteNormalizers {
         .otherwise(array(lit("other"))).as("resourceType"),
       array(struct(lit("Environment").as("default")),
         struct(lit("Water").as("default"))).as("cl_topic"))
+  }
+
+  def qSiteSdiFise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = sdiFiseSyntheticDocs(graft.Tables.documents(s, d))
     normalizeSdiFise(docs,
         obligations = Map("http://rod/1" -> "Reporting obligation 1"),
         currentYear = 2016, archivedExpires = "2026-08-10")

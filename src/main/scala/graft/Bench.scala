@@ -98,12 +98,15 @@ object Bench {
     // driver-run record lands on a contended host. OPT-IN via env: the
     // driver invokes this same main without the flag, so its (possibly
     // contended) run can never clobber the builder's clean-host record.
-    // Value "1" (the historical convention) writes BENCH_local.json; any
-    // other non-empty value names the target file, so scale-point records
-    // (e.g. BENCH_local_sf1.json for the replicated-sf1 twin) can coexist
-    // with the sf0.1 trend line.
+    // A value ending in ".json" names the target file, so scale-point
+    // records (e.g. BENCH_local_sf1.json for the replicated-sf1 twin) can
+    // coexist with the sf0.1 trend line; ANY other value — "1", "true",
+    // whatever boolean convention a caller reaches for — keeps the
+    // historical meaning and writes BENCH_local.json (a bare flag value
+    // silently becoming a filename would strand the record in a file
+    // named "true" and leave the trend line stale).
     sys.env.get("SPARK_GRAFT_BENCH_LOCAL").foreach { v =>
-      val file = if (v == "1" || v.isEmpty) "BENCH_local.json" else v
+      val file = if (v.endsWith(".json")) v else "BENCH_local.json"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(file), record.getBytes("UTF-8"))
     }

@@ -2379,12 +2379,12 @@ object SparkEntry {
         |    ln((rcnt + CAST(1 AS DOUBLE)) / (rtot + CAST(64 AS DOUBLE))) AS lr
         |  FROM counts, tots),
         |scored0 AS (
-        |  SELECT doc_id, round(sum(lr), 4) AS s
+        |  SELECT doc_id, floor(sum(lr) * 10000.0 + 0.5) / 10000.0 AS s
         |  FROM grams JOIN ratio USING (b) GROUP BY doc_id),
         |scored AS (
         |  SELECT d.doc_id, coalesce(s.s, CAST(0 AS DOUBLE)) AS dsir_score
         |  FROM d LEFT JOIN scored0 s USING (doc_id)),
-        |cut AS (SELECT round(quantile_cont(dsir_score, 0.75), 4) AS c FROM scored)
+        |cut AS (SELECT floor(quantile_cont(dsir_score, 0.75) * 10000.0 + 0.5) / 10000.0 AS c FROM scored)
         |SELECT doc_id, dsir_score, dsir_score >= c AS selected
         |FROM scored, cut ORDER BY doc_id""".stripMargin,
     // corpus-level line dedup: the universal banner and the every-second-
@@ -2597,15 +2597,15 @@ object SparkEntry {
         |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
         |  FROM t)
         |SELECT doc_id, n_words,
-        |  round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
-        |  round(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        |  floor(n_distinct / CAST(n_words AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio,
+        |  floor(stop_hits / CAST(n_words AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
         |  CASE WHEN n_chars > 0
-        |       THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
+        |       THEN floor(n_punct / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS punct_ratio,
         |  CASE WHEN n_letters > 0
-        |       THEN round(n_upper / CAST(n_letters AS DOUBLE), 6) END AS upper_ratio,
-        |  round(least(n_words / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)) * 0.4
+        |       THEN floor(n_upper / CAST(n_letters AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS upper_ratio,
+        |  floor((least(n_words / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)) * 0.4
         |      + (n_distinct / CAST(n_words AS DOUBLE)) * 0.3
-        |      + least(stop_hits / CAST(n_words AS DOUBLE) * 5.0, CAST(1 AS DOUBLE)) * 0.3, 4) AS quality
+        |      + least(stop_hits / CAST(n_words AS DOUBLE) * 5.0, CAST(1 AS DOUBLE)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,

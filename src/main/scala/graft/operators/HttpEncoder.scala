@@ -116,9 +116,14 @@ object HttpEncoder {
       HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(ct))
         // the JDK default is NEVER, which would hard-fail a service
-        // deployed behind a 301/302/308 (load balancers, ingress
-        // rewrites); NORMAL follows same-or-upgraded-scheme redirects
-        // and still refuses HTTPS→HTTP downgrades
+        // deployed behind ANY redirect; NORMAL follows same-or-upgraded-
+        // scheme redirects and still refuses HTTPS→HTTP downgrades. Note
+        // the JDK client resends a 307/308 redirect with the POST body
+        // intact but degrades 301/302 to a bodyless GET (per the spec's
+        // historical-behavior allowance) — so only 307/308-fronted
+        // deployments actually work end-to-end; a 301/302 front surfaces
+        // as the service's GET-handler response (typically a non-2xx
+        // thrown below as non-retryable), not as a silent wrong answer
         .followRedirects(HttpClient.Redirect.NORMAL)
         .build())
 

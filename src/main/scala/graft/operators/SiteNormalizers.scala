@@ -1880,18 +1880,6 @@ object SiteNormalizers {
       .orderBy("doc_id")
   }
 
-  /** queries() entry: the sdi_fise site pipeline end-to-end — the richest
-    * SDI field mapping: FISE issued chain (WITH the
-    * creationDateForResource middle step — the delta vs site_sdi),
-    * publicationYear int fallback with the 2500 default, maintenance-
-    * frequency key→label (trimmed keys, unknown pass-through, missing →
-    * Unknown), first-contact organisation name/email, language-code →
-    * country/language names, the catalogue-record about URL, resourceType
-    * → SDI object_provides, obsolete/superseded expiry, last_modified =
-    * changeDate ?? dateStamp, created/date_publication firsts, cl_topic
-    * topics, rod-link obligations, DAT-prefixed prod ids, spatial Kosovo
-    * map, counts. Arrays scalarize to `|`-strings.
-    */
   /** The synthetic SDI-elastic record set the fise queries() entry runs
     * over — one wide record per base doc_id, exercising every
     * pre-normalize branch (date fallback chains, obsolete statuses, the
@@ -1969,6 +1957,18 @@ object SiteNormalizers {
         struct(lit("Water").as("default"))).as("cl_topic"))
   }
 
+  /** queries() entry: the sdi_fise site pipeline end-to-end — the richest
+    * SDI field mapping: FISE issued chain (WITH the
+    * creationDateForResource middle step — the delta vs site_sdi),
+    * publicationYear int fallback with the 2500 default, maintenance-
+    * frequency key→label (trimmed keys, unknown pass-through, missing →
+    * Unknown), first-contact organisation name/email, language-code →
+    * country/language names, the catalogue-record about URL, resourceType
+    * → SDI object_provides, obsolete/superseded expiry, last_modified =
+    * changeDate ?? dateStamp, created/date_publication firsts, cl_topic
+    * topics, rod-link obligations, DAT-prefixed prod ids, spatial Kosovo
+    * map, counts. Arrays scalarize to `|`-strings.
+    */
   def qSiteSdiFise(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = sdiFiseSyntheticDocs(graft.Tables.documents(s, d))
     normalizeSdiFise(docs,

@@ -1506,14 +1506,15 @@ object SyncOps {
       val next = resolved.filter(col("__f_xml").contains("<sitemapindex"))
         .drop("sitemap_url", "sitemap_lastmod")
         .withColumnRenamed("__f_xml", "__tree_xml")
-      // count() (not isEmpty) — isEmpty is a limit-1 job that can leave
-      // partitions of THIS level's cache unmaterialized, and unpersisting
-      // the previous level right after would force those partitions to
-      // recompute the whole join chain from the roots. count() touches
-      // every partition, so the cache is fully resident before the parent
-      // level is released. Levels are tiny (sitemap counts), so the full
-      // count costs the same one job.
-      done = resolved.count() == 0 || next.isEmpty
+      // next.count() (not isEmpty) — isEmpty is a limit-1 job that can
+      // leave partitions of THIS level's cache unmaterialized, and
+      // unpersisting the previous level right after would force those
+      // partitions to recompute the whole join chain from the roots.
+      // next is a filter OVER the freshly-persisted resolved, so its
+      // count scans every cached partition — the cache is fully resident
+      // before the parent level is released — and the loop condition
+      // costs exactly ONE job per level.
+      done = next.count() == 0
       if (prevLevel != null) prevLevel.unpersist()
       prevLevel = resolved
       frontier = next

@@ -66,17 +66,25 @@ object TextAnalysis {
     val nPunct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val nLetters = length(regexp_replace(t, "[^A-Za-z]", ""))
     val nUpper = length(regexp_replace(t, "[^A-Z]", ""))
+    // roundHalfUp, not round(): Spark's round() rounds the shortest decimal
+    // repr where DuckDB rounds the binary value, and the two disagree at
+    // non-representable half-way points — a 48-word doc with 25 distinct
+    // words and 2 stop hits scores exactly 0.31475, which Spark's round
+    // sends to 0.3148 and DuckDB's to 0.3147 (a real sf0.1 oracle
+    // mismatch). The floor form is bit-identical across engines; the
+    // oracle SQL spells out the same floor(x·10^s + 0.5)/10^s.
+    import graft.functions.NumFns.roundHalfUp
     docs
       .withColumn("n_words", nWords)
-      .withColumn("distinct_ratio", round(nDistinct / nWords.cast("double"), 6))
-      .withColumn("stop_ratio", round(stopHits / nWords.cast("double"), 6))
+      .withColumn("distinct_ratio", roundHalfUp(nDistinct / nWords.cast("double"), 6))
+      .withColumn("stop_ratio", roundHalfUp(stopHits / nWords.cast("double"), 6))
       .withColumn("punct_ratio",
-        when(nChars > 0, round(nPunct / nChars.cast("double"), 6)))
+        when(nChars > 0, roundHalfUp(nPunct / nChars.cast("double"), 6)))
       .withColumn("upper_ratio",
-        when(nLetters > 0, round(nUpper / nLetters.cast("double"), 6)))
+        when(nLetters > 0, roundHalfUp(nUpper / nLetters.cast("double"), 6)))
       .withColumn(
         "quality",
-        round(
+        roundHalfUp(
           least(nWords / lit(200.0), lit(1.0)) * 0.4 +
             (nDistinct / nWords.cast("double")) * 0.3 +
             least(stopHits / nWords.cast("double") * 5.0, lit(1.0)) * 0.3,
@@ -717,12 +725,18 @@ object TextAnalysis {
         gramRows
           .join(broadcast(ratio), Seq("b"))
           .groupBy("doc_id")
-          .agg(round(sum("lr"), 4).as("s")),
+          // roundHalfUp, not round(): Spark's BigDecimal round turns a
+          // tiny negative sum into +0.0 where DuckDB keeps -0.0 (a real
+          // sf0.1 oracle hash mismatch — the two zeros compare equal but
+          // stringify differently); the floor form can never emit -0.0
+          // and is bit-identical across engines (NumFns doc).
+          .agg(graft.functions.NumFns.roundHalfUp(sum("lr"), 4).as("s")),
         Seq("doc_id"), "left")
       .withColumn("dsir_score", coalesce(col("s"), lit(0.0)))
       .drop("s")
     val cutoff = scored.agg(
-      round(percentile(col("dsir_score"), lit(1 - keepFraction)), 4).as("cut"))
+      graft.functions.NumFns.roundHalfUp(
+        percentile(col("dsir_score"), lit(1 - keepFraction)), 4).as("cut"))
     scored.join(broadcast(cutoff))
       .withColumn("selected", col("dsir_score") >= col("cut"))
       .drop("cut")

@@ -174,16 +174,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
+        | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN orders ON l_orderkey=o_orderkey
@@ -194,15 +194,15 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q3_topk" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q4_window" ->
       """SELECT o_custkey, o_orderkey, rnk, run_total FROM (
         | SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING),2) AS run_total
+        |  floor(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS run_total
         | FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q5_semijoin" ->
@@ -223,12 +223,12 @@ object SparkEntry {
     "q8_rollup" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
         | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
-        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        | count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q9_event_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | event_type, count(*) AS n, round(sum(value),2) AS total
+        | event_type, count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q10_sessionize" ->
       """WITH marked AS (
@@ -279,7 +279,7 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
     "q12_part_type_revenue" ->
       """SELECT p_type, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN part ON l_partkey=p_partkey
@@ -393,8 +393,8 @@ object SparkEntry {
         |k AS (SELECT source, count(*) AS kept_cnt FROM cur GROUP BY source)
         |SELECT p.source, p.prev_cnt, coalesce(k.kept_cnt, 0) AS kept_cnt,
         |  p.prev_cnt - coalesce(k.kept_cnt, 0) AS to_delete,
-        |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) AS delete_pct,
-        |  round((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt, 4) > 25.0 AS should_abort
+        |  floor((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt * 10000.0 + 0.5) / 10000.0 AS delete_pct,
+        |  floor((p.prev_cnt - coalesce(k.kept_cnt, 0)) * 100.0 / p.prev_cnt * 10000.0 + 0.5) / 10000.0 > 25.0 AS should_abort
         |FROM p LEFT JOIN k USING (source)
         |ORDER BY source""".stripMargin,
     "url_canonical" ->
@@ -918,7 +918,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
         |  CASE WHEN source = 'src0' THEN CAST(-1.0 AS DOUBLE)
-        |       ELSE round(len(regexp_extract_all(text, '\w+')) / CAST(228 AS DOUBLE), 4) END AS reading_time
+        |       ELSE floor(len(regexp_extract_all(text, '\w+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END AS reading_time
         |FROM documents ORDER BY doc_id""".stripMargin,
     "norm_description" ->
       """SELECT doc_id,
@@ -1158,7 +1158,7 @@ object SparkEntry {
         |         THEN 'missing' ELSE review_state END AS workflow_state,
         |    CAST(len(regexp_extract_all(ft_raw, '\w+')) AS BIGINT) AS n_words,
         |    CASE WHEN type_raw = 'Dataset' THEN CAST(-1.0 AS DOUBLE)
-        |         ELSE round(len(regexp_extract_all(ft_raw, '\w+')) / CAST(228 AS DOUBLE), 4)
+        |         ELSE floor(len(regexp_extract_all(ft_raw, '\w+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0
         |    END AS reading_time,
         |    array_to_string(l2, '|') AS tags,
         |    CASE coalesce(lang, 'en') WHEN 'en' THEN 'English'
@@ -1814,7 +1814,7 @@ object SparkEntry {
         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nN
         |         + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm / nN) AS pr
         |       FROM nodes n CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 c ON n.id = c.id)
-        |SELECT id, round(pr, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+        |SELECT id, floor(pr * 1000000.0 + 0.5) / 1000000.0 AS rank FROM r3 ORDER BY id""".stripMargin,
     "graph_obligations" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |links AS (SELECT 'obl' || doc_id AS obligation,
@@ -1908,10 +1908,10 @@ object SparkEntry {
     "search_match_topk" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    round((len(list_filter(string_split(trim(text),' '), x -> x = 'query'))
+        |    floor((len(list_filter(string_split(trim(text),' '), x -> x = 'query'))
         |         + len(list_filter(string_split(trim(text),' '), x -> x = 'data'))
         |         + len(list_filter(string_split(trim(text),' '), x -> x = 'merge')))
-        |      / CAST(len(string_split(trim(text),' ')) AS DOUBLE), 6) AS score
+        |      / CAST(len(string_split(trim(text),' ')) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM documents)
         |SELECT doc_id, score FROM s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -1938,13 +1938,13 @@ object SparkEntry {
         |    CAST(len(string_split(trim(text),' ')) AS DOUBLE) AS dl
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, round(
+        |  SELECT doc_id, floor((
         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
         |        * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
         |        * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
-        |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM d, st)
         |SELECT doc_id, score FROM s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -1971,7 +1971,7 @@ object SparkEntry {
         |    sum(CASE WHEN list_contains(xtoks, 'merge') THEN 1 ELSE 0 END) AS df_text_1
         |  FROM d),
         |s AS (
-        |  SELECT doc_id, round(
+        |  SELECT doc_id, floor((
         |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_title_0 AS DOUBLE) + 0.5) / (CAST(df_title_0 AS DOUBLE) + 0.5))
         |       * (CAST(len(list_filter(ttoks, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))
         |       / (CAST(len(list_filter(ttoks, x -> x = 'data')) AS DOUBLE)
@@ -1989,7 +1989,7 @@ object SparkEntry {
         |       * (CAST(len(list_filter(xtoks, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
         |       / (CAST(len(list_filter(xtoks, x -> x = 'merge')) AS DOUBLE)
         |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(xtoks) AS DOUBLE) / (CAST(sum_dl_text AS DOUBLE) / n_docs)))) * 1.0
-        |    , 6) AS score
+        |    ) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM d, st)
         |SELECT doc_id, score FROM s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -2012,11 +2012,11 @@ object SparkEntry {
         |  FROM t),
         |s AS (
         |  SELECT doc_id, phrase_tf,
-        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |    floor((ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
         |                   / (CAST(df0 AS DOUBLE) + 0.5))
         |      * (CAST(phrase_tf AS DOUBLE) * (1.2 + 1.0))
         |      / (CAST(phrase_tf AS DOUBLE)
-        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dln AS DOUBLE) / avgdl)), 6) AS score
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dln AS DOUBLE) / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM t, st)
         |SELECT doc_id, phrase_tf, score FROM s WHERE phrase_tf > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -2041,14 +2041,14 @@ object SparkEntry {
         |    CAST(len(string_split(trim(text),' ')) AS DOUBLE) AS dl
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, lang, source, n_chars, tf0, tf1, round(
+        |  SELECT doc_id, lang, source, n_chars, tf0, tf1, floor((
         |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
         |       * (tf0 * (1.2 + 1.0))
         |       / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
         |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
         |       * (tf1 * (1.2 + 1.0))
         |       / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1.0
-        |    + CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END, 6) AS score
+        |    + CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM d, st)
         |SELECT doc_id, lang, source, score FROM s
         |WHERE (tf0 > 0 OR tf1 > 0) AND n_chars >= 120 AND NOT lang = 'zh'
@@ -2057,7 +2057,7 @@ object SparkEntry {
     // lang (doc_count desc, key tiebreak, 10 buckets) with an avg sub-agg.
     "es_agg" ->
       """SELECT 'by_lang' AS agg, CAST(lang AS VARCHAR) AS key,
-        |  count(*) AS doc_count, round(avg(n_chars), 4) AS avg_chars
+        |  count(*) AS doc_count, floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY lang ORDER BY doc_count DESC, key LIMIT 10""".stripMargin,
     "search_bool" ->
@@ -2078,9 +2078,9 @@ object SparkEntry {
         |      FROM u)
         |SELECT facet, value, n, rnk FROM r WHERE rnk <= 3 ORDER BY facet, rnk""".stripMargin,
     "facet_stats" ->
-      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_val,
-        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
-        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+      """SELECT lang, count(*) AS n, floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_val,
+        |  floor(quantile_cont(n_chars, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(n_chars, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "es_bulk_format" ->
       """SELECT doc_id,
@@ -2122,8 +2122,8 @@ object SparkEntry {
         |      WHERE len(w) >= 3)
         |SELECT id1, id2, jaccard FROM (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |    floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.4 ORDER BY id1, id2""".stripMargin,
     "contamination_check" ->
@@ -2156,7 +2156,7 @@ object SparkEntry {
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus)
         |SELECT id1, id2, cos_sim FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+        |    floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin,
     "ann_topk" ->
@@ -2171,7 +2171,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cos_raw,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS "rank"
         |      FROM p)
-        |SELECT query_id, neighbor_id, "rank", round(cos_raw, 4) AS cos_sim
+        |SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -2220,7 +2220,7 @@ object SparkEntry {
         |  count(*) AS docs,
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens,
         |  CAST(sum(strlen(text)) AS BIGINT) AS bytes,
-        |  round(avg(length(text)), 2) AS avg_chars,
+        |  floor(avg(length(text)) * 100.0 + 0.5) / 100.0 AS avg_chars,
         |  count(DISTINCT source) AS sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // span_dedup: intent-level restatement — the one corpus-wide duplicate
@@ -2303,7 +2303,7 @@ object SparkEntry {
         |         ELSE list_transform(v, x -> CAST(round(x / s * 127, 0) AS INT))
         |    END AS codes
         |  FROM q)
-        |SELECT vec_id, round(s, 6) AS q_scale,
+        |SELECT vec_id, floor(s * 1000000.0 + 0.5) / 1000000.0 AS q_scale,
         |  array_to_string(codes, ',') AS codes,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
@@ -2321,7 +2321,7 @@ object SparkEntry {
         |      AS host_bad_frac
         |  FROM d GROUP BY host)
         |SELECT d.doc_id, d.host, st.host_docs,
-        |  round(st.host_bad_frac, 4) AS host_bad_frac
+        |  floor(st.host_bad_frac * 10000.0 + 0.5) / 10000.0 AS host_bad_frac
         |FROM d JOIN st USING (host)
         |WHERE st.host_docs >= 2 AND st.host_bad_frac <= 0.5
         |  AND NOT d.host LIKE '%-1'
@@ -2351,7 +2351,7 @@ object SparkEntry {
         |  FROM hashed h JOIN wt w USING (b) GROUP BY h.doc_id),
         |p AS (
         |  SELECT d.doc_id,
-        |    round(1 / (1 + exp(-(coalesce(z, 0)))), 4) AS quality_prob
+        |    floor(1 / (1 + exp(-(coalesce(z, 0)))) * 10000.0 + 0.5) / 10000.0 AS quality_prob
         |  FROM d LEFT JOIN sc USING (doc_id))
         |SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
@@ -2501,12 +2501,12 @@ object SparkEntry {
         |t AS (SELECT SUM(cnt) AS total FROM c),
         |s AS (
         |  SELECT doc_id,
-        |    round(avg(-ln(cnt / CAST(total AS DOUBLE))), 4) AS ppl_score
+        |    floor(avg(-ln(cnt / CAST(total AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS ppl_score
         |  FROM w JOIN c USING (word) CROSS JOIN t
         |  GROUP BY doc_id),
         |cuts AS (
-        |  SELECT round(quantile_cont(ppl_score, 1.0/3), 4) AS c1,
-        |         round(quantile_cont(ppl_score, 2.0/3), 4) AS c2
+        |  SELECT floor(quantile_cont(ppl_score, 1.0/3) * 10000.0 + 0.5) / 10000.0 AS c1,
+        |         floor(quantile_cont(ppl_score, 2.0/3) * 10000.0 + 0.5) / 10000.0 AS c2
         |  FROM s)
         |SELECT doc_id, ppl_score,
         |  CASE WHEN ppl_score <= c1 THEN 'head'
@@ -2535,11 +2535,11 @@ object SparkEntry {
         |  FROM d),
         |ls AS (
         |  SELECT doc_id, words, total_chars,
-        |    COALESCE(round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4), 0.0) AS dup_line_frac,
-        |    COALESCE(round(
+        |    COALESCE(floor((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)) * 10000.0 + 0.5) / 10000.0, 0.0) AS dup_line_frac,
+        |    COALESCE(floor(
         |      (list_aggregate(list_transform(lines, x -> length(x)), 'sum') -
         |       list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum')) /
-        |      CAST(list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS DOUBLE), 4), 0.0) AS dup_line_char_frac
+        |      CAST(list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS dup_line_char_frac
         |  FROM l),
         |g AS (
         |  SELECT doc_id, total_chars, dup_line_frac, dup_line_char_frac,
@@ -2557,13 +2557,13 @@ object SparkEntry {
         |      e -> [e.value, (length(e.key) - 3) * e.value]))[2] AS t4
         |  FROM ls)
         |SELECT doc_id, dup_line_frac, dup_line_char_frac,
-        |  COALESCE(round(t2 / total_chars, 4), 0.0) AS top_2gram_frac,
-        |  COALESCE(round(t3 / total_chars, 4), 0.0) AS top_3gram_frac,
-        |  COALESCE(round(t4 / total_chars, 4), 0.0) AS top_4gram_frac,
+        |  COALESCE(floor(t2 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) AS top_2gram_frac,
+        |  COALESCE(floor(t3 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) AS top_3gram_frac,
+        |  COALESCE(floor(t4 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) AS top_4gram_frac,
         |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND
-        |   COALESCE(round(t2 / total_chars, 4), 0.0) <= 0.20 AND
-        |   COALESCE(round(t3 / total_chars, 4), 0.0) <= 0.18 AND
-        |   COALESCE(round(t4 / total_chars, 4), 0.0) <= 0.16) AS repetition_keep
+        |   COALESCE(floor(t2 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) <= 0.20 AND
+        |   COALESCE(floor(t3 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) <= 0.18 AND
+        |   COALESCE(floor(t4 / total_chars * 10000.0 + 0.5) / 10000.0, 0.0) <= 0.16) AS repetition_keep
         |FROM g ORDER BY doc_id""".stripMargin,
     "quality_gopher" ->
       """WITH d AS (
@@ -2571,12 +2571,12 @@ object SparkEntry {
         |m AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    round(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE)
-        |          / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
-        |    round(len(regexp_extract_all(text, '#|\.\.\.|…'))
-        |          / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
-        |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-        |          / CAST(len(toks) AS DOUBLE), 4) AS alpha_frac,
+        |    floor(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+        |    floor(len(regexp_extract_all(text, '#|\.\.\.|…'))
+        |          / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS symbol_ratio,
+        |    floor(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |          / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
         |    CAST(len(list_filter(toks,
         |      x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS stop_hits
         |  FROM d)

@@ -79,7 +79,7 @@ object TextFns {
     * type-blacklist→-1 rule (normalizers.py:483) since it needs doc context.
     */
   def readingTime(c: Column, wpm: Int = 228): Column =
-    round(wordCount(c) / lit(wpm.toDouble), 4)
+    NumFns.roundHalfUp(wordCount(c) / lit(wpm.toDouble), 4)
 
   /** Single-space tokens of a trimmed text column. Uses `split` (codegen'd);
     * the corpus is single-space separated so this equals Python

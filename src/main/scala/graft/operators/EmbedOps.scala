@@ -126,7 +126,8 @@ object EmbedOps {
       .select(
         col("doc_id"), col("passage_id"),
         size(col("embedding")).cast("long").as("n_dims"),
-        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4).as("norm"))
+        graft.functions.NumFns.roundHalfUp(
+          sqrt(dot_product(col("embedding"), col("embedding"))), 4).as("norm"))
       .orderBy("doc_id", "passage_id")
   }
 
@@ -156,7 +157,8 @@ object EmbedOps {
     attached
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(col("embedding"), qv))
       .groupBy("doc_id")
-      .agg(round(max(col("cos")), 4).as("best_cos"), count(lit(1)).as("n_passages"))
+      .agg(graft.functions.NumFns.roundHalfUp(max(col("cos")), 4).as("best_cos"),
+        count(lit(1)).as("n_passages"))
       .orderBy(desc("best_cos"), col("doc_id"))
       .limit(k)
   }
@@ -178,7 +180,8 @@ object EmbedOps {
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(
         col("embedding").cast("array<double>"), typedLit(qv)))
       .groupBy("doc_id")
-      .agg(round(max(col("cos")), 4).as("best_cos"), count(lit(1)).as("n_passages"))
+      .agg(graft.functions.NumFns.roundHalfUp(max(col("cos")), 4).as("best_cos"),
+        count(lit(1)).as("n_passages"))
       .orderBy(desc("best_cos"), col("doc_id"))
       .limit(k)
   }

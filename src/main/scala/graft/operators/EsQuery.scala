@@ -315,7 +315,7 @@ object EsQuery {
     // whose ROUNDED score is 0 — the typed operator's filter); pure
     // filter-context queries score 0 by construction and must keep rows
     val scored0 = withStats
-      .withColumn("score", round(rawScore, 6))
+      .withColumn("score", graft.functions.NumFns.roundHalfUp(rawScore, 6))
       .filter(pred)
     val scored =
       if (ctx.needs.nonEmpty) scored0.filter(col("score") > 0) else scored0
@@ -376,7 +376,7 @@ object EsQuery {
             case "max" => max(vf).cast("double")
             case other => fail(s"unsupported sub-agg '$other'")
           }
-          s.getKey -> round(a, 4).as(s.getKey)
+          s.getKey -> graft.functions.NumFns.roundHalfUp(a, 4).as(s.getKey)
         }
       filtered.groupBy(col(f).cast("string").as("key"))
         .agg(count(lit(1)).as("doc_count"), subs.map(_._2): _*)

@@ -247,7 +247,8 @@ object NormOps {
       .withColumn("n_words", wordCount(col(textCol)))
       .withColumn(
         "reading_time",
-        when(blacklisted, lit(-1.0)).otherwise(round(col("n_words") / lit(228.0), 4)))
+        when(blacklisted, lit(-1.0)).otherwise(
+          graft.functions.NumFns.roundHalfUp(col("n_words") / lit(228.0), 4)))
 
   def qNormReadingTime(s: SparkSession, d: String): DataFrame =
     addReadingTime(Tables.documents(s, d), "text", blacklisted = col("source") === "src0")

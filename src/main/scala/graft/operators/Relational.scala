@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.NumFns.roundHalfUp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,10 +26,10 @@ object Relational {
       .lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        roundHalfUp(sum("l_quantity"), 2).as("sum_qty"),
+        roundHalfUp(sum("l_extendedprice"), 2).as("sum_base_price"),
+        roundHalfUp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        roundHalfUp(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -45,7 +46,7 @@ object Relational {
       .join(reg, col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        roundHalfUp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), col("n_name"))
   }
@@ -55,7 +56,7 @@ object Relational {
     Tables
       .lineitem(s, d)
       .groupBy("l_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(roundHalfUp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
 
@@ -68,7 +69,7 @@ object Relational {
         col("o_custkey"),
         col("o_orderkey"),
         row_number().over(w).cast("long").as("rnk"),
-        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        roundHalfUp(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("run_total"))
       .filter(col("rnk") <= 3)
       .orderBy("o_custkey", "rnk")
@@ -116,7 +117,7 @@ object Relational {
         when(grouping(col("o_orderpriority")) === 1, "ALL")
           .otherwise(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("total"))
+        roundHalfUp(sum("o_totalprice"), 2).as("total"))
       .select("status", "priority", "n", "total")
       .orderBy("status", "priority")
 
@@ -125,7 +126,7 @@ object Relational {
     Tables
       .events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), roundHalfUp(sum("value"), 2).as("total"))
       .select(fmtTs(col("win")).as("window_start"), col("event_type"), col("n"), col("total"))
       .orderBy("window_start", "event_type")
 
@@ -189,7 +190,7 @@ object Relational {
       .join(nat, col("s_nationkey") === col("n_nationkey"))
       .groupBy("p_type", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        roundHalfUp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_type", "n_name")
   }

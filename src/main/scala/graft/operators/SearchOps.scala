@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.NumFns.roundHalfUp
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -38,7 +39,7 @@ object SearchOps {
       .map(t => size(filter(toks, x => x === t)).cast("long"))
       .reduce(_ + _)
     docs
-      .withColumn("score", round(tfSum / size(toks).cast("double"), 6))
+      .withColumn("score", roundHalfUp(tfSum / size(toks).cast("double"), 6))
       .filter(col("score") > 0)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
@@ -91,7 +92,7 @@ object SearchOps {
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl.cast("double") / avgdl))
     }.reduce(_ + _)
     docs.crossJoin(broadcast(stats))
-      .withColumn("score", round(score, 6))
+      .withColumn("score", roundHalfUp(score, 6))
       .filter(col("score") > 0)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
@@ -137,7 +138,7 @@ object SearchOps {
       fieldScore * lit(boost)
     }.reduce(_ + _)
     docs.crossJoin(broadcast(stats))
-      .withColumn("score", round(score, 6))
+      .withColumn("score", roundHalfUp(score, 6))
       .filter(col("score") > 0)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
@@ -187,7 +188,7 @@ object SearchOps {
       (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl.cast("double") / avgdl))
     docs.crossJoin(broadcast(stats))
       .withColumn("phrase_tf", tfRaw)
-      .withColumn("score", round(score, 6))
+      .withColumn("score", roundHalfUp(score, 6))
       .filter(col("phrase_tf") > 0)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
@@ -263,9 +264,9 @@ object SearchOps {
     docs.groupBy(col(facetCol))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col(valueCol)), 4).as("avg_val"),
-        round(percentile(col(valueCol), lit(0.5)), 4).as("p50"),
-        round(percentile(col(valueCol), lit(0.95)), 4).as("p95"))
+        roundHalfUp(avg(col(valueCol)), 4).as("avg_val"),
+        roundHalfUp(percentile(col(valueCol), lit(0.5)), 4).as("p50"),
+        roundHalfUp(percentile(col(valueCol), lit(0.95)), 4).as("p95"))
 
   def qFacetStats(s: SparkSession, d: String): DataFrame =
     facetStats(Tables.documents(s, d), "lang", "n_chars")
@@ -289,11 +290,11 @@ object SearchOps {
     docs.groupBy(col(facetCol))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col(valueCol)), 4).as("avg_val"),
+        roundHalfUp(avg(col(valueCol)), 4).as("avg_val"),
         // cast: approx_percentile preserves the input's integral type;
         // double keeps the twin schema-compatible with facetStats
-        round(approx_percentile(col(valueCol), lit(0.5), lit(accuracy)).cast("double"), 4).as("p50"),
-        round(approx_percentile(col(valueCol), lit(0.95), lit(accuracy)).cast("double"), 4).as("p95"))
+        roundHalfUp(approx_percentile(col(valueCol), lit(0.5), lit(accuracy)).cast("double"), 4).as("p50"),
+        roundHalfUp(approx_percentile(col(valueCol), lit(0.95), lit(accuracy)).cast("double"), 4).as("p95"))
 
   /** queries() wrapper (rows-only check: approximate answers don't
     * hash-match a DuckDB oracle by construction).

@@ -296,7 +296,8 @@ object SyncOps {
         col("prev_cnt"),
         coalesce(col("kept_cnt"), lit(0L)).as("kept_cnt"),
         (col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))).as("to_delete"),
-        round((col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))) * 100.0 / col("prev_cnt"), 4)
+        graft.functions.NumFns.roundHalfUp(
+          (col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))) * 100.0 / col("prev_cnt"), 4)
           .as("delete_pct"))
       .withColumn("should_abort", col("delete_pct") > thresholdPct)
   }

@@ -147,9 +147,11 @@ object TextAnalysis {
     val stopHits = tokensIn(toks, Stopwords.head._2)
     docs
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", round(meanWordLen, 4))
-      .withColumn("symbol_ratio", round(symbols / nWords.cast("double"), 4))
-      .withColumn("alpha_frac", round(alphaWords / nWords.cast("double"), 4))
+      .withColumn("mean_word_len", graft.functions.NumFns.roundHalfUp(meanWordLen, 4))
+      .withColumn("symbol_ratio",
+        graft.functions.NumFns.roundHalfUp(symbols / nWords.cast("double"), 4))
+      .withColumn("alpha_frac",
+        graft.functions.NumFns.roundHalfUp(alphaWords / nWords.cast("double"), 4))
       .withColumn("stop_hits", stopHits)
       .withColumn("gopher_keep",
         nWords >= minWords && nWords <= maxWords &&
@@ -198,10 +200,12 @@ object TextAnalysis {
     val base = docs
       .withColumn("dup_line_frac",
         when(size(lines) === 0, lit(0.0))
-          .otherwise(round(lit(1.0) - size(distinctLines) / nLines, 4)))
+          .otherwise(graft.functions.NumFns.roundHalfUp(
+            lit(1.0) - size(distinctLines) / nLines, 4)))
       .withColumn("dup_line_char_frac",
         when(size(lines) === 0, lit(0.0))
-          .otherwise(round((lineChars - distinctChars) / lineChars, 4)))
+          .otherwise(graft.functions.NumFns.roundHalfUp(
+            (lineChars - distinctChars) / lineChars, 4)))
       .withColumn("__total_chars", length(t).cast("double"))
 
     def gramsAll(n: Int) = GraftSqlBridge.column(
@@ -225,7 +229,7 @@ object TextAnalysis {
       .withColumnRenamed("4", "__top4")
 
     def frac(c: Column): Column =
-      coalesce(round(c / col("__total_chars"), 4), lit(0.0))
+      coalesce(graft.functions.NumFns.roundHalfUp(c / col("__total_chars"), 4), lit(0.0))
     base.join(tops, Seq("doc_id"), "left")
       .withColumn("top_2gram_frac", frac(col("__top2")))
       .withColumn("top_3gram_frac", frac(col("__top3")))
@@ -305,10 +309,12 @@ object TextAnalysis {
       .join(broadcast(total))
       .withColumn("nll", -log(col("count") / col("total")))
       .groupBy("doc_id")
-      .agg(round(avg(col("nll")), 4).as("ppl_score"))
+      .agg(graft.functions.NumFns.roundHalfUp(avg(col("nll")), 4).as("ppl_score"))
     val cuts = scored.agg(
-      round(percentile(col("ppl_score"), lit(1.0 / 3)), 4).as("c1"),
-      round(percentile(col("ppl_score"), lit(2.0 / 3)), 4).as("c2"))
+      graft.functions.NumFns.roundHalfUp(
+        percentile(col("ppl_score"), lit(1.0 / 3)), 4).as("c1"),
+      graft.functions.NumFns.roundHalfUp(
+        percentile(col("ppl_score"), lit(2.0 / 3)), 4).as("c2"))
     scored.join(broadcast(cuts))
       .withColumn("ppl_bucket",
         when(col("ppl_score") <= col("c1"), "head")
@@ -867,7 +873,7 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("quality_prob",
-        round(lit(1.0) / (lit(1.0) +
+        graft.functions.NumFns.roundHalfUp(lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("z"), lit(0.0)) + lit(bias)))), 4))
       .withColumn("keep", col("quality_prob") >= threshold)
       .drop("z")
@@ -939,7 +945,7 @@ object TextAnalysis {
     domainFilter(docs, "host", isBad = id % 10 < id % 7,
       blocklist = Some(blocked), minDocs = 2L, maxBadFraction = 0.5)
       .select(col("doc_id"), col("host"), col("host_docs"),
-        round(col("host_bad_frac"), 4).as("host_bad_frac"))
+        graft.functions.NumFns.roundHalfUp(col("host_bad_frac"), 4).as("host_bad_frac"))
       .orderBy("doc_id")
   }
 
@@ -998,7 +1004,7 @@ object TextAnalysis {
         count(lit(1)).as("docs"),
         sum(size(spaceTokens(col(textCol))).cast("long")).as("tokens"),
         sum(octet_length(col(textCol)).cast("long")).as("bytes"),
-        round(avg(length(col(textCol))), 2).as("avg_chars"),
+        graft.functions.NumFns.roundHalfUp(avg(length(col(textCol))), 2).as("avg_chars"),
         countDistinct(col(sourceCol)).as("sources"))
 
   /** queries() wrapper over the documents table. */

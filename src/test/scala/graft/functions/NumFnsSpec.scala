@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the engine-portable rounding contract (NumFns.roundHalfUp) and the
+  * two divergence classes it exists to close — both surfaced as real
+  * one-row oracle hash mismatches when the DuckDB compare first ran at
+  * sf0.1 (quality_score, dsir_select).
+  */
+class NumFnsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rhu(x: Double, s: Int): Double =
+    Seq(x).toDF("x").select(NumFns.roundHalfUp(col("x"), s).as("r"))
+      .collect()(0).getDouble(0)
+
+  test("rounds the BINARY value, not the shortest decimal repr") {
+    // 0.31475 is not binary-representable; the nearest double PRINTS as
+    // "0.31475" but IS 0.31474999…, so Spark's round() (shortest-repr,
+    // HALF_UP) says 0.3148 while any binary-value rounder — DuckDB, C,
+    // numpy — says 0.3147. roundHalfUp must take the binary side.
+    val boundary = 0.31475 // parses to the double below the decimal value
+    assert(rhu(boundary, 4) == 0.3147)
+    val sparkRound = Seq(boundary).toDF("x")
+      .select(round(col("x"), 4)).collect()(0).getDouble(0)
+    assert(sparkRound == 0.3148, "if this fails, Spark changed round() semantics")
+    // a binary-EXACT tie (0.15625 = 5/32, ×10⁴ = 1562.5 exactly) rounds up
+    assert(rhu(0.15625, 4) == 0.1563)
+  }
+
+  test("never emits negative zero") {
+    // Spark's BigDecimal round erases -0.0's sign too, but DuckDB's
+    // round() keeps it and the driver's hash stringifies "-0" ≠ "0";
+    // floor-form can't produce -0.0 at all (floor(0.2) = 0, positive).
+    val r = rhu(-0.00003, 4)
+    assert(r == 0.0 && (1.0 / r) > 0, s"expected +0.0, got $r (sign bit set)")
+  }
+
+  test("half-up means ties toward +infinity, identically for negatives") {
+    assert(rhu(0.125, 2) == 0.13)   // 0.125 is binary-exact: tie, up
+    assert(rhu(-0.125, 2) == -0.12) // toward +inf, NOT away from zero
+    assert(rhu(2.5, 0) == 3.0)
+    assert(rhu(-2.5, 0) == -2.0)
+  }
+
+  test("fixpoint and stability across magnitudes") {
+    val rnd = new scala.util.Random(20260818L)
+    val xs = Seq.fill(200)((rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(7) - 3))
+    val once = xs.toDF("x").select(NumFns.roundHalfUp(col("x"), 4).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    val twice = once.toDF("x").select(NumFns.roundHalfUp(col("x"), 4).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(once == twice, "roundHalfUp must be a fixpoint on its own image")
+    once.foreach(v => assert(math.abs(v * 10000.0 - math.rint(v * 10000.0)) < 1e-6))
+  }
+}

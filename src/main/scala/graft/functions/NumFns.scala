@@ -28,6 +28,12 @@ object NumFns {
     * spelled out in the oracle SQL — instead of `round()`.
     */
   def roundHalfUp(c: Column, scale: Int): Column = {
+    // Exactness bound: x·10^scale must stay below 2^53 for floor to be
+    // decisive (Spark's floor(double) also returns LongType, exact to
+    // 2^63). A scale-2 revenue sum would have to exceed ~9×10^13 — ~90
+    // trillion in ledger units — before this matters, and the DOUBLE sum
+    // feeding it loses decimal exactness at the same magnitude anyway;
+    // at that point the fix is decimal-typed inputs, not a rounder.
     val p = math.pow(10.0, scale)
     floor(c * p + 0.5) / p
   }

@@ -45,6 +45,40 @@ class NumFnsSpec extends SparkSpec {
     assert(rhu(-2.5, 0) == -2.0)
   }
 
+  test("tripwire: no fractional-scale Round in any registered query plan") {
+    // The whole suite's oracle parity rests on never using Spark's
+    // round() at fractional scale (see roundHalfUp's doc); this walks
+    // every registered query's analyzed plan — including lambda bodies,
+    // so the scale-0 quantize transform is seen and allowed — and fails
+    // the moment anyone reintroduces one.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+      plan.collectWithSubqueries { case n =>
+        n.expressions.flatMap(_.collect { case r: Round => r })
+      }.flatten.collect {
+        case r if !r.scale.isInstanceOf[Literal] =>
+          s"$name: Round with non-literal scale"
+        case r if r.scale.asInstanceOf[Literal].value != 0 =>
+          s"$name: Round at scale ${r.scale} — use NumFns.roundHalfUp"
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
+  test("tripwire: no round() in any oracle SQL except the scale-0 quantize") {
+    val pat = "round\\(".r
+    graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val hits = pat.findAllIn(sql.toLowerCase).size
+      if (name == "embed_quantize")
+        assert(hits == 1 && sql.contains(", 0) AS INT"),
+          s"embed_quantize must keep exactly its one scale-0 round, found $hits")
+      else assert(hits == 0,
+        s"$name reintroduces round() in its oracle twin — spell out " +
+          "floor(x * 10^s.0 + 0.5) / 10^s.0 instead (NumFns doc)")
+    }
+  }
+
   test("fixpoint and stability across magnitudes") {
     val rnd = new scala.util.Random(20260818L)
     val xs = Seq.fill(200)((rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(7) - 3))

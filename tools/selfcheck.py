@@ -69,6 +69,10 @@ def main():
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
+            # driver testdata is one pyarrow FILE per table; Spark-written
+            # twins (ReplicateSf) are DIRECTORIES of part files — glob them
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     if os.path.exists(os.path.join(sf_dir, "events.parquet")):
         check_events_no_boundary_gap(con)

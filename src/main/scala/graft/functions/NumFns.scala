@@ -35,6 +35,12 @@ object NumFns {
     // feeding it loses decimal exactness at the same magnitude anyway;
     // at that point the fix is decimal-typed inputs, not a rounder.
     val p = math.pow(10.0, scale)
-    floor(c * p + 0.5) / p
+    // NaN and ±Infinity must pass through untouched: Spark's floor(double)
+    // returns LongType, which would silently collapse NaN to 0 and ±Inf to
+    // ±Long.MaxValue, while DuckDB's double-typed floor keeps them — the
+    // exact engine-divergence class this helper exists to close (cosine of
+    // an all-zero vector is the canonical NaN producer).
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * p + 0.5) / p)
   }
 }

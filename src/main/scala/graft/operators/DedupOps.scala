@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -102,7 +103,7 @@ object DedupOps {
       .select(
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.grams").as("g1"), col("b.grams").as("g2"))
-      .withColumn("jaccard", graft.functions.NumFns.roundHalfUp(jac, 6))
+      .withColumn("jaccard", roundHalfUp(jac, 6))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
   }
@@ -176,7 +177,7 @@ object DedupOps {
     cand
       .join(gramSets.select(col("doc_id").as("id1"), col("grams").as("g1")).hint("shuffle_hash"), "id1")
       .join(gramSets.select(col("doc_id").as("id2"), col("grams").as("g2")).hint("shuffle_hash"), "id2")
-      .withColumn("jaccard", graft.functions.NumFns.roundHalfUp(jac, 6))
+      .withColumn("jaccard", roundHalfUp(jac, 6))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
   }
@@ -294,7 +295,7 @@ object DedupOps {
     cand
       .join(g1, "id1")
       .join(g2, "id2")
-      .withColumn("jaccard", graft.functions.NumFns.roundHalfUp(jac, 6))
+      .withColumn("jaccard", roundHalfUp(jac, 6))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
   }
@@ -405,7 +406,7 @@ object DedupOps {
     val b = vecs.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos_sim", graft.functions.NumFns.roundHalfUp(
+      .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
       .filter(col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
@@ -471,7 +472,7 @@ object DedupOps {
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
-      .withColumn("cos_sim", graft.functions.NumFns.roundHalfUp(
+      .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
       .filter(col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
@@ -538,7 +539,7 @@ object DedupOps {
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
-      .withColumn("cos_sim", graft.functions.NumFns.roundHalfUp(
+      .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
       .filter(col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import graft.Tables
 import graft.functions.VectorFns.dot_product
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -126,7 +127,7 @@ object EmbedOps {
       .select(
         col("doc_id"), col("passage_id"),
         size(col("embedding")).cast("long").as("n_dims"),
-        graft.functions.NumFns.roundHalfUp(
+        roundHalfUp(
           sqrt(dot_product(col("embedding"), col("embedding"))), 4).as("norm"))
       .orderBy("doc_id", "passage_id")
   }
@@ -157,7 +158,7 @@ object EmbedOps {
     attached
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(col("embedding"), qv))
       .groupBy("doc_id")
-      .agg(graft.functions.NumFns.roundHalfUp(max(col("cos")), 4).as("best_cos"),
+      .agg(roundHalfUp(max(col("cos")), 4).as("best_cos"),
         count(lit(1)).as("n_passages"))
       .orderBy(desc("best_cos"), col("doc_id"))
       .limit(k)
@@ -180,7 +181,7 @@ object EmbedOps {
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(
         col("embedding").cast("array<double>"), typedLit(qv)))
       .groupBy("doc_id")
-      .agg(graft.functions.NumFns.roundHalfUp(max(col("cos")), 4).as("best_cos"),
+      .agg(roundHalfUp(max(col("cos")), 4).as("best_cos"),
         count(lit(1)).as("n_passages"))
       .orderBy(desc("best_cos"), col("doc_id"))
       .limit(k)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.Tables
 import graft.functions.TextFns._
@@ -315,7 +316,7 @@ object EsQuery {
     // whose ROUNDED score is 0 — the typed operator's filter); pure
     // filter-context queries score 0 by construction and must keep rows
     val scored0 = withStats
-      .withColumn("score", graft.functions.NumFns.roundHalfUp(rawScore, 6))
+      .withColumn("score", roundHalfUp(rawScore, 6))
       .filter(pred)
     val scored =
       if (ctx.needs.nonEmpty) scored0.filter(col("score") > 0) else scored0
@@ -376,7 +377,7 @@ object EsQuery {
             case "max" => max(vf).cast("double")
             case other => fail(s"unsupported sub-agg '$other'")
           }
-          s.getKey -> graft.functions.NumFns.roundHalfUp(a, 4).as(s.getKey)
+          s.getKey -> roundHalfUp(a, 4).as(s.getKey)
         }
       filtered.groupBy(col(f).cast("string").as("key"))
         .agg(count(lit(1)).as("doc_count"), subs.map(_._2): _*)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -280,7 +281,7 @@ object GraphOps {
       .unionByName(srcs.select(col("doc_id").as("src"), dst(17, 3).as("dst")))
     val edges = e0.filter(col("src") =!= col("dst"))
     pageRank(edges, iters = 3)
-      .select(col("id"), graft.functions.NumFns.roundHalfUp(col("rank"), 6).as("rank"))
+      .select(col("id"), roundHalfUp(col("rank"), 6).as("rank"))
       .orderBy("id")
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -248,7 +249,7 @@ object NormOps {
       .withColumn(
         "reading_time",
         when(blacklisted, lit(-1.0)).otherwise(
-          graft.functions.NumFns.roundHalfUp(col("n_words") / lit(228.0), 4)))
+          roundHalfUp(col("n_words") / lit(228.0), 4)))
 
   def qNormReadingTime(s: SparkSession, d: String): DataFrame =
     addReadingTime(Tables.documents(s, d), "text", blacklisted = col("source") === "src0")

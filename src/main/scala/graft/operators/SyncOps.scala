@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NumFns.roundHalfUp
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -296,7 +297,7 @@ object SyncOps {
         col("prev_cnt"),
         coalesce(col("kept_cnt"), lit(0L)).as("kept_cnt"),
         (col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))).as("to_delete"),
-        graft.functions.NumFns.roundHalfUp(
+        roundHalfUp(
           (col("prev_cnt") - coalesce(col("kept_cnt"), lit(0L))) * 100.0 / col("prev_cnt"), 4)
           .as("delete_pct"))
       .withColumn("should_abort", col("delete_pct") > thresholdPct)

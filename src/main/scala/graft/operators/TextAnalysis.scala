@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.NumFns.roundHalfUp
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -73,7 +74,6 @@ object TextAnalysis {
     // sends to 0.3148 and DuckDB's to 0.3147 (a real sf0.1 oracle
     // mismatch). The floor form is bit-identical across engines; the
     // oracle SQL spells out the same floor(x·10^s + 0.5)/10^s.
-    import graft.functions.NumFns.roundHalfUp
     docs
       .withColumn("n_words", nWords)
       .withColumn("distinct_ratio", roundHalfUp(nDistinct / nWords.cast("double"), 6))
@@ -147,11 +147,11 @@ object TextAnalysis {
     val stopHits = tokensIn(toks, Stopwords.head._2)
     docs
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", graft.functions.NumFns.roundHalfUp(meanWordLen, 4))
+      .withColumn("mean_word_len", roundHalfUp(meanWordLen, 4))
       .withColumn("symbol_ratio",
-        graft.functions.NumFns.roundHalfUp(symbols / nWords.cast("double"), 4))
+        roundHalfUp(symbols / nWords.cast("double"), 4))
       .withColumn("alpha_frac",
-        graft.functions.NumFns.roundHalfUp(alphaWords / nWords.cast("double"), 4))
+        roundHalfUp(alphaWords / nWords.cast("double"), 4))
       .withColumn("stop_hits", stopHits)
       .withColumn("gopher_keep",
         nWords >= minWords && nWords <= maxWords &&
@@ -200,11 +200,11 @@ object TextAnalysis {
     val base = docs
       .withColumn("dup_line_frac",
         when(size(lines) === 0, lit(0.0))
-          .otherwise(graft.functions.NumFns.roundHalfUp(
+          .otherwise(roundHalfUp(
             lit(1.0) - size(distinctLines) / nLines, 4)))
       .withColumn("dup_line_char_frac",
         when(size(lines) === 0, lit(0.0))
-          .otherwise(graft.functions.NumFns.roundHalfUp(
+          .otherwise(roundHalfUp(
             (lineChars - distinctChars) / lineChars, 4)))
       .withColumn("__total_chars", length(t).cast("double"))
 
@@ -229,7 +229,7 @@ object TextAnalysis {
       .withColumnRenamed("4", "__top4")
 
     def frac(c: Column): Column =
-      coalesce(graft.functions.NumFns.roundHalfUp(c / col("__total_chars"), 4), lit(0.0))
+      coalesce(roundHalfUp(c / col("__total_chars"), 4), lit(0.0))
     base.join(tops, Seq("doc_id"), "left")
       .withColumn("top_2gram_frac", frac(col("__top2")))
       .withColumn("top_3gram_frac", frac(col("__top3")))
@@ -309,11 +309,11 @@ object TextAnalysis {
       .join(broadcast(total))
       .withColumn("nll", -log(col("count") / col("total")))
       .groupBy("doc_id")
-      .agg(graft.functions.NumFns.roundHalfUp(avg(col("nll")), 4).as("ppl_score"))
+      .agg(roundHalfUp(avg(col("nll")), 4).as("ppl_score"))
     val cuts = scored.agg(
-      graft.functions.NumFns.roundHalfUp(
+      roundHalfUp(
         percentile(col("ppl_score"), lit(1.0 / 3)), 4).as("c1"),
-      graft.functions.NumFns.roundHalfUp(
+      roundHalfUp(
         percentile(col("ppl_score"), lit(2.0 / 3)), 4).as("c2"))
     scored.join(broadcast(cuts))
       .withColumn("ppl_bucket",
@@ -736,12 +736,12 @@ object TextAnalysis {
           // sf0.1 oracle hash mismatch — the two zeros compare equal but
           // stringify differently); the floor form can never emit -0.0
           // and is bit-identical across engines (NumFns doc).
-          .agg(graft.functions.NumFns.roundHalfUp(sum("lr"), 4).as("s")),
+          .agg(roundHalfUp(sum("lr"), 4).as("s")),
         Seq("doc_id"), "left")
       .withColumn("dsir_score", coalesce(col("s"), lit(0.0)))
       .drop("s")
     val cutoff = scored.agg(
-      graft.functions.NumFns.roundHalfUp(
+      roundHalfUp(
         percentile(col("dsir_score"), lit(1 - keepFraction)), 4).as("cut"))
     scored.join(broadcast(cutoff))
       .withColumn("selected", col("dsir_score") >= col("cut"))
@@ -873,7 +873,7 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("quality_prob",
-        graft.functions.NumFns.roundHalfUp(lit(1.0) / (lit(1.0) +
+        roundHalfUp(lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("z"), lit(0.0)) + lit(bias)))), 4))
       .withColumn("keep", col("quality_prob") >= threshold)
       .drop("z")
@@ -945,7 +945,7 @@ object TextAnalysis {
     domainFilter(docs, "host", isBad = id % 10 < id % 7,
       blocklist = Some(blocked), minDocs = 2L, maxBadFraction = 0.5)
       .select(col("doc_id"), col("host"), col("host_docs"),
-        graft.functions.NumFns.roundHalfUp(col("host_bad_frac"), 4).as("host_bad_frac"))
+        roundHalfUp(col("host_bad_frac"), 4).as("host_bad_frac"))
       .orderBy("doc_id")
   }
 
@@ -1004,7 +1004,7 @@ object TextAnalysis {
         count(lit(1)).as("docs"),
         sum(size(spaceTokens(col(textCol))).cast("long")).as("tokens"),
         sum(octet_length(col(textCol)).cast("long")).as("bytes"),
-        graft.functions.NumFns.roundHalfUp(avg(length(col(textCol))), 2).as("avg_chars"),
+        roundHalfUp(avg(length(col(textCol))), 2).as("avg_chars"),
         countDistinct(col(sourceCol)).as("sources"))
 
   /** queries() wrapper over the documents table. */

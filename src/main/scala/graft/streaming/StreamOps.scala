@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.NumFns.roundHalfUp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -25,7 +26,10 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      // roundHalfUp, not round(): the batch twin q9EventWindows uses the
+      // engine-portable floor form, and the scaladoc'd twin equivalence
+      // must hold at decimal tie points too (NumFns doc)
+      .agg(count(lit(1)).as("n"), roundHalfUp(sum("value"), 2).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
   /** Exactly-once id dedup within the watermark horizon (batch twin:

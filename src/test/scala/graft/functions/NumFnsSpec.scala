@@ -38,6 +38,12 @@ class NumFnsSpec extends SparkSpec {
     assert(r == 0.0 && (1.0 / r) > 0, s"expected +0.0, got $r (sign bit set)")
   }
 
+  test("NaN and infinities pass through (floor->Long would collapse them)") {
+    assert(rhu(Double.NaN, 4).isNaN)
+    assert(rhu(Double.PositiveInfinity, 4) == Double.PositiveInfinity)
+    assert(rhu(Double.NegativeInfinity, 4) == Double.NegativeInfinity)
+  }
+
   test("half-up means ties toward +infinity, identically for negatives") {
     assert(rhu(0.125, 2) == 0.13)   // 0.125 is binary-exact: tie, up
     assert(rhu(-0.125, 2) == -0.12) // toward +inf, NOT away from zero

@@ -916,9 +916,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "norm_reading_time" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+')) AS BIGINT) AS n_words,
         |  CASE WHEN source = 'src0' THEN CAST(-1.0 AS DOUBLE)
-        |       ELSE floor(len(regexp_extract_all(text, '\w+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END AS reading_time
+        |       ELSE floor(len(regexp_extract_all(text, '[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END AS reading_time
         |FROM documents ORDER BY doc_id""".stripMargin,
     "norm_description" ->
       """SELECT doc_id,
@@ -1156,9 +1156,9 @@ object SparkEntry {
         |  SELECT doc_id, type_raw,
         |    CASE WHEN review_state IS NULL OR review_state = ''
         |         THEN 'missing' ELSE review_state END AS workflow_state,
-        |    CAST(len(regexp_extract_all(ft_raw, '\w+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(ft_raw, '[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+')) AS BIGINT) AS n_words,
         |    CASE WHEN type_raw = 'Dataset' THEN CAST(-1.0 AS DOUBLE)
-        |         ELSE floor(len(regexp_extract_all(ft_raw, '\w+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |         ELSE floor(len(regexp_extract_all(ft_raw, '[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+')) / CAST(228 AS DOUBLE) * 10000.0 + 0.5) / 10000.0
         |    END AS reading_time,
         |    array_to_string(l2, '|') AS tags,
         |    CASE coalesce(lang, 'en') WHEN 'en' THEN 'English'

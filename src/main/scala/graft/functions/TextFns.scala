@@ -68,9 +68,11 @@ object TextFns {
   /** `\w+` match count — the reference's word counter (normalizers.py:265).
     * `(?U)` gives Java regex the Unicode word semantics Python's `re` has by
     * default, so accented/non-Latin words count as the reference counts
-    * them. (The DuckDB oracle's RE2 `\w` is ASCII-only; the two agree on
-    * ASCII corpora — the deviation exists only for non-ASCII input, where
-    * THIS side is the reference-faithful one.)
+    * them. (RE2's bare `\w` is ASCII-only, so the DuckDB twins spell the
+    * same class out as `[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+` — Java's
+    * UNICODE_CHARACTER_CLASS `\w` is Alpha+Mark+Digit+Connector+
+    * Join_Control — which the hostile-unicode differential
+    * (tools/unicode_differential.py) verifies agrees token-for-token.)
     */
   def wordCount(c: Column): Column =
     size(regexp_extract_all(c, lit("(?U)\\w+"), lit(0))).cast("long")

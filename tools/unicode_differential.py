@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Unicode/regex differential for the text-operator oracle twins.
+
+The rounding sweep proved that "both engines compute the same formula"
+is not the same as "both engines agree" — round() was an ENGINE
+divergence, not a math bug. The remaining engine seams in the text
+family are the regex dialects (Java util.regex in Spark vs RE2 in
+DuckDB) and string length semantics (both count code points, but
+grapheme/astral-plane behavior is easy to get wrong in a twin). This
+harness generates a small hostile-unicode documents table — emoji
+(astral plane), combining marks, NBSP/zero-width spaces, CRLF, tabs,
+bidi marks, fullwidth digits, long runs — writes it in the driver's
+exact parquet shape, and the caller then runs the REAL gate over it:
+
+    python3 tools/unicode_differential.py /tmp/graft_unicode
+    sbt -batch "runMain graft.Verify /tmp/graft_unicode /tmp/verify_uni \
+        token_count quality_score quality_gopher lang_id corpus_stats \
+        norm_reading_time quality_repetition pii_scrub text_fix line_dedup"
+    python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
+
+Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a
+shipped twin — EXCEPT line_dedup, whose oracle is an intent-level
+restatement that hard-codes the driver corpus's planted line structure
+(text contains no newlines there); this generator's newline-bearing
+docs are out of that contract by design, so its mismatch here carries
+no signal. First run's findings: norm_reading_time's twin used RE2's
+ASCII \\w+ against the Spark side's (?U)\\w+ — real divergence on
+accented/fullwidth words, fixed by spelling the Java unicode word class
+out as [\\p{L}\\p{M}\\p{N}\\p{Pc}\\x{200C}\\x{200D}]+ in the twin;
+everything else (token_count, quality_score/gopher/repetition, lang_id,
+corpus_stats, pii_scrub, text_fix) agreed token-for-token on emoji,
+combining marks, NBSP, zero-width, bidi and fullwidth inputs.
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HOSTILE_TOKENS = [
+    "café",                      # precomposed accent
+    "café",                     # combining accent (2 codepoints)
+    "\U0001F600",                     # emoji, astral plane
+    "\U0001F468‍\U0001F469",     # ZWJ family sequence fragment
+    "a b",                       # NBSP inside a token (not \s in either)
+    "x​y",                       # zero-width space inside a token
+    "１２３",             # fullwidth digits (\d? no — not ASCII)
+    "‮bidi‬",               # RTL override + pop
+    "naïve",                     # diaeresis
+    "#hash",                          # symbol-ratio trigger
+    "ellipsis…",                 # the … the gopher regex matches
+    "dots...",                        # the ... alternative
+    "UPPER", "MiXeD", "under_score",
+    "the", "and", "of", "is",         # stopwords for stop-ratio paths
+    "email@example.eu",               # pii trigger
+    "+3531234567",                    # phone-ish
+    "word" * 10,                      # long token
+]
+
+
+def doc_text(i: int) -> str:
+    # deterministic, varied mix; single-space separated tokens, some docs
+    # with newline structure for the line/repetition operators
+    toks = [HOSTILE_TOKENS[(i * 7 + k) % len(HOSTILE_TOKENS)]
+            for k in range(12 + (i % 9))]
+    body = " ".join(toks)
+    if i % 3 == 0:
+        body += "\nShared banner line\n" + body[: 40 + (i % 13)]
+    if i % 5 == 0:
+        body += "\r\ncrlf line \t tabbed"
+    return body
+
+
+def main():
+    out_dir = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    rows = {
+        "doc_id": list(range(n)),
+        "text": [doc_text(i) for i in range(n)],
+        "lang": [["en", "de", "fr", "zh"][i % 4] for i in range(n)],
+        "source": [f"src{i % 4}" for i in range(n)],
+    }
+    rows["n_chars"] = [len(t) for t in rows["text"]]
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64())])
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({k: rows[k] for k in schema.names}, schema=schema),
+        f"{out_dir}/documents.parquet")
+    print(f"wrote {n} hostile-unicode docs to {out_dir}/documents.parquet")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ exact parquet shape, and the caller then runs the REAL gate over it:
     python3 tools/unicode_differential.py /tmp/graft_unicode
     sbt -batch "runMain graft.Verify /tmp/graft_unicode /tmp/verify_uni \
         token_count quality_score quality_gopher lang_id corpus_stats \
-        norm_reading_time quality_repetition pii_scrub text_fix line_dedup"
+        norm_reading_time quality_repetition pii_scrub text_fix"
     python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
 
 Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a
@@ -59,7 +59,17 @@ HOSTILE_TOKENS = [
 
 def doc_text(i: int) -> str:
     # deterministic, varied mix; single-space separated tokens, some docs
-    # with newline structure for the line/repetition operators
+    # with newline structure for the line/repetition operators. The first
+    # few ids are boundary documents — empty, whitespace-only, one token —
+    # where split/divide-by-zero conventions are their own engine seam.
+    if i == 0:
+        return ""
+    if i == 1:
+        return "   "
+    if i == 2:
+        return "solo"
+    if i == 3:
+        return "\U0001F600"  # one emoji, zero \w words
     toks = [HOSTILE_TOKENS[(i * 7 + k) % len(HOSTILE_TOKENS)]
             for k in range(12 + (i % 9))]
     body = " ".join(toks)

@@ -27,9 +27,15 @@ no signal. First run's findings: norm_reading_time's twin used RE2's
 ASCII \\w+ against the Spark side's (?U)\\w+ — real divergence on
 accented/fullwidth words, fixed by spelling the Java unicode word class
 out as [\\p{L}\\p{M}\\p{N}\\p{Pc}\\x{200C}\\x{200D}]+ in the twin;
-everything else (token_count, quality_score/gopher/repetition, lang_id,
-corpus_stats, pii_scrub, text_fix) agreed token-for-token on emoji,
-combining marks, NBSP, zero-width, bidi and fullwidth inputs.
+everything else agreed token-for-token on emoji, combining marks, NBSP,
+zero-width, bidi and fullwidth inputs: token_count,
+quality_score/gopher/repetition, lang_id, corpus_stats, pii_scrub,
+text_fix, the boundary docs (empty/whitespace/solo/emoji-only — split
+and 0/0 conventions), the percentile-bearing twins
+(facet_stats/es_agg/perplexity_bucket/dsir_select — interpolation
+arithmetic matches through the floor rounding), and the whole
+BM25 family (search_bm25/match_topk/multi_match/es_query score real
+rows via the planted data/merge/query terms).
 """
 import sys
 
@@ -51,6 +57,7 @@ HOSTILE_TOKENS = [
     "dots...",                        # the ... alternative
     "UPPER", "MiXeD", "under_score",
     "the", "and", "of", "is",         # stopwords for stop-ratio paths
+    "data", "merge", "query",         # search terms: BM25 tf/df/avgdl paths
     "email@example.eu",               # pii trigger
     "+3531234567",                    # phone-ish
     "word" * 10,                      # long token

@@ -121,13 +121,20 @@ object Relational {
       .select("status", "priority", "n", "total")
       .orderBy("status", "priority")
 
-  /** Event-time tumbling-window aggregation (batch twin of the stream op). */
-  def q9EventWindows(s: SparkSession, d: String): DataFrame =
-    Tables
-      .events(s, d)
+  /** Event-time tumbling-window aggregation — the batch twin of
+    * `StreamOps.windowCounts`, factored over an arbitrary events frame so
+    * the stream/batch parity spec can run BOTH paths on the same rows
+    * (including decimal-tie sums, where only the shared roundHalfUp keeps
+    * the two equal).
+    */
+  def eventWindows(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), roundHalfUp(sum("value"), 2).as("total"))
       .select(fmtTs(col("win")).as("window_start"), col("event_type"), col("n"), col("total"))
+
+  def q9EventWindows(s: SparkSession, d: String): DataFrame =
+    eventWindows(Tables.events(s, d))
       .orderBy("window_start", "event_type")
 
   /** Sessionization: 30-min-gap sessions via lag + running sum of boundaries.

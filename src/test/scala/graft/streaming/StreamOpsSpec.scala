@@ -25,6 +25,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_window_counts equals the batch twin on the same rows, decimal ties included") {
+    // The scaladoc'd twin contract, asserted: the SAME events through
+    // StreamOps.windowCounts and Relational.eventWindows must agree
+    // row-for-row. 1.005 is the load-bearing value: its double is
+    // 1.00499999…88, and ×100 stays below 100.5, so the shared
+    // roundHalfUp floor form says 1.00 while Spark's round()
+    // (shortest-decimal HALF_UP) says 1.01 — before the parity fix the
+    // stream side used round() and this window diverged from batch.
+    // (Not every printed tie splits: 2.675×100 re-rounds to exactly
+    // 267.5 in binary, so both semantics agree there.)
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "view", 1.005), // decimal-tie sum, alone in its window
+      (ts(61), "view", 1.0), (ts(62), "view", 1.5375), (ts(63), "view", 1.1375),
+      (ts(70), "click", -0.00003)) // negative-zero class through the agg
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowCounts(src.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wcp").outputMode("complete").start()
+    try {
+      src.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wcp")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = graft.operators.Relational.eventWindows(
+          rows.toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(stream.toSeq == batch.toSeq,
+        s"stream/batch twin divergence:\n  stream=${stream.toSeq}\n  batch=${batch.toSeq}")
+      assert(stream.exists(_._4 == 1.0),
+        "the tie value must round DOWN (floor form); round() would say 1.01")
+    } finally q.stop()
+  }
+
   test("stream_window_counts: a window closes in append mode only once the watermark passes it") {
     // the late-data boundary: in append mode a window's row is emitted
     // exactly when the watermark (max event time − horizon) moves past the

@@ -56,8 +56,11 @@ HOSTILE_TOKENS = [
     "ellipsis…",                 # the … the gopher regex matches
     "dots...",                        # the ... alternative
     "UPPER", "MiXeD", "under_score",
-    "the", "and", "of", "is",         # stopwords for stop-ratio paths
-    "data", "merge", "query",         # search terms: BM25 tf/df/avgdl paths
+    "and", "of", "is",                # stopwords for stop-ratio paths
+    "the", "data", "merge", "query",  # search terms: BM25 tf/df/avgdl paths;
+                                      # 'the' precedes 'data' so the phrase
+                                      # query's consecutive "the data" occurs
+    "join", "filter",                 # search_bool's must-contain terms
     "email@example.eu",               # pii trigger
     "+3531234567",                    # phone-ish
     "word" * 10,                      # long token

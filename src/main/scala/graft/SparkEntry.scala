@@ -2170,7 +2170,7 @@ object SparkEntry {
         |      FROM n CROSS JOIN q WHERE vec_id <> query_id),
         |r AS (SELECT query_id, neighbor_id, cos_raw,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS "rank"
-        |      FROM p)
+        |      FROM p WHERE cos_raw IS NOT NULL)
         |SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     "lang_id" ->

@@ -28,19 +28,20 @@ object NumFns {
     * spelled out in the oracle SQL — instead of `round()`.
     */
   def roundHalfUp(c: Column, scale: Int): Column = {
-    // Exactness bound: x·10^scale must stay below 2^53 for floor to be
-    // decisive (Spark's floor(double) also returns LongType, exact to
-    // 2^63). A scale-2 revenue sum would have to exceed ~9×10^13 — ~90
-    // trillion in ledger units — before this matters, and the DOUBLE sum
-    // feeding it loses decimal exactness at the same magnitude anyway;
-    // at that point the fix is decimal-typed inputs, not a rounder.
+    // Exactness bound: beyond |x·10^scale| ≈ 2^53 doubles have no
+    // fractional part left, so the floor is the identity and the result
+    // is (x·10^s)/10^s — exactly what DuckDB's floor form computes too.
     val p = math.pow(10.0, scale)
-    // NaN and ±Infinity must pass through untouched: Spark's floor(double)
-    // returns LongType, which would silently collapse NaN to 0 and ±Inf to
-    // ±Long.MaxValue, while DuckDB's double-typed floor keeps them — the
-    // exact engine-divergence class this helper exists to close (cosine of
-    // an all-zero vector is the canonical NaN producer).
-    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
-      .otherwise(floor(c * p + 0.5) / p)
+    // The floor must stay DOUBLE-typed: Spark's floor() returns LongType,
+    // which silently CLAMPS beyond ±2^63 — a float32-max magnitude like
+    // 1e38 at scale 6 came back as Long.MaxValue/10^6 ≈ 9.2e12 while
+    // DuckDB's double floor round-tripped the value (caught by the
+    // hostile-vector differential). x − pmod(x, 1) IS floor(x) for every
+    // finite double (pmod's remainder is non-negative), stays in double,
+    // and propagates NaN. ±Infinity still needs the explicit guard:
+    // pmod(±Inf, 1) is NaN, where DuckDB's floor keeps the infinity.
+    val scaled = c * p + lit(0.5)
+    when(abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise((scaled - pmod(scaled, lit(1.0))) / p)
   }
 }

@@ -408,7 +408,11 @@ object DedupOps {
       .filter(col("id1") < col("id2"))
       .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
-      .filter(col("cos_sim") >= tau)
+      // !isnan is load-bearing: Spark orders NaN ABOVE every double, so a
+      // zero-vector pair's 0/0 cosine would pass >= tau — while the DuckDB
+      // twin's x/0 is NULL and drops. Cosine is undefined for zero
+      // vectors; exclude them on both sides.
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
   }
 
@@ -474,7 +478,11 @@ object DedupOps {
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
-      .filter(col("cos_sim") >= tau)
+      // !isnan is load-bearing: Spark orders NaN ABOVE every double, so a
+      // zero-vector pair's 0/0 cosine would pass >= tau — while the DuckDB
+      // twin's x/0 is NULL and drops. Cosine is undefined for zero
+      // vectors; exclude them on both sides.
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
   }
 
@@ -541,7 +549,11 @@ object DedupOps {
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos_sim", roundHalfUp(
         graft.functions.VectorFns.cosine_sim(col("v1"), col("v2")), 4))
-      .filter(col("cos_sim") >= tau)
+      // !isnan is load-bearing: Spark orders NaN ABOVE every double, so a
+      // zero-vector pair's 0/0 cosine would pass >= tau — while the DuckDB
+      // twin's x/0 is NULL and drops. Cosine is undefined for zero
+      // vectors; exclude them on both sides.
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
       .select("id1", "id2", "cos_sim")
   }
 

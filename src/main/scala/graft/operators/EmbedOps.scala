@@ -157,6 +157,10 @@ object EmbedOps {
     val qv = stubEmbedding(lit(queryText), dim)
     attached
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(col("embedding"), qv))
+      // a zero-vector passage has no cosine (NaN, which Spark's max would
+      // treat as the LARGEST value and poison the doc's best_cos) — drop
+      // it; n_passages counts scorable passages
+      .filter(!isnan(col("cos")))
       .groupBy("doc_id")
       .agg(roundHalfUp(max(col("cos")), 4).as("best_cos"),
         count(lit(1)).as("n_passages"))
@@ -180,6 +184,10 @@ object EmbedOps {
     attached
       .withColumn("cos", graft.functions.VectorFns.cosine_sim(
         col("embedding").cast("array<double>"), typedLit(qv)))
+      // a zero-vector passage has no cosine (NaN, which Spark's max would
+      // treat as the LARGEST value and poison the doc's best_cos) — drop
+      // it; n_passages counts scorable passages
+      .filter(!isnan(col("cos")))
       .groupBy("doc_id")
       .agg(roundHalfUp(max(col("cos")), 4).as("best_cos"),
         count(lit(1)).as("n_passages"))

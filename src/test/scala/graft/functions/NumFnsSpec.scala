@@ -44,6 +44,22 @@ class NumFnsSpec extends SparkSpec {
     assert(rhu(Double.NegativeInfinity, 4) == Double.NegativeInfinity)
   }
 
+  test("huge magnitudes survive (Long floor would clamp at 2^63)") {
+    // a float32-max-scale value: 1e38 × 10^6 = 1e44 ≫ Long.MaxValue. The
+    // old floor()-based form clamped this to Long.MaxValue/10^6 ≈ 9.2e12
+    // (caught by the hostile-vector differential on embed_quantize's
+    // q_scale); the pmod floor stays in double and must match DuckDB's
+    // double floor round-trip exactly.
+    val x = 1e38
+    val expected = { val s = x * 1e6 + 0.5; (s - s % 1.0) / 1e6 }
+    assert(rhu(x, 6) == expected)
+    assert(rhu(x, 6) > 9e37, "must not collapse to the Long-clamp value")
+    val xn = -1e38
+    val expectedN = { val s = xn * 1e6 + 0.5; val m = s % 1.0
+      (s - (if (m < 0) m + 1.0 else m)) / 1e6 }
+    assert(rhu(xn, 6) == expectedN)
+  }
+
   test("half-up means ties toward +infinity, identically for negatives") {
     assert(rhu(0.125, 2) == 0.13)   // 0.125 is binary-exact: tie, up
     assert(rhu(-0.125, 2) == -0.12) // toward +inf, NOT away from zero

@@ -40,8 +40,12 @@ object NumFns {
     // finite double (pmod's remainder is non-negative), stays in double,
     // and propagates NaN. ±Infinity still needs the explicit guard:
     // pmod(±Inf, 1) is NaN, where DuckDB's floor keeps the infinity.
+    // Guard on the SCALED value, not the input: a finite x whose x·10^s+0.5
+    // overflows to ±Inf must come back as ±Inf (DuckDB's floor(±Inf)/p is
+    // ±Inf), and an infinite x scales to the same-signed infinity, so the
+    // one guard covers both. pmod(±Inf, 1) would be NaN otherwise.
     val scaled = c * p + lit(0.5)
-    when(abs(c) === lit(Double.PositiveInfinity), c)
+    when(abs(scaled) === lit(Double.PositiveInfinity), scaled / p)
       .otherwise((scaled - pmod(scaled, lit(1.0))) / p)
   }
 }

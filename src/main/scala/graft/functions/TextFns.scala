@@ -66,16 +66,23 @@ object TextFns {
   }
 
   /** `\w+` match count — the reference's word counter (normalizers.py:265).
-    * `(?U)` gives Java regex the Unicode word semantics Python's `re` has by
-    * default, so accented/non-Latin words count as the reference counts
-    * them. (RE2's bare `\w` is ASCII-only, so the DuckDB twins spell the
-    * same class out as `[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+` — Java's
-    * UNICODE_CHARACTER_CLASS `\w` is Alpha+Mark+Digit+Connector+
-    * Join_Control — which the hostile-unicode differential
-    * (tools/unicode_differential.py) verifies agrees token-for-token.)
+    *
+    * The class is spelled out explicitly rather than written `(?U)\w`
+    * because Java's UNICODE_CHARACTER_CLASS `\w` diverges from both the
+    * oracle and the reference on two edges: it EXCLUDES category-No digits
+    * (½ U+00BD, ² U+00B2, ① U+2460 — Java's `\w` is Nd-only on the digit
+    * axis, while Python's `\w` and the DuckDB twin class match them) and
+    * INCLUDES Other_Alphabetic So chars (circled letters U+24B6–U+24E9)
+    * that both the twin class and RE2 exclude. With `(?U)` active,
+    * Java's `\p{N}` is the full general category N = Nd+Nl+No, so this
+    * explicit class is token-for-token the DuckDB twins'
+    * `[\p{L}\p{M}\p{N}\p{Pc}\x{200C}\x{200D}]+` — pinned on the No/So
+    * boundary chars by tools/unicode_differential.py's HOSTILE_TOKENS.
     */
+  val WordRe = "(?U)[\\p{L}\\p{M}\\p{N}\\p{Pc}\\x{200C}\\x{200D}]+"
+
   def wordCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("(?U)\\w+"), lit(0))).cast("long")
+    size(regexp_extract_all(c, lit(WordRe), lit(0))).cast("long")
 
   /** Words-per-minute reading time (normalizers.py:287); callers apply the
     * type-blacklist→-1 rule (normalizers.py:483) since it needs doc context.

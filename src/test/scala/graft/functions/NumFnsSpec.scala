@@ -60,6 +60,17 @@ class NumFnsSpec extends SparkSpec {
     assert(rhu(xn, 6) == expectedN)
   }
 
+  test("finite input whose scaling overflows returns ±Inf like DuckDB") {
+    // 1e308 × 10^2 overflows double to +Inf; DuckDB's floor(+Inf)/p is
+    // +Inf, so ours must be too (the old guard tested abs(x), not the
+    // scaled value, and fell through to pmod(+Inf,1) = NaN).
+    assert(rhu(1e308, 2) == Double.PositiveInfinity)
+    assert(rhu(-1e308, 2) == Double.NegativeInfinity)
+    // the guard must not catch values NEAR the overflow edge that still
+    // scale finitely (1e305 × 100 = 1e307, finite)
+    assert(!rhu(1e305, 2).isInfinite)
+  }
+
   test("half-up means ties toward +infinity, identically for negatives") {
     assert(rhu(0.125, 2) == 0.13)   // 0.125 is binary-exact: tie, up
     assert(rhu(-0.125, 2) == -0.12) // toward +inf, NOT away from zero

@@ -84,6 +84,25 @@ class NormOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 2L), "accented words must count as single words")
   }
 
+  test("wordCount pins the No/So boundary where Java's (?U)\\w diverges") {
+    // Category-No digits (½ ² ①) are words — Java's (?U)\w excludes them
+    // but Python's \w and the DuckDB twin class include them; circled
+    // letters (Ⓐ, So) are NOT words — Java's (?U)\w includes them, the
+    // twin class and RE2 exclude them. The explicit class must take the
+    // twin's side on both edges.
+    val df = Seq(
+      (1L, "½"),             // ½  → 1 word
+      (2L, "x²"),            // x² → 1 word (² glues to the letter)
+      (3L, "① ②"),      // ① ② → 2 words
+      (4L, "Ⓐ"),             // Ⓐ  → 0 words (So excluded)
+      (5L, "a Ⓐ b")          // Ⓐ between words → 2
+    ).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(graft.functions.TextFns.wordCount(col("text")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 1L, 2L, 0L, 2L))
+  }
+
   test("normCoverage applies the six coverage-tail rules in reference order") {
     val docs = Seq(
       // geo labels with a null entry; File+visible inherits parent state

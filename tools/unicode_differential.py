@@ -13,10 +13,15 @@ bidi marks, fullwidth digits, long runs — writes it in the driver's
 exact parquet shape, and the caller then runs the REAL gate over it:
 
     python3 tools/unicode_differential.py /tmp/graft_unicode
+    rm -rf /tmp/verify_uni   # stale dirs from a prior corpus FAIL spuriously
     sbt -batch "runMain graft.Verify /tmp/graft_unicode /tmp/verify_uni \
         token_count quality_score quality_gopher lang_id corpus_stats \
-        norm_reading_time quality_repetition pii_scrub text_fix"
-    python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
+        norm_reading_time quality_repetition pii_scrub text_fix \
+        search_bm25 search_match_topk search_phrase multi_match es_query \
+        search_bool facet_counts facet_stats es_agg perplexity_bucket \
+        dsir_select norm_clean_html norm_boilerplate text_passages \
+        norm_add_counts norm_join_text"
+    GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
 
 Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a
 shipped twin — EXCEPT the four LINE-STRUCTURED twins (line_dedup,
@@ -69,6 +74,12 @@ HOSTILE_TOKENS = [
     "email@example.eu",               # pii trigger
     "+3531234567",                    # phone-ish
     "word" * 10,                      # long token
+    "½",                              # No-category digit (Java \w excludes,
+                                      # class + Python \w include)
+    "x²",                             # superscript No glued to a letter
+    "①",                              # circled Nd-lookalike (No)
+    "Ⓐ",                              # circled letter (So, Other_Alphabetic:
+                                      # Java \w includes, class excludes)
 ]
 
 

@@ -868,11 +868,19 @@ object SparkEntry {
     // identical per-line keep rule. \x escapes are RE2/Java-portable;
     // the sentinel REPLACEMENT string is chr(1)||'\1'||chr(2) because an
     // E-string '\1' would be octal, not a group ref.
+    // Line-faithful: container selection leaves the h1 (short, dropped),
+    // the document text (each LINE through the keep rule: trimmed,
+    // non-empty, >= 30 chars or sentence-final punct), and the closing
+    // paragraph (always kept); the farm and out-of-container chrome drop
+    // whole. On the flat driver corpus this reduces to the old
+    // trim(text) || closing-line restatement.
     "main_text_blocks" ->
       """SELECT doc_id,
-        |  trim(text) || chr(10) ||
+        |  array_to_string(list_append(
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      v -> length(v) > 0 AND (length(v) >= 30 OR regexp_matches(v, '[.!?]$'))),
         |    'Published by ' || source || ' as document ' || doc_id ||
-        |    ' with a closing sentence for the density filter.' AS text_main
+        |    ' with a closing sentence for the density filter.'), chr(10)) AS text_main
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "norm_boilerplate" ->
@@ -1062,14 +1070,43 @@ object SparkEntry {
         |u AS (SELECT * FROM vocab UNION ALL SELECT * FROM x)
         |SELECT token, max_by(label, prio) AS label
         |FROM u GROUP BY token ORDER BY token""".stripMargin,
-    // passage cleaning: the running header/footer lines strip from both
-    // pages, per-line blank padding strips, the 4-newline run collapses
-    // to 2 — the oracle rebuilds the expected text directly.
+    // passage cleaning, line-faithful: the full algorithm — pages split on
+    // \f; identical first (last) lines across a multi-page doc strip as
+    // running header (footer); per-line space/tab padding strips ((?m) is
+    // \n-only in BOTH engines — Spark side carries (?d)); 3+-newline runs
+    // collapse to 2. Reduces to the old flat restatement on the driver
+    // corpus, and adjudicates line-bearing hostile text.
     "passage_clean" ->
-      """SELECT doc_id,
-        |  trim(text) || chr(10) || chr(10) || 'mid' || chr(12) ||
-        |    'second page body' AS text_clean
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'DOC HEADER' || chr(10) || '  ' || text || '  ' ||
+        |    chr(10) || chr(10) || chr(10) || chr(10) || 'mid' || chr(10) ||
+        |    'DOC FOOTER' || chr(12) || 'DOC HEADER' || chr(10) ||
+        |    'second page body' || chr(10) || 'DOC FOOTER' AS ft
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(ft, chr(12)) AS pages FROM b),
+        |hf AS (
+        |  SELECT doc_id, pages,
+        |    len(pages) > 1 AND len(list_distinct(list_transform(pages,
+        |      pg -> string_split(pg, chr(10))[1]))) = 1 AS hdup,
+        |    len(pages) > 1 AND len(list_distinct(list_transform(pages,
+        |      pg -> string_split(pg, chr(10))[-1]))) = 1 AS fdup
+        |  FROM p),
+        |st AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(pages, pg ->
+        |      array_to_string(
+        |        list_slice(string_split(pg, chr(10)),
+        |          CASE WHEN hdup THEN 2 ELSE 1 END,
+        |          len(string_split(pg, chr(10))) -
+        |            CASE WHEN fdup THEN 1 ELSE 0 END),
+        |        chr(10))), chr(12)) AS t
+        |  FROM hf),
+        |w AS (SELECT doc_id,
+        |  regexp_replace(t, '(?m)^[ \t]+|[ \t]+$', '', 'g') AS t2 FROM st)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\n{3,}', chr(10) || chr(10), 'g') AS text_clean
+        |FROM w ORDER BY doc_id""".stripMargin,
     // remove_by_selector: chrome elements (nav/banner/footer) strip whole;
     // removed blocks have no nested same-name tags by construction, so the
     // oracle rebuilds the stripped html as a plain concat. text_main
@@ -1077,8 +1114,10 @@ object SparkEntry {
     "norm_strip_selectors" ->
       """SELECT doc_id,
         |  '<html><body>' || '<p>' || text || '</p>' || '</body></html>' AS stripped,
-        |  CASE WHEN length(trim(text)) >= 30 OR regexp_matches(trim(text), '[.!?]$')
-        |       THEN trim(text) ELSE '' END AS text_main
+        |  coalesce(array_to_string(
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      v -> length(v) > 0 AND (length(v) >= 30 OR regexp_matches(v, '[.!?]$'))),
+        |    chr(10)), '') AS text_main
         |FROM documents ORDER BY doc_id""".stripMargin,
     // common_preprocess text assembly: html main-content extract (here a
     // single <p> line — kept iff ≥30 chars or sentence-final punct, the
@@ -1089,8 +1128,10 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE
-        |      CASE WHEN length(trim(text)) >= 30 OR regexp_matches(trim(text), '[.!?]$')
-        |           THEN trim(text) ELSE '' END END AS extracted,
+        |      coalesce(array_to_string(
+        |        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |          v -> length(v) > 0 AND (length(v) >= 30 OR regexp_matches(v, '[.!?]$'))),
+        |        chr(10)), '') END AS extracted,
         |    CASE WHEN doc_id % 4 IN (0, 1) THEN 'no title'
         |         ELSE 'Title ' || doc_id END AS title,
         |    CASE WHEN doc_id % 2 = 0 THEN 'Abstract ' || doc_id ELSE '' END AS ab,
@@ -2387,18 +2428,39 @@ object SparkEntry {
         |cut AS (SELECT floor(quantile_cont(dsir_score, 0.75) * 10000.0 + 0.5) / 10000.0 AS c FROM scored)
         |SELECT doc_id, dsir_score, dsir_score >= c AS selected
         |FROM scored, cut ORDER BY doc_id""".stripMargin,
-    // corpus-level line dedup: the universal banner and the every-second-
-    // doc footer cross the minDocs=5 threshold and vanish from every doc;
-    // the line planted in exactly 4 docs (threshold − 1) survives, as do
-    // the unique corpus/middle/tail lines. Survivors re-join in order.
+    // corpus-level line dedup, line-faithful: the REAL algorithm — split
+    // every built doc into lines, count DISTINCT docs per line (length >=
+    // 5 candidates only), lines crossing minDocs=5 vanish from every doc,
+    // survivors re-join by original position. On the driver corpus this
+    // reduces to the old restatement (banner + every-second-doc footer
+    // hot; the 4-doc notice line and unique lines survive); on hostile
+    // line-bearing text the text's OWN lines participate in the count.
     "line_dedup" ->
-      """SELECT doc_id,
-        |  text ||
-        |  CASE WHEN doc_id % 2 = 1 THEN chr(10) || 'Unique middle ' || doc_id
-        |       ELSE '' END ||
-        |  CASE WHEN doc_id < 4 THEN chr(10) || 'Rare notice line'
-        |       ELSE chr(10) || 'Unique tail ' || doc_id END AS text_deduped
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'Accept cookies to continue' || chr(10) || text || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Contact us via the footer'
+        |         ELSE 'Unique middle ' || doc_id END || chr(10) ||
+        |    CASE WHEN doc_id < 4 THEN 'Rare notice line'
+        |         ELSE 'Unique tail ' || doc_id END AS ft
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(ft, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(ft, chr(10))) + 1)) AS pos
+        |  FROM b),
+        |hot AS (
+        |  SELECT line FROM l WHERE length(line) >= 5
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+        |keep AS (
+        |  SELECT doc_id, pos, line FROM l
+        |  WHERE line NOT IN (SELECT line FROM hot)),
+        |r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS td
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.td, '') AS text_deduped
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "pii_scrub" ->
       """WITH b AS (
         |  SELECT doc_id,

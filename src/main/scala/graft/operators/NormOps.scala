@@ -124,7 +124,14 @@ object NormOps {
         size(regexp_extract_all(l, lit(spanRe), lit(0))) * 2
       val keep = length(vis) > 0 &&
         linkLen.cast("double") <= length(vis) * lit(maxLinkDensity) &&
-        (length(vis) >= minChars || vis.rlike("[.!?]$"))
+        // (?d) = UNIX_LINES: Java's bare `$` also matches before a FINAL
+        // \r / U+0085 / U+2028 / U+2029 (it treats them all as line
+        // terminators), so a CRLF line "prose.\r" would pass the
+        // sentence-final test in Java but fail it in Python (the
+        // reference: only \n is special) and RE2 (the oracle: $ is
+        // end-of-text). UNIX_LINES restricts Java to \n — and these
+        // split("\n") segments contain none — so all three engines agree.
+        (length(vis) >= minChars || vis.rlike("(?d)[.!?]$"))
       struct(vis.as("t"), keep.as("keep"))
     })
     trim(array_join(
@@ -611,7 +618,10 @@ object NormOps {
       })
       c = array_join(stripped, "\f")
     }
-    if (cleanWhitespace) c = regexp_replace(c, "(?m)^[ \\t]+|[ \\t]+$", "")
+    // (?d): Java MULTILINE anchors also fire around \r/U+0085/U+2028/U+2029;
+    // Python's (?m) and RE2's multiline are \n-only. UNIX_LINES aligns Java
+    // with both, so "pad \r\n" keeps its \r-adjacent spaces identically.
+    if (cleanWhitespace) c = regexp_replace(c, "(?dm)^[ \\t]+|[ \\t]+$", "")
     if (cleanEmptyLines) c = regexp_replace(c, "\n{3,}", "\n\n")
     docs.withColumn("text_clean", c)
   }

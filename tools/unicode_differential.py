@@ -20,20 +20,17 @@ exact parquet shape, and the caller then runs the REAL gate over it:
         search_bm25 search_match_topk search_phrase multi_match es_query \
         search_bool facet_counts facet_stats es_agg perplexity_bucket \
         dsir_select norm_clean_html norm_boilerplate text_passages \
-        norm_add_counts norm_join_text"
+        norm_add_counts norm_join_text line_dedup main_text_blocks \
+        nlp_preprocess passage_clean norm_strip_selectors"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
 
 Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a
-shipped twin — EXCEPT the four LINE-STRUCTURED twins (line_dedup,
-main_text_blocks, nlp_preprocess, passage_clean), whose oracles are
-intent-level restatements that model the driver corpus's text
-convention (verified: zero newlines/CR/tabs in any driver doc) rather
-than line semantics. On this generator's newline-bearing docs those
-twins diverge by design while the SPARK side follows the reference's
-documented line rules (e.g. the 18-char "crlf line" falls to the
-minChars=30 line filter — trafilatura's own behavior, pinned by the
-fixture pages and the tag-soup fuzz at the kernel level); their
-mismatches here carry no signal. Every flat-text twin must PASS. First run's findings: norm_reading_time's twin used RE2's
+shipped twin — including, since round 16, the four LINE-STRUCTURED
+twins (line_dedup, main_text_blocks, nlp_preprocess, passage_clean):
+their oracles now implement the REAL line semantics (per-line keep
+rule, corpus-level line frequency, page/header/footer stripping), so
+this corpus's newline-bearing docs adjudicate them too (the dedicated
+line-structure corpus is tools/lines_differential.py). First run's findings: norm_reading_time's twin used RE2's
 ASCII \\w+ against the Spark side's (?U)\\w+ — real divergence on
 accented/fullwidth words, fixed by spelling the Java unicode word class
 out as [\\p{L}\\p{M}\\p{N}\\p{Pc}\\x{200C}\\x{200D}]+ in the twin;

@@ -659,8 +659,12 @@ object DedupOps {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("del_pos"))
       .distinct()
-    val survivors = sents.join(victims,
-      sents("doc_id") === victims("doc_id") && col("pos") === col("del_pos"),
+    // Explicit aliases: both sides descend from `docs`, and unaliased
+    // sents("doc_id") === victims("doc_id") resolves only through Spark's
+    // trivially-true-equals self-join heuristic (and WARNs every run).
+    val survivors = sents.alias("sents").join(victims.alias("victims"),
+      col("sents.doc_id") === col("victims.doc_id") &&
+        col("sents.pos") === col("victims.del_pos"),
       "left_anti")
     val rebuilt = survivors
       .groupBy("doc_id")

@@ -404,16 +404,16 @@ object SparkEntry {
         |         WHEN doc_id % 7 = 1 THEN 'https://example.eu:443/d/' || doc_id || '?b=2&a=1'
         |         WHEN doc_id % 7 = 2 THEN 'https://example.eu:8443/d/' || doc_id || '/'
         |         WHEN doc_id % 7 = 3 THEN 'http://EXAMPLE.eu' || '?z=9&y=8&x=7'
-        |         WHEN doc_id % 7 = 4 THEN 'relative/path/' || doc_id
+        |         WHEN doc_id % 7 = 4 THEN 'relative/path/' || doc_id || '-' || text
         |         WHEN doc_id % 7 = 5 THEN 'http://example.eu/a//b///' || doc_id || '////'
-        |         ELSE 'https://example.eu/d/' || doc_id || '?a=1&b=2#x' END AS url
+        |         ELSE 'https://example.eu/d/' || doc_id || '-' || text || '?a=1&b=2#x' END AS url
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, url,
         |    coalesce(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
         |    coalesce(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
         |    coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS pathraw,
-        |    coalesce(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '') AS query
+        |    coalesce(regexp_extract(regexp_replace(url, '(?s)#.*', ''), '(?s)\?(.*)', 1), '') AS query
         |  FROM b),
         |c AS (
         |  SELECT doc_id, url, scheme,
@@ -432,7 +432,7 @@ object SparkEntry {
     "sitemap_parse" ->
       """WITH e AS (
         |  SELECT source, doc_id,
-        |    '<url><loc>https://example.eu/d/' || doc_id || '</loc>' ||
+        |    '<url><loc>https://example.eu/d/' || doc_id || '-' || text || '</loc>' ||
         |    CASE WHEN doc_id % 3 = 0
         |         THEN '<lastmod>2026-0' || (doc_id % 9 + 1) || '-01</lastmod>'
         |         ELSE '' END || '</url>' AS entry
@@ -447,7 +447,7 @@ object SparkEntry {
         |SELECT source,
         |  coalesce(regexp_extract(entry, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
-        |FROM ent ORDER BY source, url""".stripMargin,
+        |FROM ent ORDER BY source, url, lastmod""".stripMargin,
     // sitemap_index: the same two-level tree rebuilt in SQL — leaf urlsets
     // grouped by (source, bucket), the index grouped per source with the
     // dangling sitemap-9 entry, resolved by the same child-url join.
@@ -513,7 +513,7 @@ object SparkEntry {
       """WITH rd AS (
         |  SELECT source, doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'Allow: /docs/' || doc_id || '/pub'
-        |         ELSE 'Disallow: /docs/' || doc_id || '/' END AS l
+        |         ELSE 'Disallow: /docs/' || doc_id || '/' || text END AS l
         |  FROM documents WHERE doc_id % 101 = 0),
         |body AS (
         |  SELECT source, string_agg(l, chr(10) ORDER BY doc_id) AS b
@@ -538,8 +538,10 @@ object SparkEntry {
         |  FROM body),
         |lines AS (
         |  SELECT host,
-        |    unnest(string_split(content, chr(10))) AS raw,
-        |    unnest(range(len(string_split(content, chr(10))))) AS line_no
+        |    unnest(regexp_split_to_array(content,
+        |      '\r\n|[\n\r\x0B\x0C\x1C\x1D\x1E\x{0085}\x{2028}\x{2029}]')) AS raw,
+        |    unnest(range(len(regexp_split_to_array(content,
+        |      '\r\n|[\n\r\x0B\x0C\x1C\x1D\x1E\x{0085}\x{2028}\x{2029}]')))) AS line_no
         |  FROM robots),
         |kv AS (
         |  SELECT host, line_no, raw = '' AS is_blank,
@@ -663,7 +665,7 @@ object SparkEntry {
         |d AS (
         |  SELECT source, doc_id,
         |    'https://' || source || '.example.eu/d/' || doc_id AS uri,
-        |    '<html>doc ' || doc_id || '</html>' AS body,
+        |    '<html>doc ' || doc_id || ' ' || text || '</html>' AS body,
         |    '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS wdate
         |  FROM documents),
         |h AS (
@@ -714,7 +716,7 @@ object SparkEntry {
         |  SELECT source, doc_id, crlf,
         |    'https://' || source || '.example.eu/d/' || doc_id AS url,
         |    '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS fetched,
-        |    '<html>doc ' || doc_id || ' é</html>' AS payload
+        |    '<html>doc ' || doc_id || ' é ' || text || '</html>' AS payload
         |  FROM documents CROSS JOIN c),
         |h AS (
         |  SELECT *, 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' ||
@@ -751,7 +753,7 @@ object SparkEntry {
         |d AS (
         |  SELECT source, doc_id,
         |    'https://' || source || '.example.eu/d/' || doc_id AS uri,
-        |    '<html>doc ' || doc_id || '</html>' AS body
+        |    '<html>doc ' || doc_id || ' ' || text || '</html>' AS body
         |  FROM documents),
         |h AS (
         |  SELECT d.*, crlf, info_len,
@@ -794,7 +796,8 @@ object SparkEntry {
         |    '.html">Rooted</a><a href="rel/' || (doc_id % 5) ||
         |    '">Relative</a><a href="//cdn.eu/c/' || (doc_id % 3) ||
         |    '">Proto</a><a href="#frag">Skip</a>' ||
-        |    '<a href="javascript:void(0)">Js</a><a href="mailto:a@b.eu">Mail</a>' AS html,
+        |    '<a href="javascript:void(0)">Js</a><a href="mailto:a@b.eu">Mail</a>' ||
+        |    '<a href="sub/' || text || '">T ' || text || '</a>' AS html,
         |    'https://site.eu/docs/page' || doc_id || '.html' AS page_url
         |  FROM documents),
         |ex AS (
@@ -813,7 +816,7 @@ object SparkEntry {
         |FROM ex
         |WHERE NOT starts_with(href, '#') AND NOT starts_with(href, 'javascript:')
         |  AND NOT starts_with(href, 'mailto:') AND href <> ''
-        |ORDER BY doc_id, link_url""".stripMargin,
+        |ORDER BY doc_id, link_url, anchor""".stripMargin,
     // robots '?'-glob becomes the regex ^/docs/3. (one char, implied
     // trailing *); the '/docs/11' prefix rule is a plain LIKE
     "plone_search" ->

@@ -325,18 +325,24 @@ object SyncOps {
     */
   def canonicalizeUrls(urls: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
+    // \z (end of INPUT), not $: Java's bare $ also matches before a final
+    // \n-class terminator, so a URL with an embedded trailing newline would
+    // canonicalize differently in Java than in RE2/Python ($ there is
+    // end-of-text). \z means the same thing in all three engines.
     val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val hostRaw = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443\\z", ""))
       .otherwise(hostRaw)
     val pathRaw = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(regexp_replace(pathRaw, "/+$", "") === "", lit("/"))
-      .otherwise(regexp_replace(pathRaw, "/+$", ""))
+    val path = when(regexp_replace(pathRaw, "/+\\z", "") === "", lit("/"))
+      .otherwise(regexp_replace(pathRaw, "/+\\z", ""))
     // fragment stripped FIRST so a '?' inside the fragment can never be
-    // resurrected as a query string
-    val noFrag = regexp_replace(u, "#.*$", "")
-    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // resurrected as a query string. (?s)#.* — "first # to end of string,
+    // newlines included" — rather than #.*$, whose dot stops at \n and
+    // whose $ is the engine seam above.
+    val noFrag = regexp_replace(u, "(?s)#.*", "")
+    val query = regexp_extract(noFrag, "(?s)\\?(.*)", 1)
     val sortedQuery = when(query === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
     urls.withColumn("url_canonical",
@@ -354,9 +360,14 @@ object SyncOps {
       .when(id % 7 === 1, concat(lit("https://example.eu:443/d/"), id, lit("?b=2&a=1")))
       .when(id % 7 === 2, concat(lit("https://example.eu:8443/d/"), id, lit("/")))
       .when(id % 7 === 3, concat(lit("http://EXAMPLE.eu"), lit("?z=9&y=8&x=7")))
-      .when(id % 7 === 4, concat(lit("relative/path/"), id))
+      .when(id % 7 === 4, concat(lit("relative/path/"), id, lit("-"), col("text")))
       .when(id % 7 === 5, concat(lit("http://example.eu/a//b///"), id, lit("////")))
-      .otherwise(concat(lit("https://example.eu/d/"), id, lit("?a=1&b=2#x")))
+      // doc text spliced into the PATH: hostile corpora
+      // (tools/crawl_differential.py) put '#', '?', newlines, unicode and
+      // percent-junk here, driving the fragment/query/trailing-slash rules
+      // through real content on both engines
+      .otherwise(concat(lit("https://example.eu/d/"), id, lit("-"), col("text"),
+        lit("?a=1&b=2#x")))
     canonicalizeUrls(
       Tables.documents(s, d).select(id, url.as("url")), "url")
       .select("doc_id", "url", "url_canonical")
@@ -388,8 +399,11 @@ object SyncOps {
     */
   def qSitemapParse(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
+    // doc text spliced into the <loc>: hostile corpora put unicode paths,
+    // stray '<'/'&', even literal "</loc>"/"</url>" here — the regex
+    // extraction must behave identically in Java and RE2 on all of it
     val entry = concat(
-      lit("<url><loc>https://example.eu/d/"), id, lit("</loc>"),
+      lit("<url><loc>https://example.eu/d/"), id, lit("-"), col("text"), lit("</loc>"),
       when(id % 3 === 0, concat(lit("<lastmod>2026-0"), id % 9 + 1, lit("-01</lastmod>")))
         .otherwise(lit("")),
       lit("</url>"))
@@ -401,7 +415,11 @@ object SyncOps {
         lit("</urlset>")).as("xml"))
     parseSitemaps(sitemaps, "xml")
       .select("source", "url", "lastmod")
-      .orderBy("source", "url")
+      // lastmod participates in the sort: a text-planted "</url>" can
+      // split an entry into fragments that all extract url='' — rows that
+      // tie on (source, url) but differ in lastmod must still order
+      // deterministically on both engines
+      .orderBy("source", "url", "lastmod")
   }
 
   // ------------------------------------------------------------- link_extract
@@ -465,13 +483,19 @@ object SyncOps {
       lit(".html\">Rooted</a><a href=\"rel/"), id % 5,
       lit("\">Relative</a><a href=\"//cdn.eu/c/"), id % 3,
       lit("\">Proto</a><a href=\"#frag\">Skip</a>"),
-      lit("<a href=\"javascript:void(0)\">Js</a><a href=\"mailto:a@b.eu\">Mail</a>"))
+      lit("<a href=\"javascript:void(0)\">Js</a><a href=\"mailto:a@b.eu\">Mail</a>"),
+      // doc text spliced into one href AND one anchor body: hostile
+      // corpora put quotes (early href close), angle brackets (anchor
+      // tag-strip), newlines ((?s) spans) and unicode here
+      lit("<a href=\"sub/"), col("text"), lit("\">T "), col("text"), lit("</a>"))
     val pageUrl = concat(lit("https://site.eu/docs/page"), id, lit(".html"))
     linkExtract(
       Tables.documents(s, d).select(id, html.as("html"), pageUrl.as("page_url")),
       "html", "page_url")
       .select("doc_id", "link_url", "anchor")
-      .orderBy("doc_id", "link_url")
+      // anchor in the sort: text-planted anchors can collide on
+      // (doc_id, link_url) with different anchor text
+      .orderBy("doc_id", "link_url", "anchor")
   }
 
   // ------------------------------------------------------------- plone_search
@@ -975,9 +999,13 @@ object SyncOps {
     val body = Tables.documents(s, d)
       .filter(id % 101 === 0)
       .groupBy("source")
+      // doc text spliced into the rule path: hostile corpora put CRLF
+      // (injected raw lines — group starts, blank closes), '#' (comment
+      // strip), ':' and unicode here; both line machines must agree
       .agg(concat_ws("\n", array_sort(collect_list(struct(id,
         when(id % 3 === 0, concat(lit("Allow: /docs/"), id, lit("/pub")))
-          .otherwise(concat(lit("Disallow: /docs/"), id, lit("/"))).as("l"))))
+          .otherwise(concat(lit("Disallow: /docs/"), id, lit("/"), col("text")))
+          .as("l"))))
         .getField("l")).as("b"))
     val robots = body.select(
       col("source").as("host"),
@@ -1254,7 +1282,10 @@ object SyncOps {
   private def warcFixtureFiles(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val crlf = lit("\r\n")
-    val body = concat(lit("<html>doc "), id, lit("</html>"))
+    // doc text spliced into the payload: hostile corpora put CRLFCRLF
+    // runs, fake "WARC/1.0" headers and non-ASCII here — Content-Length
+    // octet framing must hold regardless of payload content
+    val body = concat(lit("<html>doc "), id, lit(" "), col("text"), lit("</html>"))
     val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
     val uri = concat(lit("https://"), col("source"), lit(".example.eu/d/"), id)
     val rec = concat(
@@ -1350,7 +1381,7 @@ object SyncOps {
       col("source"), id,
       concat(lit("https://"), col("source"), lit(".example.eu/d/"), id).as("url"),
       concat(lit("2026-01-0"), id % 9 + 1, lit("T00:00:00Z")).as("fetched"),
-      concat(lit("<html>doc "), id, lit(" é</html>")).as("payload"))
+      concat(lit("<html>doc "), id, lit(" é "), col("text"), lit("</html>")).as("payload"))
     val recs = formatWarcRecords(docs, "url", "fetched", "payload")
       .withColumn("file_key", concat(col("source"), lit("-"), id % 8))
     assembleWarcFiles(recs, "file_key", "doc_id")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-tracking main: measures the approximate operators' recall
+  * against their exact counterparts and writes one JSON record
+  * (`RECALL.json`, plus the same line on stdout) so recall trends across
+  * rounds as a diff — the spec assertions (AnnOpsSpec / DedupOpsSpec)
+  * gate on fixed thresholds and would hide a drift from, say, 0.94 to
+  * 0.72 as a still-above-threshold pass.
+  *
+  * Families measured (same parameters as their specs):
+  *  - `ann_lsh`: lshTopK recall@10 vs bruteTopK on the embeddings corpus
+  *    (queries = every 100th vector; spec floor 0.7, measured ~0.94);
+  *  - `ann_ivf`: ivfTopK recall@10 at nlist=8 / nprobe=4 — half the cells
+  *    probed (spec floor 0.6, measured ~0.80);
+  *  - `dedup_semantic`: SemDeDup centroid blocking vs the exact
+  *    all-pairs result on the planted corpus — planted-duplicate recall
+  *    (spec requires 1.0: cos=1 pairs share a centroid by construction)
+  *    and overall pair recall (how many exact tau-pairs the blocking
+  *    keeps; a subset by design, so this is the one that can drift).
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val spark: SparkSession = GraftSession.get("graft-recall")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val vecs = operators.AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val exactTopK = pairSet(operators.AnnOps.bruteTopK(vecs, queries, k = 10)
+      .select("query_id", "neighbor_id"))
+    val lsh = pairSet(operators.AnnOps.lshTopK(vecs, queries, k = 10)
+      .select("query_id", "neighbor_id"))
+    val ivf = pairSet(operators.AnnOps.ivfTopK(vecs, queries, k = 10,
+      nlist = 8, nprobe = 4).select("query_id", "neighbor_id"))
+    val lshRecall = lsh.intersect(exactTopK).size.toDouble / exactTopK.size
+    val ivfRecall = ivf.intersect(exactTopK).size.toDouble / exactTopK.size
+
+    val planted = operators.DedupOps.plantedEmbeddings(spark, sfDir)
+    val exactPairs = pairSet(operators.DedupOps.embeddingPairs(planted, tau = 0.95)
+      .select("id1", "id2"))
+    val semPairs = pairSet(operators.DedupOps.semanticDedupPairs(planted, tau = 0.95)
+      .select("id1", "id2"))
+    val plantedPairs = exactPairs.filter { case (a, b) => b == a + 100000 }
+    val semPlantedRecall =
+      plantedPairs.intersect(semPairs).size.toDouble / plantedPairs.size
+    val semPairRecall = semPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    val semSubsetOk = semPairs.subsetOf(exactPairs)
+
+    def fnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val record =
+      s"""{"sf":"$sfDir","k":10,"n_queries":${queries.count()},""" +
+      s""""ann_lsh_recall":${fnum(lshRecall)},"ann_lsh_floor":0.7,""" +
+      s""""ann_ivf_recall":${fnum(ivfRecall)},"ann_ivf_floor":0.6,""" +
+      s""""exact_topk_pairs":${exactTopK.size},""" +
+      s""""sem_planted_recall":${fnum(semPlantedRecall)},"sem_planted_floor":1.0,""" +
+      s""""sem_pair_recall":${fnum(semPairRecall)},""" +
+      s""""sem_subset_ok":$semSubsetOk,"exact_tau_pairs":${exactPairs.size},""" +
+      s""""planted_pairs":${plantedPairs.size}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("RECALL.json"), record.getBytes("UTF-8"))
+    System.err.flush()
+    println(record)
+    spark.stop()
+  }
+}

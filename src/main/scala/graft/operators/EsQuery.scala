@@ -224,7 +224,7 @@ object EsQuery {
           case c if "\\.[]{}()<>+-=!$^|,#&~'\" ".contains(c) => "\\" + c
           case c => c.toString
         }
-        val pred = col(f).rlike(s"(?s)^$regex$$")
+        val pred = col(f).rlike(s"(?s)^$regex\\z")  // \z: RE2's $ is end-of-text; Java's $ is terminator-lenient
         (pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
       case "bool" =>

@@ -1079,7 +1079,7 @@ object NormOps {
       whitelist: Seq[String],
       blacklist: Seq[String]): DataFrame = {
     def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
-    val docLoc = regexp_replace(col("loc"), "^/+|/+$", "")
+    val docLoc = regexp_replace(col("loc"), "^/+|/+\\z", "")
     // last-wins fold: later rules overwrite earlier matches
     val byRules = rules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>

@@ -266,8 +266,8 @@ object SiteNormalizers {
 
     // :107-120 — Webpage / Country fact sheet re-resolve by URL path rules.
     // parse_url(.., 'PATH') is the wrapper's urlparse(id).path.
-    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>
         val matched =
@@ -669,8 +669,8 @@ object SiteNormalizers {
 
     // :50-60 — ONLY Webpage re-resolves by location rules (narrower than
     // wise_marine's Webpage+factsheet set)
-    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>
         val matched =
@@ -763,8 +763,8 @@ object SiteNormalizers {
       normObjCols = Some(Seq("object_provides_scalar")),
       descriptionCol = Some("description")))
 
-    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>
         val matched =
@@ -928,7 +928,7 @@ object SiteNormalizers {
 
     // :41-44 — any 'sandbox' PATH SEGMENT drops the doc post-normalization
     val pathParts = split(
-      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", ""), "/")
     val opBase = array(col("object_provides_scalar"))
     val isFileOrImage =
       array_contains(opBase, "File") || array_contains(opBase, "Image")
@@ -1027,7 +1027,7 @@ object SiteNormalizers {
       themes = Seq("biodiversity"),
       whitelist = Seq("Document", "Page", "News Item"))
     val parts = split(
-      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", ""), "/")
     val isStats = try_element_at(parts, lit(1)) === "products" &&
       try_element_at(parts, lit(2)) === "european-statistics"
     base
@@ -1071,8 +1071,8 @@ object SiteNormalizers {
       normObjCols = Some(Seq("object_provides_scalar")),
       descriptionCol = Some("description")))
 
-    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>
         val matched =
@@ -1148,8 +1148,8 @@ object SiteNormalizers {
       normMissing = Seq("places" -> "unknown"),
       descriptionCol = Some("description")))
 
-    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", "")
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    val docLoc = regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", "")
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val byRules = locationRules.foldLeft(lit(null).cast("array<string>")) {
       case (acc, (path, ct)) =>
         val matched =
@@ -1215,7 +1215,7 @@ object SiteNormalizers {
       normObjCols = Some(Seq("object_provides_scalar")),
       descriptionCol = Some("description")))
     val parts = split(
-      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+$", ""), "/")
+      regexp_replace(parse_url(col("id"), lit("PATH")), "^/+|/+\\z", ""), "/")
     val etc = when(try_element_at(parts, lit(1)) === "etcs",
       try_element_at(parts, lit(2)))
     val topic = eionetTopicMap.foldLeft(lit(null).cast("array<string>")) {
@@ -1255,7 +1255,7 @@ object SiteNormalizers {
       descriptionCol = Some("description")))
 
     val loc = col("id")
-    val locStripped = regexp_replace(loc, "/+$", "")
+    val locStripped = regexp_replace(loc, "/+\\z", "")
     val ccHome = locStripped.isInCollection(Seq(
       "https://discomap.eea.europa.eu/climatechange/?page=Home",
       "https://discomap.eea.europa.eu/climatechange"))

@@ -92,7 +92,7 @@ object SyncOps {
       .groupBy("url")
       .agg(min("doc_id").as("id"))
       .withColumn("path", regexp_replace(col("url"), "^https?://[^/]+", ""))
-      .withColumn("ext", lower(regexp_extract(col("url"), "\\.([A-Za-z0-9]+)$", 1)))
+      .withColumn("ext", lower(regexp_extract(col("url"), "\\.([A-Za-z0-9]+)\\z", 1)))
     val kept = deduped
       .filter(!col("ext").isin(SkipExtensions: _*))
       .filter(!col("path").isin(blacklistPaths: _*))
@@ -445,7 +445,7 @@ object SyncOps {
     val hrefs = regexp_extract_all(col(htmlCol), lit(LinkRe), lit(1))
     val anchors = regexp_extract_all(col(htmlCol), lit(LinkRe), lit(2))
     val host = regexp_extract(col(pageUrlCol), "^https?://[^/]+", 0)
-    val dir = regexp_replace(col(pageUrlCol), "/[^/]*$", "/")
+    val dir = regexp_replace(col(pageUrlCol), "/[^/]*\\z", "/")
     docs
       .select(col("*"), posexplode(arrays_zip(hrefs, anchors)).as(Seq("pos", "lnk")))
       .withColumn("href", col("lnk.0"))
@@ -648,7 +648,7 @@ object SyncOps {
     }
     val m = typedLit(inv)
     val parts = split(
-      regexp_replace(regexp_replace(url, "^[^/]*://", ""), "^/+|/+$", ""), "/")
+      regexp_replace(regexp_replace(url, "^[^/]*://", ""), "^/+|/+\\z", ""), "/")
     val names = when(size(parts) > 1,
       transform(sequence(size(parts) - 1, lit(1), lit(-1)),
         l => array_join(slice(parts, lit(1), l), "/")))
@@ -1101,7 +1101,7 @@ object SyncOps {
       .select(col(hostCol).as("__vh"), col(urlCol).as("__vu"))
       .withColumn("__fn", {
         val u = col("__vu")
-        val tail = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+        val tail = regexp_extract(u, "(?s)^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)", 1)
         val fn = when(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1) === "", u)
           .otherwise(tail)
         when(fn === "", lit("/")).otherwise(fn)
@@ -1415,7 +1415,7 @@ object SyncOps {
   def warcCdx(records: DataFrame, urlCol: String, filename: Column): DataFrame = {
     val u = col(urlCol)
     val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(u, "(?s)^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)", 1)
     records
       .filter(col("warc_type") === "response")
       .withColumn("urlkey",

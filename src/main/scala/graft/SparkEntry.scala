@@ -615,12 +615,12 @@ object SparkEntry {
         |  SELECT doc_id, source AS host,
         |    CASE CAST(doc_id % 7 AS INT)
         |      WHEN 0 THEN '/docs/private/' || doc_id
-        |      WHEN 1 THEN '/docs/' || doc_id
+        |      WHEN 1 THEN '/docs/' || doc_id || '-' || text
         |      WHEN 2 THEN '/search?q=' || doc_id
         |      WHEN 3 THEN '/exact'
         |      WHEN 4 THEN '/exact/' || doc_id
         |      WHEN 5 THEN '/team/' || doc_id
-        |      ELSE '/' || doc_id END AS fn
+        |      ELSE '/' || doc_id || '-' || text END AS fn
         |  FROM documents),
         |uu AS (
         |  SELECT doc_id, host, 'https://' || host || '.example.eu' || fn AS url,

@@ -1159,13 +1159,18 @@ object SyncOps {
           lit("User-agent: *"), nl,
           lit("Disallow: /")).as("content"))
     val rules = parseRobotsTxt(robots, "host", "content")
+    // branches 1 and 6 splice the doc text into the TESTED path:
+    // hostile corpora put '#'/'?'/newlines/unicode here, stressing the
+    // path+query extraction and the literal prefix cascade on both
+    // engines (the deciding rule prefixes precede the splice, so the
+    // CPython robots_differential's verdict classes are unchanged)
     val path = when(id % 7 === 0, concat(lit("/docs/private/"), id))
-      .when(id % 7 === 1, concat(lit("/docs/"), id))
+      .when(id % 7 === 1, concat(lit("/docs/"), id, lit("-"), col("text")))
       .when(id % 7 === 2, concat(lit("/search?q="), id))
       .when(id % 7 === 3, lit("/exact"))
       .when(id % 7 === 4, concat(lit("/exact/"), id))
       .when(id % 7 === 5, concat(lit("/team/"), id))
-      .otherwise(concat(lit("/"), id))
+      .otherwise(concat(lit("/"), id, lit("-"), col("text")))
     val urls = Tables.documents(s, d).select(
       id, col("source").as("host"),
       concat(lit("https://"), col("source"), lit(".example.eu"), path).as("url"))

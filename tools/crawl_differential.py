@@ -19,7 +19,9 @@ engines' parsing pipelines and the DuckDB compare adjudicates:
   - sitemap: non-ASCII/percent-junk <loc> values, stray '<' and '&',
     literal "</loc>"/"</url>" (structure injection — the entry regex
     must fragment identically in Java and RE2);
-  - robots: rule paths carrying CRLF / bare CR / NEL / U+2028/U+2029
+  - robots: rule paths (robots_parse) and TESTED url paths
+    (robots_fetch — the path+query extraction and the literal prefix
+    cascade) carrying CRLF / bare CR / NEL / U+2028/U+2029
     (CPython-splitlines classes — injected raw lines start groups and
     close entries on BOTH line machines), '#' comment starts, extra
     ':'s;
@@ -37,7 +39,7 @@ Run the REAL gate over the generated corpus:
     rm -rf /tmp/verify_crawl
     sbt -batch "runMain graft.Verify /tmp/graft_crawl /tmp/verify_crawl \
         url_canonical sitemap_parse warc_parse warc_cdx warc_write \
-        link_extract robots_parse"
+        link_extract robots_parse robots_fetch"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_crawl /tmp/verify_crawl
 
 Any FAIL is a live engine seam (Java vs RE2 regex, byte accounting,

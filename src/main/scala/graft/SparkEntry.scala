@@ -469,7 +469,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT source, doc_id,
         |    'https://' || source || '.example.eu/sitemap-' || (doc_id % 3) || '.xml' AS leaf_url,
-        |    '<url><loc>https://example.eu/d/' || doc_id || '</loc>' ||
+        |    '<url><loc>https://example.eu/d/' || doc_id || '-' || text || '</loc>' ||
         |    CASE WHEN doc_id % 3 = 0
         |         THEN '<lastmod>2026-0' || (doc_id % 9 + 1) || '-01</lastmod>'
         |         ELSE '' END || '</url>' AS entry
@@ -504,7 +504,7 @@ object SparkEntry {
         |SELECT source, sitemap_url, sitemap_lastmod,
         |  coalesce(regexp_extract(ue, '<loc>([^<]*)</loc>', 1), '') AS url,
         |  coalesce(regexp_extract(ue, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
-        |FROM pages ORDER BY source, sitemap_url, url""".stripMargin,
+        |FROM pages ORDER BY source, sitemap_url, url, lastmod""".stripMargin,
     // robots_parse: rebuild the identical robots.txt fixture, then replay
     // the CPython robotparser state machine with the same window logic —
     // blank-on-RAW-line, lag-based group starts, running blank count

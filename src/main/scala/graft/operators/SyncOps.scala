@@ -1571,8 +1571,10 @@ object SyncOps {
   def qSitemapIndex(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val docs = Tables.documents(s, d)
+    // text spliced into the leaf <loc> like sitemap_parse — the two-level
+    // resolve must fragment injected entries identically on both engines
     val entry = concat(
-      lit("<url><loc>https://example.eu/d/"), id, lit("</loc>"),
+      lit("<url><loc>https://example.eu/d/"), id, lit("-"), col("text"), lit("</loc>"),
       when(id % 3 === 0, concat(lit("<lastmod>2026-0"), id % 9 + 1, lit("-01</lastmod>")))
         .otherwise(lit("")),
       lit("</url>"))
@@ -1597,7 +1599,8 @@ object SyncOps {
     sitemapTree(indexes, "idx_xml", leaves.drop("source"), "leaf_url", "leaf_xml")
       .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
         col("url"), col("lastmod"))
-      .orderBy("source", "sitemap_url", "url")
+      // lastmod in the sort: injected "</url>" fragments can tie on url=''
+      .orderBy("source", "sitemap_url", "url", "lastmod")
   }
 
   /** queries() wrapper for [[sitemapTreeDeep]]: a THREE-level tree per

@@ -2311,15 +2311,16 @@ object SparkEntry {
       """WITH l AS (
         |  SELECT doc_id AS src_id,
         |    'https://hub.eu/p/' || (doc_id % 31) AS target,
-        |    'label ' || (doc_id % 3) AS anchor
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE 'label ' || (doc_id % 3) END AS anchor
         |  FROM documents),
         |tot AS (
         |  SELECT target, count(*) AS inbound_links,
         |    count(DISTINCT src_id) AS n_sources
         |  FROM l GROUP BY target),
         |c AS (
-        |  SELECT target, anchor, count(*) AS n
-        |  FROM l GROUP BY target, anchor),
+        |  SELECT target, trim(anchor) AS anchor, count(*) AS n
+        |  FROM l WHERE trim(anchor) <> '' GROUP BY target, trim(anchor)),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY target ORDER BY n DESC, anchor) AS rk

@@ -1098,7 +1098,11 @@ object TextAnalysis {
     val links = Tables.documents(s, d).select(
       id.as("src_id"),
       concat(lit("https://hub.eu/p/"), id % 31).as("link_url"),
-      concat(lit("label "), (id % 3)).as("anchor"))
+      // every third anchor is the raw doc text: hostile corpora drive
+      // padded/blank/unicode anchors through the trim + blank-filter and
+      // the (count desc, anchor) byte-order tiebreak on both engines
+      when(id % 3 === 0, col("text"))
+        .otherwise(concat(lit("label "), (id % 3))).as("anchor"))
     anchorText(links, "link_url", "anchor", "src_id", maxTexts = 2)
       .orderBy("target")
   }

@@ -39,7 +39,7 @@ Run the REAL gate over the generated corpus:
     rm -rf /tmp/verify_crawl
     sbt -batch "runMain graft.Verify /tmp/graft_crawl /tmp/verify_crawl \
         url_canonical sitemap_parse sitemap_index warc_parse warc_cdx \
-        warc_write link_extract robots_parse robots_fetch"
+        warc_write link_extract robots_parse robots_fetch anchor_text"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_crawl /tmp/verify_crawl
 
 Any FAIL is a live engine seam (Java vs RE2 regex, byte accounting,

@@ -545,12 +545,15 @@ object SparkEntry {
         |  FROM robots),
         |kv AS (
         |  SELECT host, line_no, raw = '' AS is_blank,
-        |    trim(regexp_replace(raw, '#.*$', '')) AS line
+        |    regexp_replace(regexp_replace(raw, '#.*$', ''),
+        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g') AS line
         |  FROM lines),
         |kv2 AS (
         |  SELECT *,
-        |    lower(trim(coalesce(regexp_extract(line, '^([^:]+):', 1), ''))) AS key,
-        |    trim(coalesce(regexp_extract(line, '^[^:]*:(.*)$', 1), '')) AS value
+        |    lower(regexp_replace(coalesce(regexp_extract(line, '^([^:]+):', 1), ''),
+        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g')) AS key,
+        |    regexp_replace(coalesce(regexp_extract(line, '^[^:]*:(.*)$', 1), ''),
+        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g') AS value
         |  FROM kv),
         |kept AS (
         |  SELECT *, (NOT is_blank AND key = 'user-agent') AS is_ua FROM kv2

@@ -17,13 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Edge trim over Unicode Zs space separators — EXACTLY what DuckDB's
+    * bare `trim()` strips (probed: space, NBSP, U+1680, U+2000-U+200A,
+    * U+202F, U+205F, U+3000 — not \t/\r/\n/NEL/LS/PS). Spark's `trim()`
+    * strips ASCII space ONLY, so a twin written with DuckDB `trim(x)`
+    * silently diverges on NBSP-edged text (caught by the crawl
+    * differential on a U+00A0-suffixed anchor). All operator-side edge
+    * trims use this so the 90 twin trim() sites stay engine-exact; it is
+    * also strictly closer to the reference's Python `str.strip()` than
+    * ASCII-space trim (Python additionally strips \t\n\r\f\v — that
+    * remainder is the documented approximation).
+    */
+  val ZsClass = "[ \u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]"
+  def zsTrim(c: Column): Column =
+    regexp_replace(c, "^" + ZsClass + "+|" + ZsClass + "+\\z", "")
+
   /** Reference regex verbatim (normalizers.py:211); `.` does not cross
     * newlines in either Java or Python regex, matching the reference.
     */
   val HtmlTagRe = "<.*?>"
 
   /** HTML → text: strip tags, then trim (normalizers.py:208-213). */
-  def cleanHtml(c: Column): Column = trim(regexp_replace(c, HtmlTagRe, ""))
+  def cleanHtml(c: Column): Column = zsTrim(regexp_replace(c, HtmlTagRe, ""))
 
   /** Remove whole element subtrees by simple CSS selector (`#id` /
     * `.class` / `.a.b`) — the `remove_by_selector` step of the
@@ -94,7 +109,7 @@ object TextFns {
     * the corpus is single-space separated so this equals Python
     * `text.strip().split(" ")` (normalizers.py:592).
     */
-  def spaceTokens(c: Column): Column = split(trim(c), " ")
+  def spaceTokens(c: Column): Column = split(zsTrim(c), " ")
 
   /** First `n` space-tokens re-joined — the description fallback
     * (normalizers.py:592).

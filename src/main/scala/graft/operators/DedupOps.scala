@@ -44,7 +44,7 @@ object DedupOps {
     * (keep_id, is_dup) so downstream filters are a cheap projection.
     */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(lower(trim(col(textCol))))
+    val h = md5(lower(zsTrim(col(textCol))))
     val byHash = Window.partitionBy("content_hash")
     docs
       .withColumn("content_hash", h)
@@ -637,7 +637,7 @@ object DedupOps {
     val sents = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), splitRegex)).as(Seq("pos0", "sent")))
-      .filter(trim(col("sent")) =!= "")
+      .filter(zsTrim(col("sent")) =!= "")
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "pos", "sent")
     val wp = Window.partitionBy("doc_id").orderBy("pos")

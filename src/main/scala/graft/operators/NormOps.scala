@@ -119,7 +119,7 @@ object NormOps {
     val spanRe = "\\x01[^\\x02]*\\x02"
     val markRe = "[\\x01\\x02]"
     val scored = transform(lines, l => {
-      val vis = trim(regexp_replace(l, markRe, ""))
+      val vis = zsTrim(regexp_replace(l, markRe, ""))
       val linkLen = length(l) - length(regexp_replace(l, spanRe, "")) -
         size(regexp_extract_all(l, lit(spanRe), lit(0))) * 2
       val keep = length(vis) > 0 &&
@@ -134,7 +134,7 @@ object NormOps {
         (length(vis) >= minChars || vis.rlike("(?d)[.!?]$"))
       struct(vis.as("t"), keep.as("keep"))
     })
-    trim(array_join(
+    zsTrim(array_join(
       transform(filter(scored, c => c.getField("keep")), c => c.getField("t")), "\n"))
   }
 
@@ -1418,7 +1418,7 @@ object NormOps {
     // 12. strip_fields (:146): trim every string
     val s12 = s11.schema.fields.foldLeft(s11) { (d, f) =>
       f.dataType match {
-        case StringType => d.withColumn(f.name, trim(qcol(f.name)))
+        case StringType => d.withColumn(f.name, zsTrim(qcol(f.name)))
         case _ => d
       }
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.TextFns.zsTrim
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 
@@ -495,7 +496,7 @@ object SiteNormalizers {
           try_element_at(col("revisionYearForResource"), lit(-1)).cast("int"),
           lit(2500)))
       .withColumn("update_frequency_value", // :409-448 — key → label, else raw key
-        coalesce(try_element_at(typedLit(sdiUpdateFrequency), trim(freq)),
+        coalesce(try_element_at(typedLit(sdiUpdateFrequency), zsTrim(freq)),
           freq, lit("Unknown")))
       .withColumn("organisation_name", // :452-457 — first contact
         try_element_at(col("contact"), lit(1))
@@ -635,7 +636,7 @@ object SiteNormalizers {
   def bepStrip(c: Column, prefix: String): Column = {
     val pat = "^" + prefix + "\\d+\\s-\\s(.+)$"
     transform(c, x =>
-      when(x.rlike(pat), trim(regexp_extract(x, pat, 1))).otherwise(x))
+      when(x.rlike(pat), zsTrim(regexp_extract(x, pat, 1))).otherwise(x))
   }
 
   /** `normalize_freshwater` (site_wise_freshwater.py:22-131) end-to-end.
@@ -794,7 +795,7 @@ object SiteNormalizers {
     * the regex extraction exact).
     */
   def pageTitle(html: Column): Column =
-    trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+    zsTrim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
 
   /** `normalize_industry`@noise (site_noise.py:23-45): every doc is forced
     * to a published Page, then constants — objectProvides
@@ -833,8 +834,8 @@ object SiteNormalizers {
     * same). NULL inputs score 0.
     */
   def diceSim(a: Column, b: Column): Column = {
-    val ta = array_distinct(split(trim(coalesce(a, lit(""))), "\\s+"))
-    val tb = array_distinct(split(trim(coalesce(b, lit(""))), "\\s+"))
+    val ta = array_distinct(split(zsTrim(coalesce(a, lit(""))), "\\s+"))
+    val tb = array_distinct(split(zsTrim(coalesce(b, lit(""))), "\\s+"))
     when(size(ta) + size(tb) === 0, lit(0.0))
       .otherwise(size(array_intersect(ta, tb)) * 2.0 / (size(ta) + size(tb)))
   }
@@ -1350,7 +1351,7 @@ object SiteNormalizers {
       t => try_element_at(split(t, "#"), lit(-1)))
     // get_library_categories_facet (:33-35): '»' group prefix, first-dedup
     val facet = array_distinct(transform(values,
-      v => trim(try_element_at(split(v, "»"), lit(1)))))
+      v => zsTrim(try_element_at(split(v, "»"), lit(1)))))
     val isTechLib = col("type_raw") === "TechnicalLibrary"
     val techDate = coalesce( // :66-69
       col("publication_date"), col("creation_date"), col("created"))

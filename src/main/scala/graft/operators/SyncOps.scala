@@ -449,7 +449,7 @@ object SyncOps {
     docs
       .select(col("*"), posexplode(arrays_zip(hrefs, anchors)).as(Seq("pos", "lnk")))
       .withColumn("href", col("lnk.0"))
-      .withColumn("anchor", trim(regexp_replace(col("lnk.1"), "<.*?>", "")))
+      .withColumn("anchor", graft.functions.TextFns.zsTrim(regexp_replace(col("lnk.1"), "<.*?>", "")))
       // scheme names are case-insensitive (RFC 3986 §3.1): JAVASCRIPT: and
       // HTTPS:// must behave exactly like their lowercase forms — a
       // case-sensitive test would treat HTTPS://ex.eu/x as a
@@ -877,6 +877,20 @@ object SyncOps {
     * (a blank line occurred at or before this row within the entry —
     * rows after it are state-0 noise), `key`, `value`.
     */
+
+  /** Python `str.strip()` for robots lines — CPython's robotparser strips
+    * FULL whitespace (`line.strip()`), not just spaces: tab-padded
+    * `\tDisallow:` lines are real-web content and must parse. The class
+    * lists the isspace() chars that can actually survive the splitlines
+    * split (terminators are already consumed): space, \t, and the
+    * non-terminator Unicode spaces. Same class spelled out in the DuckDB
+    * twins.
+    */
+  private val PyStripRe =
+    "^[ \t\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+|" +
+    "[ \t\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+\\z"
+  private def pyStrip(c: Column): Column = regexp_replace(c, PyStripRe, "")
+
   private def robotsGrouped(robots: DataFrame, hostCol: String,
       contentCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -895,9 +909,9 @@ object SyncOps {
       // the comment strip); a comment-only line cleans to "" but is NOT
       // blank — it must neither close the entry nor emit anything
       .withColumn("is_blank", col("raw") === "")
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
-      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
-      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
+      .withColumn("line", pyStrip(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("key", lower(pyStrip(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", pyStrip(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
       .filter(col("is_blank") ||
         col("key").isin("user-agent", "allow", "disallow", "crawl-delay", "request-rate"))
     kv
@@ -1203,10 +1217,10 @@ object SyncOps {
       explode(split(col(contentCol),
         "\r\n|[\n\r\u000B\u000C\u001C\u001D\u001E\u0085\u2028\u2029]"))
         .as("raw"))
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
-      .filter(lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
+      .withColumn("line", pyStrip(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(lower(pyStrip(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
       .select(col("host"),
-        trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)).as("sitemap_url"))
+        pyStrip(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
       .distinct()
 

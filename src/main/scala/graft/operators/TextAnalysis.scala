@@ -141,7 +141,7 @@ object TextAnalysis {
     val toks = spaceTokens(t)
     val nWords = size(toks).cast("long")
     val meanWordLen =
-      (length(trim(t)) - (nWords - 1)).cast("double") / nWords.cast("double")
+      (length(zsTrim(t)) - (nWords - 1)).cast("double") / nWords.cast("double")
     val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
     val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
     val stopHits = tokensIn(toks, Stopwords.head._2)
@@ -190,7 +190,7 @@ object TextAnalysis {
   def repetitionQuality(docs: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val t = col(textCol)
-    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val lines = filter(split(t, "\n"), l => length(zsTrim(l)) > 0)
     val nLines = size(lines).cast("double")
     val distinctLines = array_distinct(lines)
     val lineChars = length(array_join(lines, "")).cast("double")
@@ -1074,8 +1074,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("inbound_links"),
         countDistinct(col(srcCol)).as("n_sources"))
     val counted = links
-      .filter(trim(col(anchorCol)) =!= "")
-      .groupBy(col(targetCol).as("target"), trim(col(anchorCol)).as("anchor"))
+      .filter(zsTrim(col(anchorCol)) =!= "")
+      .groupBy(col(targetCol).as("target"), zsTrim(col(anchorCol)).as("anchor"))
       .agg(count(lit(1)).as("n"))
     val tops = counted
       .withColumn("r", row_number().over(

@@ -377,6 +377,21 @@ class SyncOpsSpec extends SparkSpec {
     assert(g2.head._2.toSeq == Seq("*") && g2.map(_._5).toSeq == Seq("/b"))
   }
 
+  test("parseRobotsTxt strips FULL whitespace like CPython's line.strip()") {
+    // robotparser does `line.strip()` — tab/NBSP padding around keys and
+    // values is real-web content and must parse, not drop. Verified
+    // against CPython 3: these lines yield ua=['padded'] with rules
+    // /tabbed (deny) and /nbsp (deny).
+    val rules = robotsOf(Seq(
+      "\tUser-agent\t: padded",
+      " \t Disallow: \t/tabbed\t ",
+      "\u00A0Disallow:\u00A0/nbsp\u00A0").mkString("\n"))
+      .collect().map(r => (r.getAs[scala.collection.Seq[String]]("agents").toSeq,
+        r.getAs[String]("path")))
+    assert(rules.toSeq == Seq((Seq("padded"), "/tabbed"), (Seq("padded"), "/nbsp")),
+      s"tab/NBSP-padded lines must strip like Python, got ${rules.toSeq}")
+  }
+
   test("parseRobotsTxt: blank after UA header discards the entry; crawl-delay keeps it open") {
     val rules = robotsOf(Seq(
       "User-agent: ghost",

@@ -79,6 +79,12 @@ LINES = [
     "Ends with a question mark?",
     "Ends with a bang!",
     "not.quite.terminal.punct:x",                    # drop (no terminal)
+    "\u00A0NBSP-edged line that is long enough to keep on length.\u00A0",
+                                                     # Zs-trim seam: DuckDB
+                                                     # trim() strips NBSP,
+                                                     # Spark trim() did not
+                                                     # (zsTrim closes it)
+    "\u3000ideographic-space padded but plenty long to keep\u3000",
 ]
 
 

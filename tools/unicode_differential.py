@@ -77,6 +77,9 @@ HOSTILE_TOKENS = [
     "①",                              # circled Nd-lookalike (No)
     "Ⓐ",                              # circled letter (So, Other_Alphabetic:
                                       # Java \w includes, class excludes)
+    "\u00A0nbspEdge\u00A0",           # Zs chars at token edges: DuckDB
+                                      # trim() strips them, Spark trim()
+                                      # does not — zsTrim pins the pair
 ]
 
 

@@ -2147,9 +2147,9 @@ object SparkEntry {
         |  SELECT doc_id, text FROM base
         |  UNION ALL SELECT doc_id + 1000000, text || ' ' FROM base WHERE doc_id % 7 = 0
         |  UNION ALL SELECT doc_id + 2000000,
-        |    array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' ')
+        |    coalesce(array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' '), '')
         |    FROM base WHERE doc_id % 9 = 0),
-        |h AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM corpus)
+        |h AS (SELECT doc_id, md5(regexp_replace(lower(replace(trim(text), 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')) AS content_hash FROM corpus)
         |SELECT doc_id, content_hash,
         |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
@@ -2160,7 +2160,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, text FROM base
         |  UNION ALL SELECT doc_id + 1000000, lang, source, text || ' ' FROM base WHERE doc_id % 7 = 0
         |  UNION ALL SELECT doc_id + 2000000, lang, source,
-        |    array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' ')
+        |    coalesce(array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' '), '')
         |    FROM base WHERE doc_id % 9 = 0),
         |g AS (SELECT doc_id, lang, source,
         |        list_distinct(list_transform(range(1, len(w) - 1),
@@ -2247,7 +2247,7 @@ object SparkEntry {
     // WordNgramsAll kernel exactly.
     "bpe_pairs" ->
       """WITH w AS (
-        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS word
         |  FROM documents),
         |wc AS (
         |  SELECT word, count(*) AS wcnt FROM w WHERE word <> '' GROUP BY word),
@@ -2291,14 +2291,14 @@ object SparkEntry {
     // engines derive it identically), hits counted per doc, zero-hit keeps.
     "badwords_filter" ->
       """WITH w AS (
-        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS w
         |  FROM documents),
         |top5 AS (
         |  SELECT w FROM (
         |    SELECT w, count(*) AS c FROM w WHERE w <> ''
         |    GROUP BY w ORDER BY c DESC, w LIMIT 5)),
         |toks AS (
-        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS tok
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, count(*) AS hits
@@ -2379,7 +2379,7 @@ object SparkEntry {
     // unigram+bigram features, and recomputes mean-weight → sigmoid.
     "quality_classifier" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ') AS w
         |  FROM documents),
         |feats AS (
         |  SELECT doc_id, UNNEST(list_concat(w,

@@ -32,10 +32,14 @@ object TextFns {
   def zsTrim(c: Column): Column =
     regexp_replace(c, "^" + ZsClass + "+|" + ZsClass + "+\\z", "")
 
-  /** Reference regex verbatim (normalizers.py:211); `.` does not cross
-    * newlines in either Java or Python regex, matching the reference.
+  /** Reference regex (normalizers.py:211) with (?d): Python's `.` (and
+    * RE2's) excludes ONLY \n, but Java's bare `.` also refuses \r, NEL,
+    * LS and PS — so a tag broken by a bare \r ("<div\rclass=x>") is
+    * stripped by the reference and the oracle but was left in place by
+    * Java. UNIX_LINES restricts Java's dot to the \n-only rule all three
+    * engines then share.
     */
-  val HtmlTagRe = "<.*?>"
+  val HtmlTagRe = "(?d)<.*?>"
 
   /** HTML → text: strip tags, then trim (normalizers.py:208-213). */
   def cleanHtml(c: Column): Column = zsTrim(regexp_replace(c, HtmlTagRe, ""))

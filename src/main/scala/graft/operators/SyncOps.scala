@@ -449,7 +449,7 @@ object SyncOps {
     docs
       .select(col("*"), posexplode(arrays_zip(hrefs, anchors)).as(Seq("pos", "lnk")))
       .withColumn("href", col("lnk.0"))
-      .withColumn("anchor", graft.functions.TextFns.zsTrim(regexp_replace(col("lnk.1"), "<.*?>", "")))
+      .withColumn("anchor", graft.functions.TextFns.zsTrim(regexp_replace(col("lnk.1"), graft.functions.TextFns.HtmlTagRe, "")))
       // scheme names are case-insensitive (RFC 3986 §3.1): JAVASCRIPT: and
       // HTTPS:// must behave exactly like their lowercase forms — a
       // case-sensitive test would treat HTTPS://ex.eu/x as a

@@ -974,7 +974,11 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
     // '.'-regex char split (never yields the trailing "" that split-on-""
     // does); pairs via the codegen'd n-gram kernel, '_'-joined
-    val chars = regexp_extract_all(col("word"), lit("."), lit(0))
+    // (?d): Java's bare `.` skips \r/NEL/LS/PS as well as \n, so a
+    // CRLF-bearing word char-split differently than RE2/Python (which
+    // skip only \n) — the s_c-count divergence the case differential
+    // caught. UNIX_LINES aligns all three.
+    val chars = regexp_extract_all(col("word"), lit("(?d)."), lit(0))
     val pairExpr = GraftSqlBridge.column(graft.functions.WordNgramsAll(
       GraftSqlBridge.expression(chars), 2))
     words

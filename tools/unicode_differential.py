@@ -21,7 +21,8 @@ exact parquet shape, and the caller then runs the REAL gate over it:
         search_bool facet_counts facet_stats es_agg perplexity_bucket \
         dsir_select norm_clean_html norm_boilerplate text_passages \
         norm_add_counts norm_join_text line_dedup main_text_blocks \
-        nlp_preprocess passage_clean norm_strip_selectors"
+        nlp_preprocess passage_clean norm_strip_selectors dedup_exact \
+        quality_classifier badwords_filter bpe_pairs ngram_jaccard"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
 
 Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a
@@ -80,6 +81,11 @@ HOSTILE_TOKENS = [
     "\u00A0nbspEdge\u00A0",           # Zs chars at token edges: DuckDB
                                       # trim() strips them, Spark trim()
                                       # does not — zsTrim pins the pair
+    "İstanbul",                       # U+0130: full lowercase is i+U+0307
+                                      # (Java/Python); utf8proc simple is i
+    "ΟΔΟΣ",                           # trailing capital sigma: full casing
+                                      # lowers to final ς, simple to σ
+    "ΣΙΓΜΑΣ",                         # leading + trailing sigma
 ]
 
 

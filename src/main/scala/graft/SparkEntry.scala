@@ -62,6 +62,7 @@ object SparkEntry {
     "text_passages" -> (NormOps.qTextPassages _),
     "passage_clean" -> (NormOps.qPassageClean _),
     "flatten_json" -> (NormOps.qFlattenJson _),
+    "json_escape" -> (NormOps.qJsonEscape _),
     "norm_themes" -> (NormOps.qNormThemes _),
     "taxonomy_merge" -> (NormOps.qTaxonomyMerge _),
     "norm_provenance" -> (NormOps.qNormProvenance _),
@@ -2141,6 +2142,10 @@ object SparkEntry {
         |        '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' || n_chars || '}' AS src
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "json_escape" ->
+      """SELECT doc_id, to_json({'t': text}) AS j,
+        |  json_extract_string(to_json({'t': text}), '$.t') AS rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (

@@ -1154,6 +1154,21 @@ object NormOps {
     * (The generic struct flattener is spec-tested; JSON-string extraction is
     * the oracle-checkable slice.)
     */
+  /** JSON string-escaping fidelity: serialize each document's text with
+    * to_json and parse it back. The j column pins the exact escaping
+    * bytes (Jackson vs the oracle's yyjson: quotes/backslashes escaped,
+    * control chars as \u00XX uppercase hex, DEL and non-ASCII kept raw),
+    * the rt column pins the unescape roundtrip — the fidelity the ES bulk
+    * sink and any JSONL training-data export rest on. Pure projection,
+    * zero shuffle.
+    */
+  def qJsonEscape(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      to_json(struct(col("text").as("t"))).as("j"),
+      get_json_object(to_json(struct(col("text").as("t"))), "$.t").as("rt"))
+      .orderBy("doc_id")
+
   def qFlattenJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(

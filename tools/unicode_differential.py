@@ -22,7 +22,8 @@ exact parquet shape, and the caller then runs the REAL gate over it:
         dsir_select norm_clean_html norm_boilerplate text_passages \
         norm_add_counts norm_join_text line_dedup main_text_blocks \
         nlp_preprocess passage_clean norm_strip_selectors dedup_exact \
-        quality_classifier badwords_filter bpe_pairs ngram_jaccard"
+        quality_classifier badwords_filter bpe_pairs ngram_jaccard \
+        json_escape"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_unicode /tmp/verify_uni
 
 Any FAIL is a live Java-vs-RE2 (or length-semantics) divergence in a

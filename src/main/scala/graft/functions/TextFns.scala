@@ -23,14 +23,17 @@ object TextFns {
     * strips ASCII space ONLY, so a twin written with DuckDB `trim(x)`
     * silently diverges on NBSP-edged text (caught by the crawl
     * differential on a U+00A0-suffixed anchor). All operator-side edge
-    * trims use this so the 90 twin trim() sites stay engine-exact; it is
+    * trims use this so the 90 twin trim() sites stay engine-exact
+    * (implemented as Spark's set-based `trim(col, trimStr)` — codegen'd
+    * StringTrim, NOT a regex: the first regexp_replace formulation cost
+    * the search/tokenizer families ~25% wall); it is
     * also strictly closer to the reference's Python `str.strip()` than
     * ASCII-space trim (Python additionally strips \t\n\r\f\v — that
     * remainder is the documented approximation).
     */
-  val ZsClass = "[ \u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]"
-  def zsTrim(c: Column): Column =
-    regexp_replace(c, "^" + ZsClass + "+|" + ZsClass + "+\\z", "")
+  val ZsChars: String =
+    " \u00A0\u1680" + ('\u2000' to '\u200A').mkString + "\u202F\u205F\u3000"
+  def zsTrim(c: Column): Column = trim(c, ZsChars)
 
   /** Reference regex (normalizers.py:211) with (?d): Python's `.` (and
     * RE2's) excludes ONLY \n, but Java's bare `.` also refuses \r, NEL,

@@ -84,6 +84,23 @@ class NormOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 2L), "accented words must count as single words")
   }
 
+  test("zsTrim strips exactly DuckDB's trim() set: Zs spaces, not tab/CR/NEL") {
+    val cases = Seq(
+      "\u00A0x\u00A0" -> "x",          // NBSP stripped
+      "\u3000x\u3000" -> "x",          // ideographic space stripped
+      "\u2007x\u202Fx\u205F" -> "x\u202Fx", // figure/narrow/math spaces at edges
+      "  x  " -> "x",
+      "\tx\t" -> "\tx\t",              // tab NOT in the set (DuckDB keeps it)
+      "\rx\u0085" -> "\rx\u0085",      // CR/NEL NOT in the set
+      "" -> "")
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.orderBy("id")
+      .select(graft.functions.TextFns.zsTrim(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2),
+      "zsTrim must match DuckDB trim() byte-for-byte")
+  }
+
   test("wordCount pins the No/So boundary where Java's (?U)\\w diverges") {
     // Category-No digits (½ ² ①) are words — Java's (?U)\w excludes them
     // but Python's \w and the DuckDB twin class include them; circled

@@ -39,8 +39,12 @@ object Recall {
       .select("query_id", "neighbor_id"))
     val ivf = pairSet(operators.AnnOps.ivfTopK(vecs, queries, k = 10,
       nlist = 8, nprobe = 4).select("query_id", "neighbor_id"))
-    val lshRecall = lsh.intersect(exactTopK).size.toDouble / exactTopK.size
-    val ivfRecall = ivf.intersect(exactTopK).size.toDouble / exactTopK.size
+    // -1.0 = undefined (empty denominator on a degenerate corpus) — kept
+    // finite so RECALL.json stays valid JSON (bare NaN/Infinity is not)
+    def ratio(hit: Int, total: Int): Double =
+      if (total == 0) -1.0 else hit.toDouble / total
+    val lshRecall = ratio(lsh.intersect(exactTopK).size, exactTopK.size)
+    val ivfRecall = ratio(ivf.intersect(exactTopK).size, exactTopK.size)
 
     val planted = operators.DedupOps.plantedEmbeddings(spark, sfDir)
     val exactPairs = pairSet(operators.DedupOps.embeddingPairs(planted, tau = 0.95)
@@ -49,8 +53,8 @@ object Recall {
       .select("id1", "id2"))
     val plantedPairs = exactPairs.filter { case (a, b) => b == a + 100000 }
     val semPlantedRecall =
-      plantedPairs.intersect(semPairs).size.toDouble / plantedPairs.size
-    val semPairRecall = semPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+      ratio(plantedPairs.intersect(semPairs).size, plantedPairs.size)
+    val semPairRecall = ratio(semPairs.intersect(exactPairs).size, exactPairs.size)
     val semSubsetOk = semPairs.subsetOf(exactPairs)
 
     def fnum(v: Double): String =

@@ -56,9 +56,13 @@ object SkewProbe {
           .as("url"),
         lit("mega.eu").as("host"),
         (col("n_chars") + col("rep")).as("priority"))
-    val (tFrontierMega, nFrontierMega) = time(
-      operators.SyncOps.frontierSchedule(mega, "host", "priority",
-        slotsPerWave = 3, maxPerHost = 400L).count())
+    def frontierMega() = operators.SyncOps.frontierSchedule(mega, "host",
+      "priority", slotsPerWave = 3, maxPerHost = 400L)
+    // warm the skew plan too: both sides of every ratio must exclude the
+    // one-time codegen/scan setup, or the trended ratio carries a
+    // round-varying constant
+    frontierMega().count()
+    val (tFrontierMega, nFrontierMega) = time(frontierMega().count())
 
     // -- minhash: healthy baseline (real corpus text) -------------------
     val healthyDocs = docs.select(col("doc_id"), col("text"))
@@ -69,20 +73,22 @@ object SkewProbe {
     // -- minhash: degenerate shingles — identical text corpus-wide ------
     val degenerate = docs.select(col("doc_id"),
       concat(lit(("the " * 60).trim), lit(" tail"), col("doc_id") % 2).as("text"))
+    operators.DedupOps.minhashPairs(degenerate).count()
     val (tMinhashDegen, nMinhashDegen) = time(
       operators.DedupOps.minhashPairs(degenerate).count())
 
     def fnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val megaRows = mega.count()
+    // derivable — no extra corpus-sized job just for a record field
+    val megaRows = docs.count() * amplify
     val record =
       s"""{"sf":"$sfDir","amplify":$amplify,"mega_rows":$megaRows,""" +
       s""""frontier_healthy_sec":${fnum(tFrontierBase)},"frontier_healthy_rows":$nFrontierBase,""" +
       s""""frontier_mega_sec":${fnum(tFrontierMega)},"frontier_mega_rows":$nFrontierMega,""" +
-      s""""frontier_ratio":${fnum(tFrontierMega / tFrontierBase)},""" +
+      s""""frontier_ratio":${fnum(if (tFrontierBase > 0) tFrontierMega / tFrontierBase else -1.0)},""" +
       s""""minhash_healthy_sec":${fnum(tMinhashBase)},"minhash_healthy_pairs":$nMinhashBase,""" +
       s""""minhash_degen_sec":${fnum(tMinhashDegen)},"minhash_degen_pairs":$nMinhashDegen,""" +
-      s""""minhash_ratio":${fnum(tMinhashDegen / tMinhashBase)}}"""
+      s""""minhash_ratio":${fnum(if (tMinhashBase > 0) tMinhashDegen / tMinhashBase else -1.0)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW.json"), record.getBytes("UTF-8"))
     System.err.flush()

@@ -172,7 +172,73 @@ object SparkEntry {
       |                 THEN t0 || x1 || chr(10) || chr(10) ELSE t0 END AS ft_raw
       |  FROM ft1)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB emulation of Java/Python FULL lowercase, used via the
+    * LOWER_FULL(...) macro in the twin SQL (one source of truth — the
+    * recipe appears in five twins). Two full-casing behaviors utf8proc's
+    * simple per-codepoint lower() lacks:
+    *  - U+0130 lowers to i + U+0307 (pre-mapped before lower);
+    *  - UPPERCASE sigma in final position lowers to U+03C2. Only sigmas
+    *    that were uppercase participate (a pre-existing lowercase
+    *    "...ασ" must stay σ — Java lowercasing never rewrites it), so Σ
+    *    is first swapped to a private-use sentinel (U+F8FF — documents
+    *    carrying that char are outside the twins' contract), lowered,
+    *    then sentinels in final position (preceded by a cased letter,
+    *    not followed by one, case-ignorables skipped on both sides per
+    *    Final_Sigma) become ς and the rest σ.
+    * The case-ignorable approximation is Mn/Me/Cf/Lm/Sk plus the
+    * apostrophe/middle-dot MidLetter chars — the classes that occur in
+    * text; exotic MidNumLet members are out of scope.
+    */
+  private val CasedLower = "\\p{Ll}\\x{F8FF}"
+  private val CaseIgnore = "\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}\\p{Sk}''\u2019\u00B7"
+  private def lowerFullSql(x: String): String =
+    "replace(regexp_replace(" +
+      s"lower(replace(replace($x, 'İ', 'i' || chr(775)), 'Σ', chr(63743))), " +
+      s"'([$CasedLower][$CaseIgnore]*)\\x{F8FF}([$CaseIgnore]*)" +
+      s"($$|[^$CasedLower$CaseIgnore])', " +
+      "'\\1ς\\2\\3', 'g'), chr(63743), 'σ')"
+
+  /** CPython line.strip() whitespace that survives the splitlines split —
+    * space, \t, U+001F, and the Zs spaces — via the PY_STRIP(...) macro
+    * (the robots twins use it in three places).
+    */
+  private def pyStripSql(x: String): String =
+    s"regexp_replace($x, " +
+      "'^[ \\t\\x1F\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]+|" +
+      "[ \\t\\x1F\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]+$', '', 'g')"
+
+  /** Expand LOWER_FULL(...) / PY_STRIP(...) macro calls (balanced-paren
+    * args) in a twin SQL string. */
+  private def expandMacros(sql: String): String = {
+    val macros: Seq[(String, String => String)] =
+      Seq("LOWER_FULL(" -> lowerFullSql _, "PY_STRIP(" -> pyStripSql _)
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((tag, fn) <- macros) {
+        val i = out.indexOf(tag)
+        if (i >= 0) {
+          var depth = 1
+          var j = i + tag.length
+          while (depth > 0) {
+            if (out.charAt(j) == '(') depth += 1
+            else if (out.charAt(j) == ')') depth -= 1
+            j += 1
+          }
+          out = out.substring(0, i) + fn(out.substring(i + tag.length, j - 1)) +
+            out.substring(j)
+          changed = true
+        }
+      }
+    }
+    out
+  }
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> expandMacros(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
@@ -546,15 +612,12 @@ object SparkEntry {
         |  FROM robots),
         |kv AS (
         |  SELECT host, line_no, raw = '' AS is_blank,
-        |    regexp_replace(regexp_replace(raw, '#.*$', ''),
-        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g') AS line
+        |    PY_STRIP(regexp_replace(raw, '#.*$', '')) AS line
         |  FROM lines),
         |kv2 AS (
         |  SELECT *,
-        |    lower(regexp_replace(coalesce(regexp_extract(line, '^([^:]+):', 1), ''),
-        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g')) AS key,
-        |    regexp_replace(coalesce(regexp_extract(line, '^[^:]*:(.*)$', 1), ''),
-        |      '^[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+|[ \t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+$', '', 'g') AS value
+        |    lower(PY_STRIP(coalesce(regexp_extract(line, '^([^:]+):', 1), ''))) AS key,
+        |    PY_STRIP(coalesce(regexp_extract(line, '^[^:]*:(.*)$', 1), '')) AS value
         |  FROM kv),
         |kept AS (
         |  SELECT *, (NOT is_blank AND key = 'user-agent') AS is_ua FROM kv2
@@ -2154,7 +2217,7 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 2000000,
         |    coalesce(array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' '), '')
         |    FROM base WHERE doc_id % 9 = 0),
-        |h AS (SELECT doc_id, md5(regexp_replace(lower(replace(trim(text), 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')) AS content_hash FROM corpus)
+        |h AS (SELECT doc_id, md5(LOWER_FULL(trim(text))) AS content_hash FROM corpus)
         |SELECT doc_id, content_hash,
         |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
@@ -2252,7 +2315,7 @@ object SparkEntry {
     // WordNgramsAll kernel exactly.
     "bpe_pairs" ->
       """WITH w AS (
-        |  SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS word
+        |  SELECT unnest(string_split(trim(LOWER_FULL(text)), ' ')) AS word
         |  FROM documents),
         |wc AS (
         |  SELECT word, count(*) AS wcnt FROM w WHERE word <> '' GROUP BY word),
@@ -2296,14 +2359,14 @@ object SparkEntry {
     // engines derive it identically), hits counted per doc, zero-hit keeps.
     "badwords_filter" ->
       """WITH w AS (
-        |  SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS w
+        |  SELECT unnest(string_split(trim(LOWER_FULL(text)), ' ')) AS w
         |  FROM documents),
         |top5 AS (
         |  SELECT w FROM (
         |    SELECT w, count(*) AS c FROM w WHERE w <> ''
         |    GROUP BY w ORDER BY c DESC, w LIMIT 5)),
         |toks AS (
-        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ')) AS tok
+        |  SELECT doc_id, unnest(string_split(trim(LOWER_FULL(text)), ' ')) AS tok
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, count(*) AS hits
@@ -2384,7 +2447,7 @@ object SparkEntry {
     // unigram+bigram features, and recomputes mean-weight → sigmoid.
     "quality_classifier" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '(\pL)σ($|\PL)', '\1ς\2', 'g')), ' ') AS w
+        |  SELECT doc_id, string_split(trim(LOWER_FULL(text)), ' ') AS w
         |  FROM documents),
         |feats AS (
         |  SELECT doc_id, UNNEST(list_concat(w,

@@ -883,12 +883,13 @@ object SyncOps {
     * `\tDisallow:` lines are real-web content and must parse. The class
     * lists the isspace() chars that can actually survive the splitlines
     * split (terminators are already consumed): space, \t, and the
-    * non-terminator Unicode spaces. Same class spelled out in the DuckDB
+    * non-terminator Unicode spaces, and U+001F (isspace() accepts it,
+    * splitlines() does not split on it). Same class in the DuckDB
     * twins.
     */
   private val PyStripRe =
-    "^[ \t\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+|" +
-    "[ \t\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+\\z"
+    "^[ \t\u001F\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+|" +
+    "[ \t\u001F\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+\\z"
   private def pyStrip(c: Column): Column = regexp_replace(c, PyStripRe, "")
 
   private def robotsGrouped(robots: DataFrame, hostCol: String,

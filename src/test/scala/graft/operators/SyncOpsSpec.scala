@@ -378,18 +378,20 @@ class SyncOpsSpec extends SparkSpec {
   }
 
   test("parseRobotsTxt strips FULL whitespace like CPython's line.strip()") {
-    // robotparser does `line.strip()` — tab/NBSP padding around keys and
+    // robotparser does `line.strip()` — tab/NBSP/U+001F padding around keys and
     // values is real-web content and must parse, not drop. Verified
     // against CPython 3: these lines yield ua=['padded'] with rules
     // /tabbed (deny) and /nbsp (deny).
     val rules = robotsOf(Seq(
       "\tUser-agent\t: padded",
       " \t Disallow: \t/tabbed\t ",
-      "\u00A0Disallow:\u00A0/nbsp\u00A0").mkString("\n"))
+      "\u00A0Disallow:\u00A0/nbsp\u00A0",
+      "\u001FDisallow:\u001F/ctl\u001F").mkString("\n"))
       .collect().map(r => (r.getAs[scala.collection.Seq[String]]("agents").toSeq,
         r.getAs[String]("path")))
-    assert(rules.toSeq == Seq((Seq("padded"), "/tabbed"), (Seq("padded"), "/nbsp")),
-      s"tab/NBSP-padded lines must strip like Python, got ${rules.toSeq}")
+    assert(rules.toSeq == Seq((Seq("padded"), "/tabbed"), (Seq("padded"), "/nbsp"),
+        (Seq("padded"), "/ctl")),
+      s"tab/NBSP/US-padded lines must strip like Python, got ${rules.toSeq}")
   }
 
   test("parseRobotsTxt: blank after UA header discards the entry; crawl-delay keeps it open") {

@@ -96,7 +96,8 @@ def doc_text(i: int) -> str:
         return "crlf\r\nUser-agent: evil\r\nDisallow: /\r\n\r\nAllow: /late"
     if i == 202:
         return ("nel\u0085\tDisallow\t: \t/nel\t\u2028Allow: /ls # tail"
-                "\r\u00A0Disallow:\u00A0/nbsp\u00A0")
+                "\r\u00A0Disallow:\u00A0/nbsp\u00A0"
+                "\r\u001FDisallow:\u001F/ctl\u001F")
     parts = [FRAGMENTS[(i * 3 + k) % len(FRAGMENTS)] for k in range(1 + i % 3)]
     return "-".join(parts)
 

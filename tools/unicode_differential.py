@@ -87,6 +87,15 @@ HOSTILE_TOKENS = [
     "ΟΔΟΣ",                           # trailing capital sigma: full casing
                                       # lowers to final ς, simple to σ
     "ΣΙΓΜΑΣ",                         # leading + trailing sigma
+    "ΑΣΣ",                            # adjacent sigmas: only the last is final
+    "ασ",                             # PRE-EXISTING lowercase final sigma:
+                                      # lowering must NOT rewrite it to ς
+    "σοφία",                          # pre-existing initial lowercase sigma
+    "中Σ",                            # sigma after an UNCASED letter: Java's
+                                      # Final_Sigma needs a preceding cased
+                                      # char, so this lowers to σ, not ς
+    "a'Σ",                            # case-ignorable between cased and Σ:
+                                      # skipped, so this DOES lower to ς
 ]
 
 

@@ -185,12 +185,28 @@ object SparkEntry {
     *    then sentinels in final position (preceded by a cased letter,
     *    not followed by one, case-ignorables skipped on both sides per
     *    Final_Sigma) become ς and the rest σ.
-    * The case-ignorable approximation is Mn/Me/Cf/Lm/Sk plus the
-    * apostrophe/middle-dot MidLetter chars — the classes that occur in
-    * text; exotic MidNumLet members are out of scope.
+    * The cased/ignorable classes track what Spark 4's lower() ACTUALLY
+    * implements — the ICU-backed collation path, which follows the
+    * Unicode spec sets, NOT java.lang.String.toLowerCase (whose hardcoded
+    * JDK sets differ; probed both, Spark emits the ICU answers — e.g.
+    * "ªΣ" → ªς where the JDK gives ªσ):
+    *  - case-ignorable = Mn/Me/Cf/Lm/Sk plus the Word_Break
+    *    MidLetter/MidNumLet/Single_Quote chars (' ’ ‘ · . : · U+0387
+    *    U+05F4 U+2024 U+2027 and fullwidth/vertical forms). The scan
+    *    checks IGNORABLE FIRST: "ʰΣ" → σ (ʰ is Lm: skipped, start
+    *    reached, nothing cased) even though ʰ is Other_Lowercase.
+    *  - cased beyond Ll/Lu/Lt = Other_Lowercase/Other_Uppercase members
+    *    that are NOT ignorable: ª º (Lo), circled letters (So), roman
+    *    numerals (Nl) — in their POST-lower() forms, since the regex
+    *    runs on lowered text (Ⅰ→ⅰ U+2170, Ⓐ→ⓐ U+24D0).
+    * All probed against Spark itself (pre/skip/post × 40 codepoints);
+    * matching pins live in the unicode differential's HOSTILE_TOKENS.
     */
-  private val CasedLower = "\\p{Ll}\\x{F8FF}"
-  private val CaseIgnore = "\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}\\p{Sk}''\u2019\u00B7"
+  private val CasedLower = "\\p{Ll}\\x{F8FF}\\x{00AA}\\x{00BA}" +
+    "\\x{2170}-\\x{217F}\\x{24D0}-\\x{24E9}"
+  private val CaseIgnore = "\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}\\p{Sk}''" +
+    "\\x{2018}\\x{2019}\\x{00B7}.:\\x{0387}\\x{05F4}\\x{2024}" +
+    "\\x{2027}\\x{FE13}\\x{FE52}\\x{FE55}\\x{FF07}\\x{FF0E}\\x{FF1A}"
   private def lowerFullSql(x: String): String =
     "replace(regexp_replace(" +
       s"lower(replace(replace($x, 'İ', 'i' || chr(775)), 'Σ', chr(63743))), " +
@@ -239,6 +255,13 @@ object SparkEntry {
     oracleSqlRaw.map { case (k, v) => k -> expandMacros(v) }
 
   private def oracleSqlRaw: Map[String, String] = Map(
+    // Signature-dedup tier: DuckDB re-derives Spark's murmur3/xxhash64
+    // signatures (permutations, band hashes, SimHash bit sums, winnowing
+    // windows) from raw text — see TwinHashSql.
+    "dedup_minhash" -> TwinHashSql.dedupMinhash,
+    "dedup_simhash" -> TwinHashSql.dedupSimhash,
+    "doc_fingerprint" -> TwinHashSql.docFingerprint,
+    "dedup_fingerprint" -> TwinHashSql.dedupFingerprint,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,

@@ -1,0 +1,434 @@
+package graft
+
+/** DuckDB-SQL twins of the two hash kernels the signature-dedup family is
+  * built on — Spark's `Murmur3_x86_32` (the `hash()` function, seed 42) and
+  * Spark's `XXH64` (the `xxhash64()` function, seed 42) — restated as pure
+  * SQL integer arithmetic, plus the four twin queries
+  * (dedup_minhash / dedup_simhash / doc_fingerprint / dedup_fingerprint)
+  * built on them. With these, the near-dup signature tier is adjudicated by
+  * the same rows/schema/hash oracle gate as the relational operators: the
+  * DuckDB side re-derives every minhash permutation, band hash, SimHash bit
+  * sum and winnowing window from the raw text, byte for byte.
+  *
+  * Both kernels follow the public Apache Spark implementations
+  * (`org.apache.spark.unsafe.hash.Murmur3_x86_32` / `XXH64`), including
+  * Spark's deviations from the canonical algorithms:
+  *  - murmur3 processes tail bytes one-per-round as SIGN-EXTENDED ints
+  *    (standard murmur3 accumulates up to 3 tail bytes into one k1);
+  *  - multi-argument `hash(a, b, ...)` chains the per-value hashes by
+  *    seeding each with the previous result (int values via `hashInt`,
+  *    long values via `hashLong` low-word-first).
+  * Arithmetic notes: 32-bit ops run on BIGINT with `% 2^32` masking
+  * (HUGEINT for the one var×const multiply that can exceed 63 bits);
+  * 64-bit ops run on HUGEINT with constant multipliers split into hi/lo
+  * 32-bit halves so no product exceeds int128; XOR drops to BIGINT
+  * two's-complement and back. Verified byte-exact against `hash()` /
+  * `xxhash64()` on empty/ASCII/multi-byte/non-BMP strings across lengths
+  * 0..100 (all four tail paths and the ≥32-byte XXH64 stripe loop).
+  *
+  * The emitted SQL leans on DuckDB lateral column aliases (a later SELECT
+  * item may reference an earlier alias), which keeps each hash application
+  * one CTE instead of a 30-stage chain.
+  */
+object TwinHashSql {
+  private val M64 = "18446744073709551616" // 2^64
+  private val M32 = "4294967296" // 2^32
+
+  // ------------------------------------------------ murmur3 x86_32 pieces
+
+  /** (x * c) mod 2^32 for BIGINT x in [0, 2^32); the product can exceed
+    * 2^63 so it routes through HUGEINT.
+    */
+  private def mult32(x: String, c: Long): String =
+    s"((($x)::HUGEINT * $c) % $M32)::BIGINT"
+
+  private def rotl32(x: String, r: Int): String =
+    s"(((($x) << $r) | (($x) >> ${32 - r})) & 4294967295)"
+
+  private def mixK1(k: String): String =
+    mult32(rotl32(mult32(k, 3432918353L), 15), 461845907L)
+
+  private def mixH1(h: String, k: String): String =
+    s"((${rotl32(s"xor($h, $k)", 13)}) * 5 + 3864292196) % $M32"
+
+  /** fmix32 as four lateral aliases; returns (aliasDefs, finalName). */
+  private def fmix32(p: String, h: String, len: String): (Seq[String], String) = {
+    val defs = Seq(
+      s"xor($h, $len) AS ${p}g1",
+      s"${mult32(s"xor(${p}g1, ${p}g1 >> 16)", 2246822507L)} AS ${p}g2",
+      s"${mult32(s"xor(${p}g2, ${p}g2 >> 13)", 3266489909L)} AS ${p}g3",
+      s"xor(${p}g3, ${p}g3 >> 16) AS ${p}g4")
+    (defs, s"${p}g4")
+  }
+
+  /** Byte i (1-based) of the UTF-8 encoding held in hex column `hx`. */
+  private def byteAt(hx: String, i: String): String =
+    s"('0x' || substr($hx, 2*($i)-1, 2))::BIGINT"
+
+  /** CTE chain computing Spark `hash(incol)` (murmur3, seed 42) over
+    * `src` as signed-int-in-BIGINT column `out`; the final CTE is named
+    * `cte` and all other columns pass through.
+    *
+    * The byte-fold lands in its own MATERIALIZED stage: DuckDB expands
+    * lateral aliases (and single-use CTEs) by SUBSTITUTION, so a chain of
+    * aliases that each reference their predecessor twice re-evaluates the
+    * expensive fold exponentially many times — materializing after the
+    * fold makes every downstream reference a column read. (Measured: the
+    * inlined form cost ~0.25 ms/row; staged, the fold runs once.)
+    */
+  def mm32Cte(cte: String, src: String, incol: String, out: String): String = {
+    val p = s"__${cte}_"
+    val hx = s"${p}hx"
+    val block = (0 until 4)
+      .map(o => s"${byteAt(hx, s"4*j+${o + 1}")} * ${1L << (8 * o)}")
+      .mkString("(", " + ", ")")
+    val tb = byteAt(hx, "i+1")
+    val signedByte = s"(CASE WHEN $tb >= 128 THEN $tb + 4294967040 ELSE $tb END)"
+    val (fm, fmOut) = fmix32(p, s"${p}h0", s"${p}nb")
+    s"""${cte}_m0 AS MATERIALIZED (SELECT *,
+  hex($incol) AS $hx,
+  strlen($incol) AS ${p}nb
+ FROM $src),
+${cte}_m1 AS MATERIALIZED (SELECT *,
+  list_reduce(list_prepend(42::BIGINT, list_concat(
+      list_transform(range(0, ${p}nb // 4), j -> ${mixK1(block)}),
+      list_transform(range(${p}nb - ${p}nb % 4, ${p}nb), i -> ${mixK1(signedByte)}))),
+    (h, k) -> (${mixH1("h", "k")})::BIGINT) AS ${p}h0
+ FROM ${cte}_m0),
+$cte AS MATERIALIZED (SELECT *,
+  ${fm.mkString(",\n  ")},
+  CASE WHEN $fmOut >= 2147483648 THEN $fmOut - $M32 ELSE $fmOut END AS $out
+ FROM ${cte}_m1)"""
+  }
+
+  /** CTE chain computing the Spark multi-argument murmur chain
+    * `hash(intCol, longCols: _*)` (seed 42) over `src` as column `out` —
+    * the band-hash fold of `DedupOps.minhashBands`. The value stays in
+    * unsigned [0, 2^32) form: it is only ever a bucket GROUP BY key, and
+    * signedness is a bijection. Each per-value hash step is its own
+    * MATERIALIZED CTE: DuckDB expands lateral aliases (and plain CTEs) by
+    * substitution, and the five chained fmix rounds would otherwise
+    * exceed the binder's recursion depth; materialization resets the
+    * expansion at each step. The final CTE is named `cte`.
+    */
+  def hashChainCte(cte: String, src: String, intCol: String,
+      longCols: Seq[String], out: String): String = {
+    val p = s"__${cte}_"
+    // step 0: hashInt(intCol, 42)
+    val (f0, f0out) = fmix32(s"${p}i0", s"${p}a0", "4")
+    val step0 = s"""${cte}_s0 AS MATERIALIZED (SELECT *,
+  ${mixK1(s"($intCol)")} AS ${p}k0,
+  ${mixH1("42", s"${p}k0")} AS ${p}a0,
+  ${f0.mkString(",\n  ")},
+  $f0out AS ${p}h0
+ FROM $src)"""
+    // step i+1: hashLong(m_i, h_i) — low 32-bit word then high word
+    val steps = longCols.zipWithIndex.map { case (m, i) =>
+      val name = if (i == longCols.size - 1) cte else s"${cte}_s${i + 1}"
+      val (fi, fiout) = fmix32(s"${p}f$i", s"${p}hh$i", "8")
+      val outCol = if (i == longCols.size - 1) out else s"${p}h${i + 1}"
+      s"""$name AS MATERIALIZED (SELECT *,
+  ${mixK1(s"(($m) & 4294967295)")} AS ${p}kl$i,
+  ${mixK1(s"((($m) >> 32) & 4294967295)")} AS ${p}kh$i,
+  (${mixH1(s"${p}h$i", s"${p}kl$i")})::BIGINT AS ${p}hl$i,
+  (${mixH1(s"${p}hl$i", s"${p}kh$i")})::BIGINT AS ${p}hh$i,
+  ${fi.mkString(",\n  ")},
+  $fiout AS $outCol
+ FROM ${if (i == 0) s"${cte}_s0" else s"${cte}_s$i"})"""
+    }
+    (step0 +: steps).mkString(",\n")
+  }
+
+  // ------------------------------------------------------- XXH64 pieces
+
+  private val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private val P3 = 1609587929392839161L
+  private val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  private val P5 = 2870177450012600261L
+
+  private def u64(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  /** (x * c) mod 2^64 for HUGEINT x in [0, 2^64) and constant c, with c
+    * split into 32-bit halves so no intermediate exceeds int128.
+    */
+  private def mulc64(x: String, c: Long): String = {
+    val chi = c >>> 32
+    val clo = c & 0xFFFFFFFFL
+    if (chi == 0) s"((($x) * $clo) % $M64)"
+    else s"(((($x) * $clo) % $M64) + (((($x) % $M32) * $chi) % $M32) * $M32) % $M64"
+  }
+
+  private def rotl64(x: String, r: Int): String =
+    s"(((($x) * ${java.lang.Long.toUnsignedString(1L << r)}) % $M64 + ($x) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}) % $M64)"
+
+  private def toS64(v: String): String =
+    s"(CASE WHEN ($v) >= 9223372036854775808 THEN (($v) - $M64)::BIGINT ELSE ($v)::BIGINT END)"
+
+  private def xor64(a: String, b: String): String = {
+    val x = s"xor(${toS64(a)}, ${toS64(b)})"
+    s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $M64 ELSE $x::HUGEINT END)"
+  }
+
+  private def addm64(a: String, b: String): String = s"((($a) + ($b)) % $M64)"
+
+  /** xxh64 round: rotl64(acc + inp*P2, 31) * P1, all mod 2^64. */
+  private def xxRound(acc: String, inp: String): String =
+    mulc64(rotl64(addm64(acc, mulc64(inp, P2)), 31), P1)
+
+  /** One CTE computing Spark `xxhash64(incol)` (seed 42) over `src` as
+    * signed BIGINT column `out`. Mirrors Spark's XXH64.hashUnsafeBytes:
+    * 32-byte stripes into four accumulators (when length ≥ 32) + merge
+    * rounds, then remaining 8-byte words, one optional 4-byte word, then
+    * single bytes, then the avalanche.
+    */
+  def xxh64Cte(cte: String, src: String, incol: String, out: String): String = {
+    val p = s"__${cte}_"
+    val hx = s"${p}hx"
+    def leWord(base: String): String = (0 until 8)
+      .map(o => s"${byteAt(hx, s"($base)+${o + 1}")}::HUGEINT * ${1L << (8 * o)}")
+      .mkString("(", " + ", ")")
+    val stripe = "abcd".zipWithIndex
+      .map { case (f, o) => s"'$f': ${leWord(s"32*j+${8 * o}")}" }
+      .mkString("{", ", ", "}")
+    val init = s"{'a': ${u64(42L + P1 + P2)}::HUGEINT, 'b': ${u64(42L + P2)}::HUGEINT, " +
+      s"'c': 42::HUGEINT, 'd': ${u64(42L - P1)}::HUGEINT}"
+    val red = "abcd".map(f => s"'$f': ${xxRound(s"h.$f", s"x.$f")}").mkString("{", ", ", "}")
+    // struct_extract, not dot access: `__x_v.a` would bind as table.column
+    def vf(f: Char): String = s"struct_extract(${p}v, '$f')"
+    val h0Stripe = addm64(
+      addm64(rotl64(vf('a'), 1), rotl64(vf('b'), 7)),
+      addm64(rotl64(vf('c'), 12), rotl64(vf('d'), 18)))
+    // merge round: h = (h ^ round(0, v)) * P1 + P4  (mod 2^64)
+    def mergeRound(h: String, f: Char): String =
+      addm64(mulc64(xor64(h, xxRound("0::HUGEINT", vf(f))), P1), u64(P4))
+    val int4 = (0 until 4)
+      .map(o => s"${byteAt(hx, s"${p}ib+${o + 1}")}::HUGEINT * ${1L << (8 * o)}")
+      .mkString("(", " + ", ")")
+    val wStep = addm64(mulc64(rotl64(xor64("h", "k"), 27), P1), u64(P4))
+    val bStep = mulc64(rotl64(xor64("h", "k"), 11), P1)
+    // One MATERIALIZED stage per chained step: DuckDB expands lateral
+    // aliases by SUBSTITUTION, so the h0→h8 chain in one SELECT would
+    // re-evaluate each predecessor ~18× per level (measured: >10 ms/row
+    // inlined). Materializing makes every reference a column read; the
+    // avalanche tail (t1..t4) is cheap column arithmetic and can share
+    // one stage.
+    s"""${cte}_x0 AS MATERIALIZED (SELECT *,
+  hex($incol) AS $hx,
+  strlen($incol) AS ${p}nb,
+  strlen($incol) // 32 AS ${p}ns
+ FROM $src),
+${cte}_x1 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN list_reduce(list_prepend($init,
+      list_transform(range(0, ${p}ns), j -> $stripe)), (h, x) -> $red)
+    ELSE NULL END AS ${p}v
+ FROM ${cte}_x0),
+${cte}_x2 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN $h0Stripe ELSE ${u64(42L + P5)}::HUGEINT END AS ${p}h0
+ FROM ${cte}_x1),
+${cte}_x3 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN ${mergeRound(s"${p}h0", 'a')} ELSE ${p}h0 END AS ${p}h1
+ FROM ${cte}_x2),
+${cte}_x4 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN ${mergeRound(s"${p}h1", 'b')} ELSE ${p}h1 END AS ${p}h2
+ FROM ${cte}_x3),
+${cte}_x5 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN ${mergeRound(s"${p}h2", 'c')} ELSE ${p}h2 END AS ${p}h3
+ FROM ${cte}_x4),
+${cte}_x6 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}ns > 0 THEN ${mergeRound(s"${p}h3", 'd')} ELSE ${p}h3 END AS ${p}h4
+ FROM ${cte}_x5),
+${cte}_x7 AS MATERIALIZED (SELECT *,
+  list_reduce(list_prepend(${addm64(s"${p}h4", s"${p}nb::HUGEINT")},
+      list_transform(range(4*${p}ns, ${p}nb // 8), j -> ${xxRound("0::HUGEINT", leWord("8*j"))})),
+    (h, k) -> $wStep) AS ${p}h6,
+  (${p}nb // 8) * 8 AS ${p}ib
+ FROM ${cte}_x6),
+${cte}_x8 AS MATERIALIZED (SELECT *,
+  CASE WHEN ${p}nb % 8 >= 4
+    THEN ${addm64(mulc64(rotl64(xor64(s"${p}h6", mulc64(int4, P1)), 23), P2), u64(P3))}
+    ELSE ${p}h6 END AS ${p}h7,
+  CASE WHEN ${p}nb % 8 >= 4 THEN ${p}ib + 4 ELSE ${p}ib END AS ${p}ib2
+ FROM ${cte}_x7),
+${cte}_x9 AS MATERIALIZED (SELECT *,
+  list_reduce(list_prepend(${p}h7,
+      list_transform(range(${p}ib2, ${p}nb), i -> ${mulc64(byteAt(hx, "i+1") + "::HUGEINT", P5)})),
+    (h, k) -> $bStep) AS ${p}h8
+ FROM ${cte}_x8),
+${cte}_xA AS MATERIALIZED (SELECT *,
+  ${xor64(s"${p}h8", s"${p}h8 // 8589934592")} AS ${p}t1
+ FROM ${cte}_x9),
+${cte}_xB AS MATERIALIZED (SELECT *,
+  ${xor64(mulc64(s"${p}t1", P2), s"(${mulc64(s"${p}t1", P2)}) // 536870912")} AS ${p}t3
+ FROM ${cte}_xA),
+$cte AS MATERIALIZED (SELECT *,
+  ${toS64(xor64(mulc64(s"${p}t3", P3), s"(${mulc64(s"${p}t3", P3)}) // $M32"))} AS $out
+ FROM ${cte}_xB)"""
+  }
+
+  // --------------------------------------------------- shared corpus SQL
+
+  /** The planted-duplicate corpus of `DedupOps.plantedCorpus`, text-only
+    * projection (same construction as the green dedup_exact/ngram_jaccard
+    * twins).
+    */
+  private val corpusCte: String =
+    """base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 1000000, text || ' ' FROM base WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000,
+    coalesce(array_to_string(list_slice(string_split(trim(text),' '), 6, 100000), ' '), '')
+    FROM base WHERE doc_id % 9 = 0)"""
+
+  /** Distinct word-3-gram sets per doc (the green ngram_jaccard recipe). */
+  private val gramSetCte: String =
+    """g AS (SELECT doc_id,
+       list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS grams
+     FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus)
+     WHERE len(w) >= 3)"""
+
+  // ------------------------------------------------------- dedup_minhash
+
+  /** The multiply-add permutation constants of `DedupOps.minhashBands` —
+    * the SAME `scala.util.Random(0x5eed)` draw order, so the twin's
+    * permutations are identical by construction.
+    */
+  private def minhashPerms(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed)
+    (0 until numHashes).map { _ =>
+      val a = rnd.nextInt().toLong | 1L
+      val b = rnd.nextInt().toLong
+      (a, b)
+    }
+  }
+
+  /** Twin of `DedupOps.qDedupMinhash` (n=3, 64 hashes, 16 bands of 4,
+    * τ=0.4, maxBucket=1000): re-derives murmur gram hashes, the 64
+    * permuted mins, the 16 murmur-chain band hashes, the bucket pairing
+    * with the degenerate-bucket guard, and the exact-Jaccard verify.
+    */
+  val dedupMinhash: String = {
+    val perms = minhashPerms(64)
+    val minAggs = perms.zipWithIndex
+      .map { case ((a, b), i) => s"min(((gh * ($a) + ($b)) & 4294967295)) AS m$i" }
+      .mkString(",\n    ")
+    val bandStructs = (0 until 16)
+      .map(b => s"{'band': $b, 'x0': m${4 * b}, 'x1': m${4 * b + 1}, " +
+        s"'x2': m${4 * b + 2}, 'x3': m${4 * b + 3}}")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH $corpusCte,
+$gramSetCte,
+gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+${mm32Cte("mh", "gr", "gram", "gh")},
+mins AS (SELECT doc_id,
+    $minAggs
+  FROM mh GROUP BY doc_id),
+bx AS (SELECT doc_id, unnest($bandStructs, recursive := true) FROM mins),
+${hashChainCte("bh", "bx", "band", Seq("x0", "x1", "x2", "x3"), "band_hash")},
+bc AS (SELECT doc_id, band, band_hash,
+    count(*) OVER (PARTITION BY band, band_hash) AS bn FROM bh),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bc a JOIN bc b ON a.band = b.band AND a.band_hash = b.band_hash
+    AND a.doc_id < b.doc_id
+  WHERE a.bn <= 1000)
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2,
+    floor(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+      / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+      * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+  FROM cand JOIN g ga ON ga.doc_id = id1 JOIN g gb ON gb.doc_id = id2)
+WHERE jaccard >= 0.4 ORDER BY id1, id2"""
+  }
+
+  // ------------------------------------------------------- dedup_simhash
+
+  /** Twin of `DedupOps.qDedupSimhash` (64-bit SimHash over xxhash64 word
+    * hashes, 4×16-bit pigeonhole blocks, Hamming ≤ 3, maxBucket=1000).
+    */
+  val dedupSimhash: String = {
+    val bitSums = (0 until 64)
+      .map(b => s"sum(CASE WHEN ((xh >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS bs$b")
+      .mkString(",\n    ")
+    val fold = (0 until 64).map { b =>
+      val bit = if (b == 63) "(-9223372036854775807 - 1)" else s"${1L << b}"
+      s"(CASE WHEN bs$b >= 0 THEN $bit ELSE 0 END)"
+    }.grouped(4).map(_.mkString(" + ")).mkString("\n      + ")
+    val blockStructs = (0 until 4)
+      .map(i => s"{'block': $i, 'block_val': ((simhash >> ${16 * i}) & 65535)}")
+      .mkString("[", ", ", "]")
+    s"""WITH $corpusCte,
+tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM corpus),
+${xxh64Cte("sx", "tok", "tok", "xh")},
+bits AS (SELECT doc_id,
+    $bitSums
+  FROM sx GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM bits),
+bl AS (SELECT doc_id, simhash, unnest($blockStructs, recursive := true) FROM sh),
+pr AS (SELECT * FROM (
+    SELECT doc_id, simhash, block, block_val,
+      count(*) OVER (PARTITION BY block, block_val) AS bn FROM bl)
+  WHERE bn <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+    a.simhash AS sh1, b.simhash AS sh2
+  FROM pr a JOIN pr b ON a.block = b.block AND a.block_val = b.block_val
+    AND a.doc_id < b.doc_id)
+SELECT id1, id2, hamming FROM (
+  SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming FROM cand)
+WHERE hamming <= 3 ORDER BY id1, id2"""
+  }
+
+  // ----------------------------------------------------- doc_fingerprint
+
+  /** Winnowing fingerprint summary twin (`TextAnalysis.qDocFingerprint`,
+    * k=7, w=4 over raw documents): murmur k-gram hashes in original
+    * position order, per-window minima, distinct-count/min/max.
+    */
+  val docFingerprint: String = winnowSql(
+    src = "(SELECT doc_id, text FROM documents)",
+    k = 7, w = 4,
+    tail = """fps AS (SELECT doc_id,
+    list_distinct([list_min(kg[j:j+3]) for j in range(1, len(kg) - 2)]) AS f
+  FROM kgl)
+SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fingerprints,
+  CAST(list_min(f) AS BIGINT) AS fp_min,
+  CAST(list_max(f) AS BIGINT) AS fp_max
+FROM fps ORDER BY doc_id""",
+    withCorpus = false)
+
+  /** Winnowing pair twin (`DedupOps.qDedupFingerprint`, k=30, w=10,
+    * minShared=3, maxBucket=200 over the planted corpus): shared
+    * fingerprint buckets → ordered pairs → shared-count threshold.
+    */
+  val dedupFingerprint: String = winnowSql(
+    src = "corpus",
+    k = 30, w = 10,
+    tail = """fps AS (SELECT doc_id,
+    list_distinct([list_min(kg[j:j+9]) for j in range(1, len(kg) - 8)]) AS f
+  FROM kgl),
+fpr AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+fb AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM fpr),
+pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM fb a JOIN fb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.bn BETWEEN 2 AND 200)
+SELECT id1, id2, CAST(count(*) AS BIGINT) AS shared_fps
+FROM pairs GROUP BY id1, id2 HAVING count(*) >= 3 ORDER BY id1, id2""",
+    withCorpus = true)
+
+  /** Shared winnowing scaffold: position explode → k-char substrings →
+    * murmur hashes → per-doc ordered hash list `kg`; `tail` continues from
+    * CTE `kgl(doc_id, kg)`. The length filter (≥ k+w−1, one full window)
+    * matches `TextAnalysis.docFingerprints`.
+    */
+  private def winnowSql(src: String, k: Int, w: Int, tail: String,
+      withCorpus: Boolean): String = {
+    val lead = if (withCorpus) s"WITH $corpusCte,\n" else "WITH "
+    s"""${lead}d AS (SELECT doc_id, text FROM $src WHERE length(text) >= ${k + w - 1}),
+pos AS (SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS i, text FROM d),
+sub AS (SELECT doc_id, i, substr(text, i::INT, $k) AS kgs FROM pos),
+${mm32Cte("wf", "sub", "kgs", "kh")},
+kgl AS (SELECT doc_id, list(kh ORDER BY i) AS kg FROM wf GROUP BY doc_id),
+$tail"""
+  }
+}

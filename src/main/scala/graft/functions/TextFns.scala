@@ -33,7 +33,17 @@ object TextFns {
     */
   val ZsChars: String =
     " \u00A0\u1680" + ('\u2000' to '\u200A').mkString + "\u202F\u205F\u3000"
-  def zsTrim(c: Column): Column = trim(c, ZsChars)
+  def zsTrim(c: Column): Column = {
+    // Direct StringTrim construction (same codegen'd expression the
+    // two-param trim() resolves to) — the functions.trim(col, str)
+    // overload routes through FunctionResolution, which WARNs that the
+    // two-parameter TRIM signature is deprecated; the catalyst node is
+    // the non-deprecated surface and skips the registry entirely.
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, StringTrim}
+    GraftSqlBridge.column(
+      StringTrim(GraftSqlBridge.expression(c), Some(Literal(ZsChars))))
+  }
 
   /** Reference regex (normalizers.py:211) with (?d): Python's `.` (and
     * RE2's) excludes ONLY \n, but Java's bare `.` also refuses \r, NEL,

@@ -96,6 +96,25 @@ HOSTILE_TOKENS = [
                                       # char, so this lowers to σ, not ς
     "a'Σ",                            # case-ignorable between cased and Σ:
                                       # skipped, so this DOES lower to ς
+    # Final_Sigma boundary pins, probed against Spark's own lower() —
+    # the ICU/Unicode-spec semantics, NOT java.lang.String.toLowerCase
+    # (the JDK's hardcoded cased/ignorable sets disagree on several of
+    # these; Spark follows ICU):
+    "a’Σ",                       # U+2019 MidNumLet: ignorable → ς
+    "a·Σ",                       # U+00B7 MidLetter: ignorable → ς
+    "a^Σ",                            # Sk: ignorable in ICU → ς
+    "ΑΒ.Σ",                           # '.' MidNumLet: ignorable → ς
+    "ʰΣ",                        # Lm is ignorable and checked FIRST:
+                                      # skipped, start reached, no cased
+                                      # → σ (despite Other_Lowercase)
+    "ᵢΣ",                             # subscript Lm: same → σ
+    "ªΣ",                             # ordinal indicator (Lo,
+                                      # Other_Lowercase): cased → ς
+    "ⅠΣ",                             # roman numeral (Nl, cased) → ς
+                                      # (post-lower Ⅰ→ⅰ U+2170)
+    "ⒶΣ",                             # circled letter (So, cased) → ς
+    "ΑΣ^",                            # follow side: ^ skipped, end
+                                      # reached → Σ IS final → ς
 ]
 
 

@@ -235,11 +235,22 @@ object SparkEntry {
       for ((tag, fn) <- macros) {
         val i = out.indexOf(tag)
         if (i >= 0) {
+          // Balance scan skips SQL string literals: a quoted regex arg
+          // like '[(]' must not tilt the paren count. SQL escapes a quote
+          // by doubling (''), which toggles inQuote twice — a no-op.
           var depth = 1
           var j = i + tag.length
+          var inQuote = false
           while (depth > 0) {
-            if (out.charAt(j) == '(') depth += 1
-            else if (out.charAt(j) == ')') depth -= 1
+            if (j >= out.length)
+              throw new IllegalArgumentException(
+                s"unbalanced parens expanding twin macro $tag at offset $i")
+            val ch = out.charAt(j)
+            if (ch == '\'') inQuote = !inQuote
+            else if (!inQuote) {
+              if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+            }
             j += 1
           }
           out = out.substring(0, i) + fn(out.substring(i + tag.length, j - 1)) +

@@ -1078,7 +1078,11 @@ object NormOps {
       attrMapping: Map[String, Seq[String]],
       whitelist: Seq[String],
       blacklist: Seq[String]): DataFrame = {
-    def stripSlashes(s: String) = s.replaceAll("^/+|/+$", "")
+    // \z not $ — same end-of-text discipline as the column-side docLoc
+    // regex (bare $ also fires before a trailing \r/NEL/LS/PS in Java);
+    // rule constants carry no terminators today, but the two sides should
+    // not quietly disagree if one ever does.
+    def stripSlashes(s: String) = s.replaceAll("^/+|/+\\z", "")
     val docLoc = regexp_replace(col("loc"), "^/+|/+\\z", "")
     // last-wins fold: later rules overwrite earlier matches
     val byRules = rules.foldLeft(lit(null).cast("array<string>")) {

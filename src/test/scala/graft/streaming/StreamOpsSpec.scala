@@ -121,6 +121,81 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup state survives a checkpoint restart (exactly-once across stop/start)") {
+    // The 100 TB always-on contract: a sync loop that dies mid-stream must
+    // resume from its checkpoint with (a) committed batches NOT re-emitted
+    // and (b) the dedup key state RESTORED — a duplicate arriving after the
+    // restart is still suppressed. MemoryStream is replayable from the
+    // checkpointed offsets, so this is the real recovery path, not a mock.
+    // The memory sink refuses checkpoint recovery, so the output goes to
+    // the FILE sink — whose commit log is itself the exactly-once
+    // mechanism a production run relies on.
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ddckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ddout").toString
+    val src = MemoryStream[(Long, Timestamp, String)]
+    def start() =
+      StreamOps.dedupEvents(src.toDF().toDF("event_id", "ts", "event_type"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      src.addData((1L, ts(0), "view"), (2L, ts(1), "view"))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2)
+    } finally q1.stop()
+    // batch 2 lands while the query is DOWN; the restarted query picks it
+    // up from the recovered offsets
+    src.addData((1L, ts(2), "view"), (3L, ts(3), "click"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        "restart must suppress the pre-restart duplicate (restored state) " +
+          "and must not re-emit committed batch 1")
+    } finally q2.stop()
+  }
+
+  test("stream_error_retry keyed state survives a checkpoint restart") {
+    // Same recovery contract for the hand-rolled flatMapGroupsWithState
+    // machine: after two errors (budget spent) the query stops; the error
+    // arriving after restart must continue at skip(2,1). A query that lost
+    // its state would restart the cycle at retry(1,0).
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("errckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("errout").toString
+    val src = MemoryStream[StreamOps.ErrorEvent]
+    def start() =
+      StreamOps.errorRetryState(src.toDS(), allowedErrorsForDoc = 2, skipDocCnt = 1)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def actions() = spark.read.parquet(out)
+      .select("action", "error_cnt", "skip_cnt").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(t => (t._2.map(_.asInstanceOf[Long]), t._3.map(_.asInstanceOf[Long])))
+    val q1 = start()
+    try {
+      src.addData(StreamOps.ErrorEvent(1L, ts(1)))
+      q1.processAllAvailable()
+      src.addData(StreamOps.ErrorEvent(1L, ts(2)))
+      q1.processAllAvailable()
+      assert(actions().toSeq === Seq(
+        ("retry", Some(1L), Some(0L)), ("retry", Some(2L), Some(0L))))
+    } finally q1.stop()
+    src.addData(StreamOps.ErrorEvent(1L, ts(3)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(actions().toSeq === Seq(
+        ("retry", Some(1L), Some(0L)), ("retry", Some(2L), Some(0L)),
+        ("skip", Some(2L), Some(1L))),
+        "restored state must continue at the spent error budget — a lost " +
+          "state would restart the cycle at retry(1,0)")
+    } finally q2.stop()
+  }
+
   test("streamSyncDiff classifies a live crawl stream against the static index") {
     implicit val sq = spark.sqlContext
     val indexed = Seq(

@@ -98,9 +98,35 @@ def main():
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "err": None}
         try:
-            files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-            spark_tbl = pq.read_table(files[0]) if len(files) == 1 else \
-                pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+            files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
+            # Sampled pair adjudication (GRAFT_SAMPLE_PAIRS=<den>): for
+            # pair-result queries (id1/id2 columns), both sides restrict to
+            # the deterministic ~1/den subset whose md5(id1||'|'||id2)
+            # head falls under the cutoff — the seedless bottom-k recipe.
+            # This adjudicates results too large to re-derive in full
+            # (the 40k-doc ngram_jaccard 58M-pair run): the oracle's
+            # cheap id-only cutoff pushes below the jaccard projection,
+            # so the expensive verify math runs only on surviving pairs.
+            # Both filters evaluate in DuckDB, so the sampling function is
+            # engine-identical by construction; the COMPARE is still
+            # Spark output vs oracle output on the same subset.
+            sample_den = int(os.environ.get("GRAFT_SAMPLE_PAIRS", "0") or 0)
+            schema_names = set(pq.read_schema(files[0]).names)
+            if sample_den and {"id1", "id2"} <= schema_names:
+                cut = (f"('0x' || substr(md5(id1 || '|' || id2), 1, 8))::BIGINT"
+                       f" * {sample_den} < 4294967296")
+                entry["spark_rows_full"] = sum(
+                    pq.read_metadata(f).num_rows for f in files)
+                spark_tbl = con.execute(
+                    f"SELECT * FROM read_parquet({files!r}) WHERE {cut} "
+                    f"ORDER BY id1, id2").fetch_arrow_table()
+                oracle_for_name = (f"SELECT * FROM (\n{oracle.get(name, '')}\n) "
+                                   f"WHERE {cut} ORDER BY id1, id2")
+                entry["sampled_den"] = sample_den
+            else:
+                spark_tbl = pq.read_table(files[0]) if len(files) == 1 else \
+                    pa.concat_tables([pq.read_table(f) for f in files])
+                oracle_for_name = oracle.get(name)
             entry["spark_rows"] = spark_tbl.num_rows
             if name not in oracle:
                 entry["rows_match"] = spark_tbl.num_rows > 0
@@ -110,7 +136,7 @@ def main():
                 if entry["rows_match"]:
                     n_pass += 1
                 continue
-            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            duck_tbl = con.execute(oracle_for_name).fetch_arrow_table()
             entry["oracle_rows"] = duck_tbl.num_rows
             entry["rows_match"] = spark_tbl.num_rows == duck_tbl.num_rows
             entry["schema_match"] = sorted(spark_tbl.column_names) == sorted(duck_tbl.column_names)

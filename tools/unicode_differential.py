@@ -131,6 +131,16 @@ def doc_text(i: int) -> str:
         return "solo"
     if i == 3:
         return "\U0001F600"  # one emoji, zero \w words
+    if i == 4:
+        # text EDGED with \t/\n (the shape tag-stripping leaves behind):
+        # pins the zsTrim boundary — Spark's cleanHtml and the DuckDB twin
+        # both trim Zs ONLY, so the \t/\n edges must SURVIVE on both sides
+        # identically (the documented approximation vs Python strip(),
+        # which would eat them; see TextFns.zsTrim). No literal tags: the
+        # tag-sensitive twins in this sweep keep their tag-free contract.
+        return "\tedge case with tab and newline edges\n"
+    if i == 5:
+        return "\n\t text after tab-newline prefix"
     toks = [HOSTILE_TOKENS[(i * 7 + k) % len(HOSTILE_TOKENS)]
             for k in range(12 + (i % 9))]
     body = " ".join(toks)

@@ -273,6 +273,51 @@ object SparkEntry {
     "dedup_simhash" -> TwinHashSql.dedupSimhash,
     "doc_fingerprint" -> TwinHashSql.docFingerprint,
     "dedup_fingerprint" -> TwinHashSql.dedupFingerprint,
+    "sample_bottomk" -> TwinHashSql.sampleBottomK,
+    "ann_lsh" -> TwinHashSql.annLsh,
+    // Sentence-respecting passage packing. The Java lookbehind split
+    // `(?<=[.!?])\s+` (RE2 has no lookbehind) is emulated by consuming
+    // the run into a \x01 sentinel after its punctuation; Java's \s/\S
+    // are spelled as [\x09-\x0D ] (RE2's \s lacks \x0B). Word counts
+    // replicate Java split semantics (leading empty counted, trailing
+    // whitespace dropped). The greedy fold — inherently sequential per
+    // doc — is a recursive CTE walking sentences in order; depth = max
+    // sentences per doc.
+    "text_passages_sent" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '((?:[^\x09-\x0D ]+[\x09-\x0D ]+){11}[^\x09-\x0D ]+)[\x09-\x0D ]+',
+        |    '\1. ', 'g') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(t, '([.!?])[\x09-\x0D ]+', '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM st),
+        |sraw AS (SELECT doc_id, i, ss[i] AS sent
+        |         FROM sp, unnest(range(1, len(ss) + 1)) AS u(i)),
+        |s0 AS (SELECT doc_id, sent,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS idx,
+        |         CASE WHEN regexp_replace(sent, '[\x09-\x0D ]+$', '') = '' THEN 0
+        |              ELSE len(string_split_regex(
+        |                regexp_replace(sent, '[\x09-\x0D ]+$', ''), '[\x09-\x0D ]+'))
+        |         END AS n
+        |       FROM sraw WHERE sent <> ''),
+        |walk AS (
+        |  SELECT doc_id, idx, n AS acc, 0 AS pid FROM s0 WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.idx,
+        |    CASE WHEN w.acc + s.n > 50 THEN s.n ELSE w.acc + s.n END,
+        |    CASE WHEN w.acc + s.n > 50 THEN w.pid + 1 ELSE w.pid END
+        |  FROM walk w JOIN s0 s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1)
+        |SELECT doc_id, CAST(pid AS INTEGER) AS passage_id,
+        |  CAST(sum(sn) AS INTEGER) AS n_words,
+        |  string_agg(ssent, ' ' ORDER BY sidx) AS passage
+        |FROM (SELECT w.doc_id AS doc_id, w.pid AS pid, s.idx AS sidx,
+        |        s.n AS sn, s.sent AS ssent
+        |      FROM walk w JOIN s0 s ON s.doc_id = w.doc_id AND s.idx = w.idx)
+        |GROUP BY doc_id, pid
+        |HAVING sum(sn) > 0
+        |ORDER BY doc_id, passage_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,

@@ -431,4 +431,73 @@ ${mm32Cte("wf", "sub", "kgs", "kh")},
 kgl AS (SELECT doc_id, list(kh ORDER BY i) AS kg FROM wf GROUP BY doc_id),
 $tail"""
   }
+
+  // ------------------------------------------------------ sample_bottomk
+
+  /** Twin of `TextAnalysis.qSampleBottomK`: the seedless bottom-k sample
+    * re-derived from the splitmix64 finalizer (`BottomKSample.mix`) in
+    * pure SQL — per source, the 10 ids with the SIGNED-smallest hash,
+    * emitted in hash order. splitmix64 is a bijection on 64-bit ints, so
+    * distinct ids never tie.
+    */
+  val sampleBottomK: String = {
+    // x = (id + C1) mod 2^64; x = ((x ^ x>>>30) * C2); x = ((x ^ x>>>27) * C3); h = x ^ x>>>31
+    val c1 = u64(0x9e3779b97f4a7c15L)
+    s"""WITH ids AS (SELECT source, doc_id FROM documents),
+sm0 AS MATERIALIZED (SELECT *,
+  ((CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + $M64 ELSE doc_id::HUGEINT END) + $c1) % $M64 AS x0
+ FROM ids),
+sm1 AS MATERIALIZED (SELECT *, ${mulc64(xor64("x0", s"x0 // ${1L << 30}"), 0xbf58476d1ce4e5b9L)} AS x1 FROM sm0),
+sm2 AS MATERIALIZED (SELECT *, ${mulc64(xor64("x1", s"x1 // ${1L << 27}"), 0x94d049bb133111ebL)} AS x2 FROM sm1),
+sm3 AS MATERIALIZED (SELECT *, ${toS64(xor64("x2", s"x2 // ${u64(1L << 31)}"))} AS h FROM sm2),
+rk AS (SELECT source, doc_id, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sm3)
+SELECT source,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h) AS sample_ids,
+  CAST(count(*) AS BIGINT) AS n_sampled
+FROM rk WHERE rn <= 10 GROUP BY source ORDER BY source"""
+  }
+
+  // ------------------------------------------------------------- ann_lsh
+
+  /** Twin of `AnnOps.qAnnLsh`: the seeded ±1 hyperplanes are re-drawn by
+    * the SAME `AnnOps.hyperplanes(8, 5, 64)` call at twin-generation time
+    * (identical by construction, like the minhash permutations) and baked
+    * into the SQL as constant lists; the twin re-derives every
+    * sign-projection bucket, the 1-bit-flip multiprobe, the candidate
+    * join and the exact cosine rerank. The projection guards NaN
+    * explicitly (`NOT isnan`): Java's `NaN >= 0` is false while DuckDB
+    * orders NaN above every double.
+    */
+  val annLsh: String = {
+    val planes = operators.AnnOps.hyperplanes(tables = 8, bits = 5, dim = 64)
+    def planeList(h: Array[Double]): String =
+      h.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def bucketExpr(tbl: Seq[Array[Double]]): String =
+      tbl.zipWithIndex.map { case (h, b) =>
+        val proj = s"list_sum(list_transform(range(1, 65), i -> v[i] * (${planeList(h)})[i]))"
+        s"(CASE WHEN NOT isnan($proj) AND $proj >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val structs = planes.zipWithIndex
+      .map { case (tbl, t) => s"{'tbl': $t, 'bkt': ${bucketExpr(tbl)}}" }
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
+cb AS MATERIALIZED (SELECT vec_id, unnest($structs, recursive := true) FROM base),
+pb AS (SELECT cb.vec_id AS query_id, cb.tbl, xor(cb.bkt, u.f) AS bkt
+       FROM cb, unnest([0, 1, 2, 4, 8, 16]) AS u(f)
+       WHERE cb.vec_id % 100 = 0),
+cand AS (SELECT DISTINCT pb.query_id, cb.vec_id AS neighbor_id
+         FROM pb JOIN cb ON cb.tbl = pb.tbl AND cb.bkt = pb.bkt
+         WHERE cb.vec_id <> pb.query_id),
+p AS (SELECT query_id, neighbor_id,
+        list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_raw
+      FROM cand JOIN n a ON a.vec_id = neighbor_id JOIN n b ON b.vec_id = query_id),
+r AS (SELECT query_id, neighbor_id, cos_raw,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM p WHERE cos_raw IS NOT NULL)
+SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+  }
 }

@@ -275,6 +275,25 @@ object SparkEntry {
     "dedup_fingerprint" -> TwinHashSql.dedupFingerprint,
     "sample_bottomk" -> TwinHashSql.sampleBottomK,
     "ann_lsh" -> TwinHashSql.annLsh,
+    // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
+    // component by component, sums as ordered left folds (bit-identical
+    // to the codegen'd DotProduct/CosineSim loops).
+    "embed_attach" -> TwinHashSql.embedAttach,
+    "semantic_search" -> TwinHashSql.semanticSearch,
+    // multimodal_meta: the synthetic payload header and the stub decode
+    // are pure string arithmetic — the twin re-derives format/dims from
+    // doc_id and n_bytes as the UTF-8 byte length of the header+body.
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['jpeg', 'png', 'webp'])[(doc_id % 3 + 1)::INT] AS fmt,
+        |    doc_id % 512 + 64 AS w,
+        |    doc_id % 384 + 48 AS h,
+        |    text FROM documents)
+        |SELECT doc_id, fmt AS format,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(strlen('GFT1|' || fmt || '|' || w::VARCHAR || '|' || h::VARCHAR || '|' || text) AS BIGINT) AS n_bytes,
+        |  true AS ok
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Sentence-respecting passage packing. The Java lookbehind split
     // `(?<=[.!?])\s+` (RE2 has no lookbehind) is emulated by consuming
     // the run into a \x01 sentinel after its punctuation; Java's \s/\S

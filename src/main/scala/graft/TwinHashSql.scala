@@ -500,4 +500,118 @@ r AS (SELECT query_id, neighbor_id, cos_raw,
 SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
 FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   }
+
+  // ------------------------------------------- stub-embedding twins
+
+  /** CTE chain computing Spark's chained-int hash step — the second link
+    * of `xxhash64(text, i)`: `XXH64.hashInt(iCol, seed = seedCol)` where
+    * `seedCol` is the (signed BIGINT) string hash from [[xxh64Cte]].
+    * Mirrors the public Spark implementation: h = seed + P5 + 4;
+    * h ^= (i & 0xFFFFFFFF)·P1; h = rotl(h,23)·P2 + P3; avalanche. One
+    * MATERIALIZED stage per chained step (the substitution rule). The
+    * final CTE is named `cte` with signed BIGINT column `out`. Verified
+    * byte-exact against pyspark `xxhash64(text, i)` for i ∈ {0,1,7,63}
+    * over empty/ASCII/multi-byte/non-BMP/100-char strings.
+    */
+  def xxhashIntCte(cte: String, src: String, seedCol: String, iCol: String,
+      out: String): String = {
+    val p = s"__${cte}_"
+    val ux = s"(CASE WHEN $seedCol < 0 THEN ($seedCol)::HUGEINT + $M64 " +
+      s"ELSE ($seedCol)::HUGEINT END)"
+    s"""${cte}_i0 AS MATERIALIZED (SELECT *,
+  ${addm64(addm64(ux, u64(P5)), "4")} AS ${p}h0,
+  ${mulc64(s"($iCol)::HUGEINT", P1)} AS ${p}k
+ FROM $src),
+${cte}_i1 AS MATERIALIZED (SELECT *,
+  ${addm64(mulc64(rotl64(xor64(s"${p}h0", s"${p}k"), 23), P2), u64(P3))} AS ${p}h2
+ FROM ${cte}_i0),
+${cte}_i2 AS MATERIALIZED (SELECT *, ${xor64(s"${p}h2", s"${p}h2 // 8589934592")} AS ${p}f1 FROM ${cte}_i1),
+${cte}_i3 AS MATERIALIZED (SELECT *, ${mulc64(s"${p}f1", P2)} AS ${p}f2 FROM ${cte}_i2),
+${cte}_i4 AS MATERIALIZED (SELECT *, ${xor64(s"${p}f2", s"${p}f2 // 536870912")} AS ${p}f3 FROM ${cte}_i3),
+${cte}_i5 AS MATERIALIZED (SELECT *, ${mulc64(s"${p}f3", P3)} AS ${p}f4 FROM ${cte}_i4),
+$cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS $out FROM ${cte}_i5)"""
+  }
+
+  /** Shared scaffold for the two stub-embedding twins: the green
+    * text_passages recipe (60-word windows, stride 45), then per DISTINCT
+    * passage text the 64 `EmbedOps.stubEmbedding` components — component i
+    * is `pmod(xxhash64(text, i), 2e6)/1e6 − 1`, re-derived here as the
+    * [[xxh64Cte]] string hash chained through [[xxhashIntCte]]. Ends at
+    * CTE `comps(passage, i, comp)`; `pas(doc_id, passage_id, passage)`
+    * also remains in scope. The BIGINT→DOUBLE cast, the 1e6 division and
+    * the −1.0 are all exactly-rounded IEEE ops, so `comp` is bit-identical
+    * to Spark's.
+    */
+  private val stubEmbeddingCtes: String =
+    s"""pw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+pe AS (SELECT doc_id, w, unnest(range(0, len(w), 45)) AS start FROM pw),
+pas AS (SELECT doc_id,
+    CAST(start // 45 AS BIGINT) AS passage_id,
+    array_to_string(list_slice(w, start + 1, start + 60), ' ') AS passage
+  FROM pe),
+dp AS (SELECT DISTINCT passage FROM pas),
+${xxh64Cte("eh", "dp", "passage", "xh")},
+ei AS (SELECT passage, xh, unnest(range(0, 64)) AS i FROM eh),
+${xxhashIntCte("ec", "ei", "xh", "i", "ch")},
+comps AS (SELECT passage, i,
+    (((ch % 2000000) + 2000000) % 2000000)::DOUBLE / 1000000.0 - 1.0 AS comp
+  FROM ec)"""
+
+  /** Strict left-fold sum of an ordered per-group double list — the same
+    * accumulation order as the `DotProduct`/`CosineSim` java loop (a
+    * plain `SUM()` aggregate would sum in scan order, which is
+    * partition-dependent; the fold is bit-deterministic).
+    */
+  private def orderedSum(expr: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list(($expr) ORDER BY i)), (a, x) -> a + x)"
+
+  /** Twin of `EmbedOps.qEmbedAttach` (dim=64 stub encoder over 60/15
+    * passages): per-passage dims + half-up-rounded L2 norm, the norm²
+    * re-derived as the ordered component-square fold.
+    */
+  val embedAttach: String =
+    s"""WITH $stubEmbeddingCtes,
+nrm AS (SELECT passage, sqrt(${orderedSum("comp * comp")}) AS nrm
+  FROM comps GROUP BY passage)
+SELECT p.doc_id, p.passage_id, 64::BIGINT AS n_dims,
+  floor(nrm * 10000.0 + 0.5) / 10000.0 AS norm
+FROM pas p JOIN nrm ON nrm.passage = p.passage
+ORDER BY doc_id, passage_id"""
+
+  /** Twin of `EmbedOps.qSemanticSearch` (k=20, the constant query text of
+    * the registered query). The query vector is re-derived at
+    * twin-generation time by the same public `XxHash64Function` chain the
+    * stub expression folds to, and baked in as exact round-trip double
+    * literals; √Σq² is likewise precomputed with `CosineSim`'s own
+    * accumulation order. Cosine = orderedDot / (√Σx² · √q-norm), the
+    * exact operation order of the codegen'd `CosineSim`.
+    */
+  val semanticSearch: String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val query = "aggregate data pipelines merge documents"
+    val h0 = XxHash64Function.hash(UTF8String.fromString(query), StringType, 42L)
+    val qv = (0 until 64).map { i =>
+      val h = XxHash64Function.hash(i, IntegerType, h0)
+      (((h % 2000000) + 2000000) % 2000000).toDouble / 1000000.0 - 1.0
+    }
+    var ny = 0.0
+    qv.foreach(x => ny += x * x) // CosineSim's loop order
+    val sqrtNy = math.sqrt(ny)
+    val qvl = qv.map(x => s"($x)::DOUBLE").mkString("[", ", ", "]")
+    s"""WITH $stubEmbeddingCtes,
+sc AS (SELECT passage,
+    ${orderedSum("comp * comp")} AS nx,
+    ${orderedSum(s"comp * ($qvl)[i + 1]")} AS dot
+  FROM comps GROUP BY passage),
+cs AS (SELECT passage, dot / (sqrt(nx) * ($sqrtNy)::DOUBLE) AS cos FROM sc)
+SELECT doc_id,
+  floor(max(cos) * 10000.0 + 0.5) / 10000.0 AS best_cos,
+  CAST(count(*) AS BIGINT) AS n_passages
+FROM pas p JOIN cs ON cs.passage = p.passage
+WHERE NOT isnan(cos)
+GROUP BY doc_id
+ORDER BY best_cos DESC, doc_id LIMIT 20"""
+  }
 }

@@ -275,6 +275,12 @@ object SparkEntry {
     "dedup_fingerprint" -> TwinHashSql.dedupFingerprint,
     "sample_bottomk" -> TwinHashSql.sampleBottomK,
     "ann_lsh" -> TwinHashSql.annLsh,
+    // IVF tier: the Lloyd-trained quantizer is bit-deterministic since the
+    // ordered-fold update step (AnnOps.ivfCentroids), so the whole training
+    // + probe + rerank chain re-derives in SQL — xxhash64(vec_id) sample
+    // order, per-pass max-dot/min-cid assignment, ordered-fold means.
+    "ann_ivf" -> TwinHashSql.annIvf,
+    "dedup_semantic" -> TwinHashSql.dedupSemantic,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical
     // to the codegen'd DotProduct/CosineSim loops).

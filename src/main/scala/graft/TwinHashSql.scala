@@ -614,4 +614,176 @@ WHERE NOT isnan(cos)
 GROUP BY doc_id
 ORDER BY best_cos DESC, doc_id LIMIT 20"""
   }
+
+  // ------------------------------------------------- IVF / Lloyd twins
+
+  /** CTE chain computing Spark `xxhash64(longCol)` (seed 42) over `src`
+    * as signed BIGINT column `out` — the single-long path
+    * `XXH64.hashLong`: h = seed + P5 + 8; k = rotl(l·P2, 31)·P1;
+    * h = rotl(h ^ k, 27)·P1 + P4; avalanche. Verified byte-exact against
+    * pyspark `xxhash64(CAST(v AS BIGINT))` for 0 / 5 / 42 / 123456789 /
+    * 2^40+7 / −3. One MATERIALIZED stage per chained step (the
+    * substitution rule).
+    */
+  def xxhashLongCte(cte: String, src: String, lCol: String, out: String): String = {
+    val p = s"__${cte}_"
+    val ul = s"(CASE WHEN $lCol < 0 THEN ($lCol)::HUGEINT + $M64 " +
+      s"ELSE ($lCol)::HUGEINT END)"
+    s"""${cte}_l0 AS MATERIALIZED (SELECT *,
+  ${addm64(addm64("42::HUGEINT", u64(P5)), "8")} AS ${p}h0,
+  ${mulc64(rotl64(mulc64(ul, P2), 31), P1)} AS ${p}k
+ FROM $src),
+${cte}_l1 AS MATERIALIZED (SELECT *,
+  ${addm64(mulc64(rotl64(xor64(s"${p}h0", s"${p}k"), 27), P1), u64(P4))} AS ${p}h2
+ FROM ${cte}_l0),
+${cte}_l2 AS MATERIALIZED (SELECT *, ${xor64(s"${p}h2", s"${p}h2 // 8589934592")} AS ${p}f1 FROM ${cte}_l1),
+${cte}_l3 AS MATERIALIZED (SELECT *, ${mulc64(s"${p}f1", P2)} AS ${p}f2 FROM ${cte}_l2),
+${cte}_l4 AS MATERIALIZED (SELECT *, ${xor64(s"${p}f2", s"${p}f2 // 536870912")} AS ${p}f3 FROM ${cte}_l3),
+${cte}_l5 AS MATERIALIZED (SELECT *, ${mulc64(s"${p}f3", P3)} AS ${p}f4 FROM ${cte}_l4),
+$cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS $out FROM ${cte}_l5)"""
+  }
+
+  /** 64-dim dot product as DuckDB `list_sum` over the zipped products —
+    * verified bit-identical to the codegen'd `DotProduct` loop (strict
+    * left fold from +0.0; DuckDB's list_sum is the same strict fold,
+    * probed over 2000 random 64-vectors with zero mismatches, and the
+    * green ann_topk / dedup_embedding twins rest on the same identity).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  /** Lloyd-trained IVF quantizer re-derived in SQL — the twin of
+    * `AnnOps.ivfCentroids` + `centroidArrays` (deterministic since the
+    * ordered-fold update: sample/seed order by xxhash64(vec_id), per-
+    * iteration assignment = max-dot/min-cid, update mean = ordered left
+    * fold over members sorted by vec_id, one closing division). Emits
+    * CTEs over corpus CTE `src(vec_id, v)` ending in
+    * `${cte}_cf(cid, cv)` — the trained quantizer, densely re-indexed in
+    * cid order exactly like `centroidArrays`. `iters` is unrolled (one
+    * assignment + one update CTE pair per pass). The `+ 0.0` on the
+    * assignment sort key collapses IEEE −0.0 (see AnnOps.noNegZero): the
+    * engines disagree on ±0 order, both tie-break on cid once
+    * normalized.
+    */
+  private def lloydCtes(cte: String, src: String, nlist: Int,
+      iters: Int = 2, trainCap: Int = 100000): String = {
+    val p = cte
+    val hash = xxhashLongCte(s"${p}_h", src, "vec_id", s"${p}_hv")
+    val seed =
+      s"""${p}_ord AS MATERIALIZED (SELECT vec_id, v,
+  row_number() OVER (ORDER BY ${p}_hv, vec_id) AS rn FROM ${p}_h),
+${p}_samp AS MATERIALIZED (SELECT vec_id, v FROM ${p}_ord WHERE rn <= $trainCap),
+${p}_c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv
+  FROM ${p}_ord WHERE rn <= $nlist)"""
+    val passes = (1 to iters).map { i =>
+      s"""${p}_a$i AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY (-(${dotSql("s.v", "c.cv")}) + 0.0::DOUBLE) ASC, c.cid ASC) AS arn
+    FROM ${p}_samp s CROSS JOIN ${p}_c${i - 1} c)
+  WHERE arn = 1),
+${p}_c$i AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)), (acc, t) -> acc + t)
+        / count(*) AS m
+    FROM (SELECT cid, vec_id, t.i AS pos, v[t.i] AS x
+          FROM ${p}_a$i, unnest(range(1, 65)) AS t(i))
+    GROUP BY cid, pos)
+  GROUP BY cid)"""
+    }
+    val dense =
+      s"""${p}_cf AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid, cv
+  FROM ${p}_c$iters)"""
+    (hash +: seed +: passes :+ dense).mkString(",\n")
+  }
+
+  /** Corpus assignment to the trained quantizer — the twin of
+    * `AnnOps.nearestCentroid` (`array_position(dots, array_max(dots))`:
+    * first index attaining the max = min cid among dots EQUAL to the
+    * max; `=` treats ±0.0 equal in both engines, so no normalization is
+    * needed on the equality path). Emits CTEs ending in
+    * `${cte}(vec_id, cid)`.
+    */
+  private def assignCtes(cte: String, src: String, cents: String): String =
+    s"""${cte}_d AS MATERIALIZED (
+  SELECT b.vec_id, c.cid, ${dotSql("b.v", "c.cv")} AS dt
+  FROM $src b CROSS JOIN $cents c),
+${cte}_m AS (SELECT vec_id, max(dt) AS md FROM ${cte}_d GROUP BY vec_id),
+$cte AS MATERIALIZED (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM ${cte}_d d JOIN ${cte}_m m ON m.vec_id = d.vec_id AND d.dt = m.md
+  GROUP BY d.vec_id)"""
+
+  /** Twin of `AnnOps.qAnnIvf` (nlist=32, nprobe=8, iters=2, k=10,
+    * queries = vec_id % 100 = 0): the full Lloyd training re-run in SQL,
+    * probe = top-nprobe centroids per query by (dot desc, cid), inverted
+    * file by nearest-centroid assignment, exact cosine rerank over probed
+    * cells only. Norms and cosines use the same list_sum fold as the
+    * green ann_topk/dedup_embedding twins; `+ 0.0` collapses −0.0 in the
+    * two float sort keys exactly as the Spark side does.
+    */
+  val annIvf: String = {
+    s"""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+${lloydCtes("lv", "base", nlist = 32)},
+${assignCtes("asn", "base", "lv_cf")},
+nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
+pr AS MATERIALIZED (
+  SELECT query_id, cid, qv FROM (
+    SELECT q.query_id, c.cid, q.qv,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY (${dotSql("q.qv", "c.cv")} + 0.0::DOUBLE) DESC, c.cid ASC) AS prn
+    FROM q CROSS JOIN lv_cf c)
+  WHERE prn <= 8),
+cand AS MATERIALIZED (
+  SELECT pr.query_id, a.vec_id AS neighbor_id,
+    ((${dotSql("b.v", "pr.qv")}) / (na.nrm * nq.nrm) + 0.0::DOUBLE) AS cos_raw
+  FROM pr JOIN asn a ON a.cid = pr.cid
+  JOIN base b ON b.vec_id = a.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nq ON nq.vec_id = pr.query_id
+  WHERE a.vec_id <> pr.query_id),
+r AS (SELECT query_id, neighbor_id, cos_raw,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM cand WHERE cos_raw IS NOT NULL)
+SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+  }
+
+  /** Twin of `DedupOps.qDedupSemantic` (planted corpus, nlist=64,
+    * iters=2, τ=0.95, maxBucket=1000): same Lloyd quantizer at 64 cells
+    * over the planted corpus, candidate pairs only within a (cell,
+    * label) group of size in (1, maxBucket], exact cosine ≥ τ on the
+    * half-up-rounded value — the corpus construction matches the green
+    * dedup_embedding twin.
+    */
+  val dedupSemantic: String = {
+    s"""WITH b0 AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, label, v FROM b0
+  UNION ALL SELECT vec_id + 100000, label,
+    list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM b0 WHERE vec_id % 11 = 0),
+${lloydCtes("lv", "corpus", nlist = 64)},
+${assignCtes("asn", "corpus", "lv_cf")},
+cells AS (SELECT a.vec_id, a.cid AS cell, c.label, c.v
+  FROM asn a JOIN corpus c ON c.vec_id = a.vec_id),
+sz AS (SELECT cell, label, count(*) AS n FROM cells GROUP BY cell, label),
+ok AS (SELECT cell, label FROM sz WHERE n > 1 AND n <= 1000),
+nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    floor((${dotSql("a.v", "b.v")}) / (n1.nrm * n2.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM cells a
+  JOIN cells b ON b.cell = a.cell AND b.label = a.label AND b.vec_id > a.vec_id
+  JOIN ok ON ok.cell = a.cell AND ok.label = a.label
+  JOIN nrm n1 ON n1.vec_id = a.vec_id
+  JOIN nrm n2 ON n2.vec_id = b.vec_id)
+SELECT id1, id2, cos_sim FROM pairs
+WHERE cos_sim IS NOT NULL AND cos_sim >= 0.95
+ORDER BY id1, id2"""
+  }
 }

@@ -10,8 +10,8 @@ the caller runs the REAL gate over it:
 
     python3 tools/vectors_differential.py /tmp/graft_vec
     sbt -batch "runMain graft.Verify /tmp/graft_vec /tmp/verify_vec \
-        ann_topk dedup_embedding embed_quantize ann_lsh"
-    python3 tools/selfcheck.py /tmp/graft_vec /tmp/verify_vec
+        ann_topk dedup_embedding embed_quantize ann_lsh ann_ivf dedup_semantic"
+    GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_vec /tmp/verify_vec
 
 First run's findings (all fixed):
   - Spark double division 0/0 is NaN where DuckDB's is NULL, and Spark
@@ -28,6 +28,15 @@ First run's findings (all fixed):
     computed in double via x − pmod(x, 1).
 After the fixes every run must pass (ann_lsh is a rows-only check —
 its bucket recall on adversarial geometry is covered by its spec).
+
+Round 17 added the IVF tier (ann_ivf, dedup_semantic) to the sweep:
+the Lloyd quantizer trains deterministically (ordered-fold update
+means), so both twins re-run the full training in DuckDB. The sweep
+pinned the two seams that surfaced: 1e38 one-hots overflow any
+fixed-point integer mean (hence the ordered double fold), and the two
+engines order IEEE −0.0 on OPPOSITE sides of +0.0 (Java Double.compare
+puts −0.0 below, DuckDB's total order above) — every float sort key in
+the family now collapses −0.0 via `+ 0.0` on both sides.
 """
 import os
 import random

@@ -132,6 +132,27 @@ class AnnOpsSpec extends SparkSpec {
     assert(a.length <= 8 && a.nonEmpty)
   }
 
+  test("ivfCentroids are bit-identical under any input partitioning") {
+    // The property the DuckDB oracle twins (and a 1000-executor cluster)
+    // rest on: the Lloyd update mean is an ORDERED fold over members
+    // sorted by vec_id, so the trained quantizer must not move by a
+    // single bit when the input arrives in different partition layouts
+    // or orders. A plain double avg() fails this test (scan-order
+    // accumulation).
+    val vecs = AnnOps.corpus(spark, sfDir)
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      AnnOps.ivfCentroids(df, nlist = 8, iters = 2).orderBy("cid").collect()
+        .map(_.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits).toSeq)
+        .toSeq
+    val base = bits(vecs)
+    assert(bits(vecs.repartition(3)) === base,
+      "3-partition hash layout must not move a bit")
+    assert(bits(vecs.repartition(17, col("vec_id"))) === base,
+      "17-partition key layout must not move a bit")
+    assert(bits(vecs.orderBy(desc("vec_id"))) === base,
+      "reversed scan order must not move a bit")
+  }
+
   test("nearestCentroid expression agrees with the Lloyd min_by assignment") {
     import graft.functions.VectorFns.dot_product
     val vecs = AnnOps.corpus(spark, sfDir)

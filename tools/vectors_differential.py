@@ -65,6 +65,12 @@ def main():
             v = [-(k + 1.0) for k in range(64)]
         elif cls == 5:
             v = [k + 1.0 for k in range(64)]                 # negation of 4
+        elif cls == 6:
+            # IEEE negative zero — dots against it come out ±0.0, the class
+            # where Java (−0.0 < +0.0) and DuckDB (−0.0 ABOVE +0.0) sort
+            # OPPOSITE ways; pins the `+ 0.0` normalization on every float
+            # sort key in the ANN/IVF family
+            v = [-0.0] * 64
         else:
             v = [random.uniform(-1, 1) for _ in range(64)]
         rows.append((i, v, i % 5))

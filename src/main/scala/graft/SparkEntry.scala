@@ -129,6 +129,7 @@ object SparkEntry {
     "embed_quantize" -> (AnnOps.qEmbedQuantize _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
+    "ann_ivf_index" -> (AnnOps.qAnnIvfIndex _),
     "lang_id" -> (TextAnalysis.qLangId _),
     "quality_score" -> (TextAnalysis.qQualityScore _),
     "quality_gopher" -> (TextAnalysis.qQualityGopher _),
@@ -280,6 +281,11 @@ object SparkEntry {
     // + probe + rerank chain re-derives in SQL — xxhash64(vec_id) sample
     // order, per-pass max-dot/min-cid assignment, ordered-fold means.
     "ann_ivf" -> TwinHashSql.annIvf,
+    // Same twin as ann_ivf: the persisted-index path is bit-equal to the
+    // in-memory plan by construction (parquet double round-trip is exact),
+    // so the gate adjudicates the index write + DPP probe against the same
+    // re-derived training/probe/rerank SQL.
+    "ann_ivf_index" -> TwinHashSql.annIvf,
     "dedup_semantic" -> TwinHashSql.dedupSemantic,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical

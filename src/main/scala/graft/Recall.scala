@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *  - `ann_lsh`: lshTopK recall@10 vs bruteTopK on the embeddings corpus
   *    (queries = every 100th vector; spec floor 0.7, measured ~0.94);
   *  - `ann_ivf`: ivfTopK recall@10 at nlist=8 / nprobe=4 — half the cells
-  *    probed (spec floor 0.65, measured ~0.80 at sf0.001,
-  *    0.72 at sf0.01), plus the per-nprobe recall/wall curve (1/2/4/8)
-  *    that justifies the nprobe=4 default from data;
+  *    probed (spec floor 0.7, raised round 17 from 0.65 on the
+  *    three-scale sweep: measured ~0.80 at sf0.001, 0.72 at sf0.01,
+  *    0.765 at sf0.1 — deterministic, so the floor tracks the worst
+  *    measured point, not noise), plus the per-nprobe recall/wall curve
+  *    (1/2/4/8) that justifies the nprobe=4 default from data;
   *  - `dedup_semantic`: SemDeDup centroid blocking vs the exact
   *    all-pairs result on the planted corpus — planted-duplicate recall
   *    (spec requires 1.0: cos=1 pairs share a centroid by construction)
@@ -76,7 +78,7 @@ object Recall {
     val record =
       s"""{"sf":"$sfDir","k":10,"n_queries":${queries.count()},""" +
       s""""ann_lsh_recall":${fnum(lshRecall)},"ann_lsh_floor":0.7,""" +
-      s""""ann_ivf_recall":${fnum(ivfRecall)},"ann_ivf_floor":0.65,""" +
+      s""""ann_ivf_recall":${fnum(ivfRecall)},"ann_ivf_floor":0.7,""" +
       s""""ann_ivf_curve":[""" + ivfCurve.map { case (np, r, w) =>
         s"""{"nprobe":$np,"recall":${fnum(r)},"wall_s":${fnum(w)}}"""
       }.mkString(",") + "]," +
@@ -85,8 +87,13 @@ object Recall {
       s""""sem_pair_recall":${fnum(semPairRecall)},""" +
       s""""sem_subset_ok":$semSubsetOk,"exact_tau_pairs":${exactPairs.size},""" +
       s""""planted_pairs":${plantedPairs.size}}"""
+    // GRAFT_RECALL_OUT lets the sf0.1 sweep land as its own standing
+    // record (RECALL_sf0.1.json) without clobbering the canonical sf0.01
+    // RECALL.json the round recipe refreshes.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("RECALL.json"), record.getBytes("UTF-8"))
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_RECALL_OUT", "RECALL.json")),
+      record.getBytes("UTF-8"))
     System.err.flush()
     println(record)
     spark.stop()

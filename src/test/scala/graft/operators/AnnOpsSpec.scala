@@ -102,13 +102,16 @@ class AnnOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     // Near-random vectors are the hard regime for a coarse quantizer too:
-    // measured 0.80 here with half the cells probed (0.72 at sf0.01 —
-    // RECALL.json's per-nprobe curve: 0.26/0.42/0.72/1.00 at nprobe
-    // 1/2/4/8, so nprobe=4 is the knee the default sits on). Floor 0.65
-    // leaves margin for corpus regeneration without letting a probe
-    // regression slip by.
+    // measured 0.80 here with half the cells probed (0.72 at sf0.01, 0.765
+    // at sf0.1 — RECALL.json's per-nprobe curve: 0.26/0.42/0.72/1.00 at
+    // nprobe 1/2/4/8 at sf0.01 and 0.265/0.51/0.765/1.00 at sf0.1, so
+    // nprobe=4 is the knee the default sits on). Floor 0.7, raised from
+    // 0.65 in round 17 once the three-scale sweep showed the worst
+    // deterministic point is 0.72: the pipeline is bit-reproducible
+    // (ordered-fold Lloyd), so the remaining margin only has to absorb a
+    // corpus regeneration, not run-to-run noise.
     info(f"IVF recall@10 = $recall%.3f (${approx.size} approx pairs, ${exact.size} exact)")
-    assert(recall >= 0.65, s"IVF recall $recall below 0.65")
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7")
   }
 
   test("ivfTopK always finds an exact duplicate (identical cell assignment)") {

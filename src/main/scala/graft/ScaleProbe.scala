@@ -58,11 +58,13 @@ object ScaleProbe {
            else concat(slice(v, rot + 1, 64 - rot), slice(v, 1, rot))).as("v"))
       }.reduce(_.unionByName(_))
 
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
     def probe(op: String, k: Int, df: => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(op)) return
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      measured += ((op, k, sec, rows))
       println(f"""{"op":"$op","k":$k,"sec":$sec%.2f,"rows":$rows}""")
     }
 
@@ -326,6 +328,43 @@ object ScaleProbe {
         graft.operators.TextAnalysis.qualityClassifier(
           c, "text", "doc_id", weights, buckets = 64)
       })
+    }
+
+    // Standing record (SCALE.json, like RECALL/SKEW): per-family wall at
+    // each K plus the tmax/tmin growth ratio, so sub-linearity trends as
+    // a per-round diff instead of a stdout-only claim. GRAFT_SCALE_OUT
+    // redirects (e.g. a 1,10 probe record kept beside the default 1,2,4).
+    if (measured.nonEmpty) {
+      def fnum(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val kLo = measured.map(_._2).min
+      val kHi = measured.map(_._2).max
+      val fams = measured.map(_._1).distinct.map { op =>
+        val byK = measured.filter(_._1 == op).map(t => t._2 -> t._3).toMap
+        val ratio = (byK.get(kLo), byK.get(kHi)) match {
+          case (Some(a), Some(b)) if a > 0 => b / a
+          case _ => -1.0
+        }
+        val secs = measured.filter(_._1 == op)
+          .map(t => s""""k${t._2}":${fnum(t._3)}""").mkString(",")
+        s"""{"op":"$op",$secs,"ratio":${fnum(ratio)}}"""
+      }
+      val worst = measured.map(_._1).distinct.map { op =>
+        val byK = measured.filter(_._1 == op).map(t => t._2 -> t._3).toMap
+        (byK.get(kLo), byK.get(kHi)) match {
+          case (Some(a), Some(b)) if a > 0 => b / a
+          case _ => -1.0
+        }
+      }.max
+      val record =
+        s"""{"sf":"$sfDir","ks":[${ks.mkString(",")}],""" +
+        s""""k_lo":$kLo,"k_hi":$kHi,"max_ratio":${fnum(worst)},""" +
+        s""""families":[${fams.mkString(",")}]}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE.json")),
+        record.getBytes("UTF-8"))
+      println(record)
     }
     spark.stop()
   }

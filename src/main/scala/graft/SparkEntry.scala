@@ -2303,6 +2303,21 @@ object SparkEntry {
         |  floor(quantile_cont(n_chars, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
         |  floor(quantile_cont(n_chars, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // GK-sketch bounds contract: the oracle re-derives the group sizes and
+    // the guaranteed rank windows (pure integer arithmetic, bit-identical
+    // to SearchOps.facetStatsApproxBounds) and asserts within_bounds=true;
+    // a hash match certifies every Spark approx value honored its
+    // published ε=1/accuracy rank guarantee. accuracy=10000 here.
+    "facet_stats_approx" ->
+      """WITH g AS (SELECT lang, count(*) AS n, count(n_chars) AS m
+        |           FROM documents GROUP BY lang)
+        |SELECT lang, n, m,
+        |  greatest(1, m // 2 - (m + 9999) // 10000) AS lo50,
+        |  least(m, (m + 1) // 2 + (m + 9999) // 10000) AS hi50,
+        |  greatest(1, (19 * m) // 20 - (m + 9999) // 10000) AS lo95,
+        |  least(m, (19 * m + 19) // 20 + (m + 9999) // 10000) AS hi95,
+        |  true AS within_bounds
+        |FROM g ORDER BY lang""".stripMargin,
     "es_bulk_format" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0

@@ -296,11 +296,73 @@ object SearchOps {
         roundHalfUp(approx_percentile(col(valueCol), lit(0.5), lit(accuracy)).cast("double"), 4).as("p50"),
         roundHalfUp(approx_percentile(col(valueCol), lit(0.95), lit(accuracy)).cast("double"), 4).as("p95"))
 
-  /** queries() wrapper (rows-only check: approximate answers don't
-    * hash-match a DuckDB oracle by construction).
+  /** Bounds adjudication of [[facetStatsApprox]]: the GK sketch's INTERNALS
+    * can't be restated in DuckDB, but its CONTRACT can. `approx_percentile
+    * (v, p, accuracy)` guarantees the returned value's rank sits within
+    * ε·m of the target rank (ε = 1/accuracy, m = non-null count) — see
+    * Greenwald & Khanna, "Space-Efficient Online Computation of Quantile
+    * Summaries" (SIGMOD '01), and Spark's `ApproximatePercentile` doc.
+    *
+    * This query emits, per facet: the group sizes, the guaranteed rank
+    * window (pure INTEGER arithmetic on m, so it re-derives bit-identically
+    * in any engine), and a `within_bounds` boolean that is true iff the
+    * sketch's value's exact rank interval [lt+1, le] intersects that
+    * window, for BOTH p50 and p95. The oracle twin recomputes the sizes
+    * and windows from the raw data and asserts `true` — a hash match
+    * therefore certifies (a) the window arithmetic cross-engine and (b)
+    * that every Spark approximate value honored its published guarantee.
+    *
+    * The acceptance window is widened to [floor(p·m) − ⌈ε·m⌉,
+    * ceil(p·m) + ⌈ε·m⌉] (clamped to [1, m]) so it contains the guaranteed
+    * window under either rank-target convention; a correct sketch always
+    * passes, a grossly wrong one cannot.
+    *
+    * Scale shape: two facet-cardinality aggregations over the corpus plus
+    * one broadcast join of the tiny approx table back onto the scan —
+    * both partial-agg shuffles, nothing per-group ever materializes.
+    */
+  def facetStatsApproxBounds(docs: DataFrame, facetCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val f = col(facetCol)
+    val v = col(valueCol)
+    val approx = docs.groupBy(f).agg(
+      count(lit(1)).as("n"),
+      count(v).as("m"),
+      approx_percentile(v, lit(0.5), lit(accuracy)).as("a50"),
+      approx_percentile(v, lit(0.95), lit(accuracy)).as("a95"))
+    val ranks = docs.select(f, v)
+      .join(broadcast(approx.select(f, col("a50"), col("a95"))), Seq(facetCol))
+      .groupBy(f).agg(
+        sum(when(v < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(v <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(v < col("a95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(v <= col("a95"), 1L).otherwise(0L)).as("le95"))
+    val m = col("m")
+    // ceil(ε·m) and the floor/ceil rank targets as pure integer div —
+    // bit-identical in DuckDB by construction (no float rounding seam)
+    val epsN = expr(s"(m + ${accuracy - 1}) div $accuracy")
+    val lo50 = greatest(lit(1L), expr("m div 2") - epsN)
+    val hi50 = least(m, expr("(m + 1) div 2") + epsN)
+    val lo95 = greatest(lit(1L), expr("(19 * m) div 20") - epsN)
+    val hi95 = least(m, expr("(19 * m + 19) div 20") + epsN)
+    approx.join(ranks, Seq(facetCol), "left")
+      .withColumn("lo50", lo50).withColumn("hi50", hi50)
+      .withColumn("lo95", lo95).withColumn("hi95", hi95)
+      .withColumn("within_bounds",
+        (m === 0L) || (
+          col("lt50") + 1L <= col("hi50") && col("le50") >= col("lo50") &&
+          col("lt95") + 1L <= col("hi95") && col("le95") >= col("lo95")))
+      .select(f, col("n"), m, col("lo50"), col("hi50"),
+        col("lo95"), col("hi95"), col("within_bounds"))
+  }
+
+  /** queries() wrapper — oracle-adjudicated via the bounds contract (the
+    * raw approximate values can't hash-match a foreign engine by
+    * construction; the guarantee they must satisfy CAN, see
+    * [[facetStatsApproxBounds]]).
     */
   def qFacetStatsApprox(s: SparkSession, d: String): DataFrame =
-    facetStatsApprox(Tables.documents(s, d), "lang", "n_chars")
+    facetStatsApproxBounds(Tables.documents(s, d), "lang", "n_chars")
       .orderBy("lang")
 
   // ------------------------------------------------------------ es_bulk_format

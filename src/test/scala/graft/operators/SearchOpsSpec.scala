@@ -113,4 +113,37 @@ class SearchOpsSpec extends SparkSpec {
     assert(coarse == 10.0 || coarse == 1000000.0,
       s"sketch answers are input elements even at the knob floor, got $coarse")
   }
+
+  test("facetStatsApproxBounds: rank windows are integer-exact and the contract holds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rows = SearchOps.facetStatsApproxBounds(docs, "lang", "n_chars").collect()
+    assert(rows.nonEmpty)
+    // the contract column the oracle twin asserts all-true
+    assert(rows.forall(_.getAs[Boolean]("within_bounds")),
+      "every approx value's exact rank interval intersects the guaranteed window")
+    // window arithmetic (floor/ceil targets ± ceil(eps*m), clamped) is the
+    // documented integer form — recompute it here independently
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m")
+      val e = (m + 9999) / 10000
+      assert(r.getAs[Long]("lo50") == math.max(1L, m / 2 - e))
+      assert(r.getAs[Long]("hi50") == math.min(m, (m + 1) / 2 + e))
+      assert(r.getAs[Long]("lo95") == math.max(1L, 19 * m / 20 - e))
+      assert(r.getAs[Long]("hi95") == math.min(m, (19 * m + 19) / 20 + e))
+    }
+    // the check has teeth: at the p95 cliff (950×10 then 50×1e6) with a
+    // coarse-but-guaranteed knob, the sketch may land on EITHER side of the
+    // cliff yet must stay inside its widened rank window — and a value that
+    // broke the guarantee (rank error > eps*m) would flip within_bounds
+    val cliff = ((1 to 950).map(i => (i.toLong, 10L)) ++
+      (951 to 1000).map(i => (i.toLong, 1000000L)))
+      .toDF("id", "value").withColumn("facet", lit("c")).repartition(7)
+    val b = SearchOps.facetStatsApproxBounds(cliff, "facet", "value", accuracy = 20)
+      .head
+    assert(b.getAs[Long]("m") == 1000L)
+    assert(b.getAs[Boolean]("within_bounds"),
+      "GK guarantee holds even at the adversarial cliff at the knob floor")
+  }
 }

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Families measured (same parameters as their specs):
   *  - `ann_lsh`: lshTopK recall@10 vs bruteTopK on the embeddings corpus
-  *    (queries = every 100th vector; spec floor 0.7, measured ~0.94);
+  *    (queries = every 100th vector; spec floor 0.9, raised round 18 from
+  *    the 0.7 bring-up value on the three-scale sweep: measured 0.94 at
+  *    sf0.001, 0.92 at sf0.01, 0.965 at sf0.1 — deterministic, so the
+  *    floor tracks the worst measured point);
   *  - `ann_ivf`: ivfTopK recall@10 at nlist=8 / nprobe=4 — half the cells
   *    probed (spec floor 0.7, raised round 17 from 0.65 on the
   *    three-scale sweep: measured ~0.80 at sf0.001, 0.72 at sf0.01,
@@ -51,13 +54,20 @@ object Recall {
     val ivfRecall = ratio(ivf.intersect(exactTopK).size, exactTopK.size)
 
     // nprobe recall/wall curve (nlist=8 as above): the default must be
-    // chosen from data, not convention — each point runs the SAME query
-    // set and measures recall@10 plus wall seconds (action-timed, plan
-    // built fresh per point).
+    // chosen from data, not convention. The quantizer trains ONCE —
+    // training cost is constant across nprobe, so folding it into every
+    // point would drown the probe-cost signal the curve exists to show;
+    // it lands as its own train_wall_s field instead. Each point then
+    // runs the SAME query set against the shared index and times only
+    // the probe+rerank action.
+    val tTrain0 = System.nanoTime()
+    val curveCents = operators.AnnOps.centroidArrays(
+      operators.AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2))
+    val ivfTrainWall = (System.nanoTime() - tTrain0) / 1e9
     val ivfCurve = Seq(1, 2, 4, 8).map { np =>
       val t0 = System.nanoTime()
-      val pairs = pairSet(operators.AnnOps.ivfTopK(vecs, queries, k = 10,
-        nlist = 8, nprobe = np).select("query_id", "neighbor_id"))
+      val pairs = pairSet(operators.AnnOps.ivfProbeTopK(vecs, queries, k = 10,
+        curveCents, nprobe = np).select("query_id", "neighbor_id"))
       val wall = (System.nanoTime() - t0) / 1e9
       (np, ratio(pairs.intersect(exactTopK).size, exactTopK.size), wall)
     }
@@ -77,8 +87,9 @@ object Recall {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val record =
       s"""{"sf":"$sfDir","k":10,"n_queries":${queries.count()},""" +
-      s""""ann_lsh_recall":${fnum(lshRecall)},"ann_lsh_floor":0.7,""" +
+      s""""ann_lsh_recall":${fnum(lshRecall)},"ann_lsh_floor":0.9,""" +
       s""""ann_ivf_recall":${fnum(ivfRecall)},"ann_ivf_floor":0.7,""" +
+      s""""ann_ivf_train_wall_s":${fnum(ivfTrainWall)},""" +
       s""""ann_ivf_curve":[""" + ivfCurve.map { case (np, r, w) =>
         s"""{"nprobe":$np,"recall":${fnum(r)},"wall_s":${fnum(w)}}"""
       }.mkString(",") + "]," +

@@ -311,7 +311,15 @@ object SparkEntry {
     // the run into a \x01 sentinel after its punctuation; Java's \s/\S
     // are spelled as [\x09-\x0D ] (RE2's \s lacks \x0B). Word counts
     // replicate Java split semantics (leading empty counted, trailing
-    // whitespace dropped). The greedy fold — inherently sequential per
+    // whitespace dropped) — including the all-whitespace corner: Java's
+    // "   ".split("\\s+") is length 0 (the positive-width match at the
+    // start DOES add a leading "", but the trailing-empties sweep then
+    // removes the whole all-empty array — probed on this JVM), so a
+    // whitespace-only sentence (only possible as a punctuation-free
+    // whitespace-only doc) counts ZERO words and emits NO passage; the
+    // CASE's 0 and the HAVING mirror that, and the unicode
+    // differential's whitespace-only doc pins it.
+    // The greedy fold — inherently sequential per
     // doc — is a recursive CTE walking sentences in order; depth = max
     // sentences per doc.
     "text_passages_sent" ->

@@ -45,9 +45,12 @@ class AnnOpsSpec extends SparkSpec {
     info(f"LSH recall@10 = $recall%.3f (${approx.size} approx pairs, ${exact.size} exact)")
     // This corpus's true top-10 neighbors sit at cosine ~0.3 (near-random
     // vectors) — the hard regime for sign-LSH. 8 tables × 5 bits with 1-bit
-    // multiprobe on the query side measures ~0.94 here; 0.7 leaves margin
-    // for corpus regeneration without letting a probe regression slip by.
-    assert(recall >= 0.7, s"LSH recall $recall below 0.7 (found ${approx.size} pairs)")
+    // multiprobe on the query side measures 0.94 here, 0.92 at sf0.01 and
+    // 0.965 at sf0.1 (RECALL.json's three-scale sweep, round 18) — the
+    // pipeline is deterministic, so the floor tracks the worst measured
+    // point (0.92) with a small regeneration margin, not the old 0.7
+    // bring-up value a 20-point regression could hide under.
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${approx.size} pairs)")
   }
 
   test("lshTopK always finds an exact duplicate (identical buckets in every table)") {

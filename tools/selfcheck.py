@@ -112,7 +112,11 @@ def main():
             # Spark output vs oracle output on the same subset.
             sample_den = int(os.environ.get("GRAFT_SAMPLE_PAIRS", "0") or 0)
             schema_names = set(pq.read_schema(files[0]).names)
-            if sample_den and {"id1", "id2"} <= schema_names:
+            # Sampling applies only to ORACLE-adjudicated pair results: a
+            # rows-only query has no oracle side to restrict, and cutting
+            # its Spark rows could sample a small result to 0 rows and
+            # spuriously fail the rows>0 check.
+            if sample_den and name in oracle and {"id1", "id2"} <= schema_names:
                 cut = (f"('0x' || substr(md5(id1 || '|' || id2), 1, 8))::BIGINT"
                        f" * {sample_den} < 4294967296")
                 entry["spark_rows_full"] = sum(

@@ -20,6 +20,7 @@ exact parquet shape, and the caller then runs the REAL gate over it:
         search_bm25 search_match_topk search_phrase multi_match es_query \
         search_bool facet_counts facet_stats es_agg perplexity_bucket \
         dsir_select norm_clean_html norm_boilerplate text_passages \
+        text_passages_sent \
         norm_add_counts norm_join_text line_dedup main_text_blocks \
         nlp_preprocess passage_clean norm_strip_selectors dedup_exact \
         quality_classifier badwords_filter bpe_pairs ngram_jaccard \
@@ -40,7 +41,12 @@ everything else agreed token-for-token on emoji, combining marks, NBSP,
 zero-width, bidi and fullwidth inputs: token_count,
 quality_score/gopher/repetition, lang_id, corpus_stats, pii_scrub,
 text_fix, the boundary docs (empty/whitespace/solo/emoji-only — split
-and 0/0 conventions), the percentile-bearing twins
+and 0/0 conventions; the whitespace-only doc also pins
+text_passages_sent's Java '   '.split("\\s+") == length-0 word count —
+the positive-width match at the start adds a leading "" but the
+trailing-empties sweep removes the all-empty array, so NO passage is
+emitted on either side; probed, the length-1 reading is wrong), the
+percentile-bearing twins
 (facet_stats/es_agg/perplexity_bucket/dsir_select — interpolation
 arithmetic matches through the floor rounding), and the whole
 BM25 family (search_bm25/match_topk/multi_match/es_query score real

@@ -26,8 +26,11 @@ First run's findings (all fixed):
     came back as Long.MaxValue/10^6 ≈ 9.2e12 while DuckDB's
     double-typed floor round-tripped the value. The floor is now
     computed in double via x − pmod(x, 1).
-After the fixes every run must pass (ann_lsh is a rows-only check —
-its bucket recall on adversarial geometry is covered by its spec).
+After the fixes every run must pass. ann_lsh graduated from a
+rows-only check in round 17: TwinHashSql.annLsh bakes the seeded
+hyperplanes into the twin and hash-adjudicates the full bucketed
+result here too (its bucket RECALL on adversarial geometry is still
+spec territory — recall is a quality metric, not a correctness one).
 
 Round 17 added the IVF tier (ann_ivf, dedup_semantic) to the sweep:
 the Lloyd quantizer trains deterministically (ordered-fold update

@@ -11,7 +11,14 @@ object SharedSpark {
     val s = SparkSession
       .builder()
       .appName("graft-test")
-      .master("local[4]")
+      // local[4, 2]: maxFailures=2, i.e. ONE task retry — production has
+      // task retries, and the encoder-seam spec (EmbedOpsSpec) kills a
+      // task mid-encode to assert the distinct-encode path stays
+      // exactly-once per text at the RESULT level over an at-least-once
+      // transport. Deterministic task failures still fail the job (the
+      // retry hits the same condition), so throw-asserting specs are
+      // unaffected beyond one extra attempt.
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -122,6 +122,46 @@ class EmbedOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == stubPath, "same model ⇒ same ranking")
   }
 
+  test("a task killed mid-encode retries to exactly-once results over an at-least-once transport") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 distinct texts across 2 partitions, batchSize 4 → ~5 encoder
+    // calls per task: the marked text sits in a LATER batch of its task,
+    // so the first attempt has already encoded earlier batches (real
+    // side effects at the service) when it dies. Spark discards the dead
+    // attempt's output and reruns the whole task (maxFailures=2 on the
+    // shared session) — the service sees those texts AGAIN
+    // (at-least-once transport), but the committed result must carry
+    // each text exactly once with the stub-exact vector.
+    FlakyEncoderState.reset()
+    val texts = (0 until 40).map(i => f"retry probe text $i%02d")
+    val marker = texts(30)
+    val df = texts.toDF("passage").repartition(2)
+    val out = EmbedOps.encodeDistinctWith(df, "passage",
+      new FlakyEncoder(64, marker), batchSize = 4)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+
+    // exactly-once at the result level: one row per distinct text
+    assert(out.length === texts.length)
+    assert(out.map(_._1).distinct.length === texts.length, "no duplicate rows from the dead attempt")
+    // vectors are the stub's, bit for bit — the retry re-encoded, it
+    // didn't corrupt or skip
+    val expect = Encoder.stub(64)
+    out.foreach { case (t, v) =>
+      assert(v.toSeq == expect.encode(Seq(t)).head.toSeq, s"vector mismatch for '$t'")
+    }
+    // and the transport really was at-least-once: the marker was encoded
+    // once by the killed attempt (bumped before the throw) and once by
+    // the retry; its task-mates from earlier batches were re-encoded too
+    assert(FlakyEncoderState.calls(marker) === 2,
+      s"marker encoded ${FlakyEncoderState.calls(marker)}× — kill or retry did not happen")
+    assert(FlakyEncoderState.killed.get() === 1, "exactly one attempt was killed")
+    val reEncoded = FlakyEncoderState.callCounts.count(_._2 >= 2)
+    assert(reEncoded >= 2,
+      "the dead attempt's earlier batches were re-encoded on retry (service-side duplicates)")
+  }
+
   test("embed_attach covers every text_passages row at sf0.001") {
     val passages = NormOps.textPassages(
       graft.Tables.documents(spark, sfDir), "text", splitLength = 60, overlap = 15)
@@ -130,5 +170,43 @@ class EmbedOpsSpec extends SparkSpec {
     assert(out.filter(col("n_dims") =!= 64L).count() === 0L)
     assert(out.filter(col("norm").isNull || col("norm") <= 0.0).count() === 0L,
       "every stub vector has a positive norm")
+  }
+}
+
+/** JVM-wide side-effect ledger for the task-retry spec: local mode runs
+  * executors in the test JVM, so a static object observes every encoder
+  * call across task attempts — the "service's" request log.
+  */
+object FlakyEncoderState {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicInteger
+  private val map = new ConcurrentHashMap[String, AtomicInteger]()
+  val killed = new AtomicInteger(0)
+  def reset(): Unit = { map.clear(); killed.set(0) }
+  def bump(t: String): Unit =
+    map.computeIfAbsent(t, _ => new AtomicInteger(0)).incrementAndGet()
+  def calls(t: String): Int = Option(map.get(t)).map(_.get).getOrElse(0)
+  def callCounts: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    map.asScala.map { case (k, v) => k -> v.get }.toMap
+  }
+}
+
+/** Delegates to the deterministic stub but kills the FIRST attempt of the
+  * task that reaches `marker` — AFTER logging the batch at the service
+  * (the crash happens mid-flight, like a real executor loss between the
+  * model call and the task commit).
+  */
+class FlakyEncoder(dimensions: Int, marker: String) extends Encoder {
+  private val stub = Encoder.stub(dimensions)
+  val dim: Int = dimensions
+  def encode(batch: Seq[String]): Seq[Array[Float]] = {
+    batch.foreach(FlakyEncoderState.bump)
+    if (batch.contains(marker) &&
+        org.apache.spark.TaskContext.get().attemptNumber() == 0) {
+      FlakyEncoderState.killed.incrementAndGet()
+      throw new RuntimeException("simulated executor loss mid-encode")
+    }
+    stub.encode(batch)
   }
 }

@@ -15,10 +15,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
+    // Focused scale probes (the sf10 decade record) restrict to a named
+    // family set and fewer measured runs — big-SF walls make 3×129
+    // queries impractical, and the probe's signal is per-family ratios,
+    // not suite totals. Unset = the full default battery.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val spark: SparkSession = GraftSession.get("graft-bench")
 
     // Warmup: run everything once on the smallest SF; ignore outcomes.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -31,9 +42,9 @@ object Bench {
     // per-query spread (max − min) is reported alongside so a contended
     // host shows up as variance in the record instead of masquerading as a
     // code regression.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try {
-        val runs = (1 to 3).map { _ =>
+        val runs = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
@@ -86,13 +97,19 @@ object Bench {
     // show up in), totalling a few hundred bytes.
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${fnum(v, 2)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.json"), record.getBytes("UTF-8"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SPREAD.json"),
-      s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}"""
+    // A FOCUSED run (BENCH_ONLY set) must not clobber the full-suite
+    // records — its partial total would read as a catastrophic regression
+    // in the BENCH.json trend. Focused records land only where
+    // SPARK_GRAFT_BENCH_LOCAL explicitly points.
+    if (only.isEmpty) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH.json"), record.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SPREAD.json"),
+        s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))
+    }
     // The builder's own record, safe from the per-round BENCH.json
     // overwrite — keeps a readable trend line across rounds even when the
     // driver-run record lands on a contended host. OPT-IN via env: the

@@ -42,7 +42,11 @@ object Recall {
     val queries = vecs.filter(col("vec_id") % 100 === 0)
     val exactTopK = pairSet(operators.AnnOps.bruteTopK(vecs, queries, k = 10)
       .select("query_id", "neighbor_id"))
-    val lsh = pairSet(operators.AnnOps.lshTopK(vecs, queries, k = 10)
+    // the REGISTERED configuration: corpus-sized bucket width, same as
+    // qAnnLsh — the floor must track what the gate query actually runs
+    val lshBits = operators.AnnOps.annLshBits(
+      Tables.rowCountFromFooters(spark, sfDir, "embeddings"))
+    val lsh = pairSet(operators.AnnOps.lshTopK(vecs, queries, k = 10, bits = lshBits)
       .select("query_id", "neighbor_id"))
     val ivf = pairSet(operators.AnnOps.ivfTopK(vecs, queries, k = 10,
       nlist = 8, nprobe = 4).select("query_id", "neighbor_id"))

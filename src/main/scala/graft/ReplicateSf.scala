@@ -45,11 +45,25 @@ object ReplicateSf {
     }
     replicate("embeddings") { (df, r) =>
       val v = col("embedding")
-      val rot = r % 16 + (if (r > 0) 1 else 0)
+      // Decorrelation must hold at ANY k: rotations alone cycle after
+      // dim=64 replicas (the original r%16 scheme silently aliased
+      // replicas 16 apart at k>16, planting spurious cross-replica
+      // cosine-1 pairs), so replicas 64..127 additionally NEGATE the
+      // rotated vector — an aliased rotation then lands at cosine −1,
+      // the far side of every similarity threshold. k ≤ 128 replicas
+      // stay pairwise non-identical; the generator refuses beyond that
+      // rather than quietly re-correlating.
+      require(k <= 128, s"embedding decorrelation supports k <= 128, got $k")
+      val rot = r % 64
+      val rotated =
+        if (rot == 0) v
+        else concat(slice(v, rot + 1, 64 - rot), slice(v, 1, rot))
+      val decorrelated =
+        if (r < 64) rotated
+        else transform(rotated, x => -x) // one-off generator, not a query path
       df.select(
         (col("vec_id") + lit(r * Shift)).as("vec_id"),
-        (if (rot == 0) v
-         else concat(slice(v, rot + 1, 64 - rot), slice(v, 1, rot))).as("embedding"),
+        decorrelated.as("embedding"),
         col("label"))
     }
     replicate("events") { (df, r) =>

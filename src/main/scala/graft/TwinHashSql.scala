@@ -464,13 +464,18 @@ FROM rk WHERE rn <= 10 GROUP BY source ORDER BY source"""
     * the SAME `AnnOps.hyperplanes(8, 5, 64)` call at twin-generation time
     * (identical by construction, like the minhash permutations) and baked
     * into the SQL as constant lists; the twin re-derives every
-    * sign-projection bucket, the 1-bit-flip multiprobe, the candidate
+    * sign-projection bucket, the 1- and 2-bit-flip multiprobe, the candidate
     * join and the exact cosine rerank. The projection guards NaN
     * explicitly (`NOT isnan`): Java's `NaN >= 0` is false while DuckDB
     * orders NaN above every double.
     */
   val annLsh: String = {
-    val planes = operators.AnnOps.hyperplanes(tables = 8, bits = 5, dim = 64)
+    // the FULL plane pool (AnnOps.LshMaxBits per table) baked once; the
+    // corpus-sized width is a bit-MASK of the pool bucket, so one static
+    // twin serves every corpus size — exactly how the Spark side slices
+    // the same pool (AnnOps.lshTopK)
+    val planes = operators.AnnOps.hyperplanes(
+      tables = 8, bits = operators.AnnOps.LshMaxBits, dim = 64)
     def planeList(h: Array[Double]): String =
       h.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     def bucketExpr(tbl: Seq[Array[Double]]): String =
@@ -481,12 +486,23 @@ FROM rk WHERE rn <= 10 GROUP BY source ORDER BY source"""
     val structs = planes.zipWithIndex
       .map { case (tbl, t) => s"{'tbl': $t, 'bkt': ${bucketExpr(tbl)}}" }
       .mkString("[\n      ", ",\n      ", "]")
+    // bits = AnnOps.annLshBits(count, 8) re-derived in pure integer SQL:
+    // ceil-div by the target bucket, ceil-log2 via bin() bit length,
+    // clamped [5, 20]
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+prm AS (SELECT greatest(5, least(20,
+        length(bin(((count(*) + 7) // 8) - 1)))) AS bits FROM base),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
-cb AS MATERIALIZED (SELECT vec_id, unnest($structs, recursive := true) FROM base),
+cb0 AS MATERIALIZED (SELECT vec_id, unnest($structs, recursive := true) FROM base),
+cb AS MATERIALIZED (SELECT vec_id, tbl,
+       bkt & ((1 << (SELECT bits FROM prm)) - 1) AS bkt FROM cb0),
 pb AS (SELECT cb.vec_id AS query_id, cb.tbl, xor(cb.bkt, u.f) AS bkt
-       FROM cb, unnest([0, 1, 2, 4, 8, 16]) AS u(f)
+       FROM cb, prm, unnest(list_prepend(0::BIGINT, list_concat(
+         list_transform(range(0, prm.bits), b -> 1::BIGINT << b),
+         flatten(list_transform(range(0, prm.bits), a ->
+           list_transform(range(a + 1, prm.bits), b ->
+             (1::BIGINT << a) | (1::BIGINT << b))))))) AS u(f)
        WHERE cb.vec_id % 100 = 0),
 cand AS (SELECT DISTINCT pb.query_id, cb.vec_id AS neighbor_id
          FROM pb JOIN cb ON cb.tbl = pb.tbl AND cb.bkt = pb.bkt
@@ -663,9 +679,12 @@ $cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS
     * assignment + one update CTE pair per pass). The `+ 0.0` on the
     * assignment sort key collapses IEEE −0.0 (see AnnOps.noNegZero): the
     * engines disagree on ±0 order, both tie-break on cid once
-    * normalized.
+    * normalized. `nlistSql` is a scalar SQL expression (typically a
+    * subquery over a params CTE deriving the corpus-sized cell count
+    * from `count(*)` — the same integer formula the Spark side computes
+    * from parquet footers), so one static twin serves every scale.
     */
-  private def lloydCtes(cte: String, src: String, nlist: Int,
+  private def lloydCtes(cte: String, src: String, nlistSql: String,
       iters: Int = 2, trainCap: Int = 100000): String = {
     val p = cte
     val hash = xxhashLongCte(s"${p}_h", src, "vec_id", s"${p}_hv")
@@ -674,7 +693,7 @@ $cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS
   row_number() OVER (ORDER BY ${p}_hv, vec_id) AS rn FROM ${p}_h),
 ${p}_samp AS MATERIALIZED (SELECT vec_id, v FROM ${p}_ord WHERE rn <= $trainCap),
 ${p}_c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv
-  FROM ${p}_ord WHERE rn <= $nlist)"""
+  FROM ${p}_ord WHERE rn <= ($nlistSql))"""
     val passes = (1 to iters).map { i =>
       s"""${p}_a$i AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
@@ -716,7 +735,10 @@ $cte AS MATERIALIZED (
   FROM ${cte}_d d JOIN ${cte}_m m ON m.vec_id = d.vec_id AND d.dt = m.md
   GROUP BY d.vec_id)"""
 
-  /** Twin of `AnnOps.qAnnIvf` (nlist=32, nprobe=8, iters=2, k=10,
+  /** Twin of `AnnOps.qAnnIvf` (corpus-sized nlist = clamp(32, 512,
+    * ceil(n/100)) and nprobe = max(8, nlist/4) re-derived from count(*)
+    * in the prm CTE — the same integer formulas as AnnOps.ivfNlist /
+    * ivfNprobe; iters=2, k=10,
     * queries = vec_id % 100 = 0): the full Lloyd training re-run in SQL,
     * probe = top-nprobe centroids per query by (dot desc, cid), inverted
     * file by nearest-centroid assignment, exact cosine rerank over probed
@@ -727,7 +749,10 @@ $cte AS MATERIALIZED (
   val annIvf: String = {
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-${lloydCtes("lv", "base", nlist = 32)},
+prm AS (SELECT greatest(32, least(512, (count(*) + 99) // 100)) AS nl,
+        greatest(8, greatest(32, least(512, (count(*) + 99) // 100)) // 4) AS np
+        FROM base),
+${lloydCtes("lv", "base", "SELECT nl FROM prm")},
 ${assignCtes("asn", "base", "lv_cf")},
 nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
@@ -737,7 +762,7 @@ pr AS MATERIALIZED (
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY (${dotSql("q.qv", "c.cv")} + 0.0::DOUBLE) DESC, c.cid ASC) AS prn
     FROM q CROSS JOIN lv_cf c)
-  WHERE prn <= 8),
+  WHERE prn <= (SELECT np FROM prm)),
 cand AS MATERIALIZED (
   SELECT pr.query_id, a.vec_id AS neighbor_id,
     ((${dotSql("b.v", "pr.qv")}) / (na.nrm * nq.nrm) + 0.0::DOUBLE) AS cos_raw
@@ -753,9 +778,11 @@ SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 A
 FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   }
 
-  /** Twin of `DedupOps.qDedupSemantic` (planted corpus, nlist=64,
-    * iters=2, τ=0.95, maxBucket=1000): same Lloyd quantizer at 64 cells
-    * over the planted corpus, candidate pairs only within a (cell,
+  /** Twin of `DedupOps.qDedupSemantic` (planted corpus; corpus-sized
+    * nlist = clamp(64, 512, ceil(n/256)) re-derived from count(*) in the
+    * prm CTE — the same integer formula as DedupOps.semNlist; iters=2,
+    * τ=0.95, maxBucket=1000): same Lloyd quantizer over the planted
+    * corpus, candidate pairs only within a (cell,
     * label) group of size in (1, maxBucket], exact cosine ≥ τ on the
     * half-up-rounded value — the corpus construction matches the green
     * dedup_embedding twin.
@@ -767,7 +794,8 @@ corpus AS (
   SELECT vec_id, label, v FROM b0
   UNION ALL SELECT vec_id + 100000, label,
     list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM b0 WHERE vec_id % 11 = 0),
-${lloydCtes("lv", "corpus", nlist = 64)},
+prm AS (SELECT greatest(64, least(512, (count(*) + 255) // 256)) AS nl FROM corpus),
+${lloydCtes("lv", "corpus", "SELECT nl FROM prm")},
 ${assignCtes("asn", "corpus", "lv_cf")},
 cells AS (SELECT a.vec_id, a.cid AS cell, c.label, c.v
   FROM asn a JOIN corpus c ON c.vec_id = a.vec_id),

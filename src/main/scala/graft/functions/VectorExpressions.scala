@@ -97,6 +97,95 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid id of a vector against a LITERAL centroid matrix —
+  * the IVF assignment kernel. Semantically identical to the composed form
+  * `array_position(dots, array_max(dots)) - 1` over per-centroid
+  * [[DotProduct]]s (max under Spark's NaN-greatest ordering, then the
+  * FIRST index whose dot EQUALS the max — `==`, where ±0.0 compare equal,
+  * so the id tie-break matches the DuckDB twin's `d.dt = m.md`; an
+  * all-NaN row degenerates to −1 exactly like `array_position`'s 0−1).
+  *
+  * Exists because the composed form is a tree of nlist × dim literal
+  * nodes: fine at nlist ≤ 64, but at the corpus-sized cell counts the
+  * round-18 sf10 probe introduced (512 cells × 64 dims ≈ 33k literals)
+  * Catalyst analysis + codegen of the tree costs more than the data —
+  * measured 5× on ann_ivf at sf1. Here the matrix rides as ONE codegen
+  * reference object and the argmax is a tight primitive loop, O(nlist ×
+  * dim) per row inside whole-stage codegen with constant plan size.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<double>, got $t")
+  }
+
+  private def argmax(xs: Array[Double]): Int = {
+    val dots = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(xs.length, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += xs(i) * c(i); i += 1 }
+      dots(j) = d
+      j += 1
+    }
+    var mx = dots(0)
+    j = 1
+    while (j < dots.length) {
+      val d = dots(j)
+      if (java.lang.Double.isNaN(d) || (!java.lang.Double.isNaN(mx) && d > mx)) mx = d
+      j += 1
+    }
+    j = 0
+    while (j < dots.length) { if (dots(j) == mx) return j; j += 1 }
+    -1
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    argmax(v.asInstanceOf[ArrayData].toDoubleArray())
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the matrix as ONE reference object — constant generated-code size
+    // no matter how many cells the quantizer has
+    val mat = ctx.addReferenceObj("centroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val xs = ctx.freshName("xs"); val dots = ctx.freshName("dots")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val mx = ctx.freshName("mx"); val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      s"""
+         |double[] $xs = $v.toDoubleArray();
+         |double[] $dots = new double[$mat.length];
+         |for (int $j = 0; $j < $mat.length; $j++) {
+         |  double[] $c = $mat[$j];
+         |  int $n = java.lang.Math.min($xs.length, $c.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $d += $xs[$i] * $c[$i]; }
+         |  $dots[$j] = $d;
+         |}
+         |double $mx = $dots[0];
+         |for (int $j = 1; $j < $dots.length; $j++) {
+         |  double $d = $dots[$j];
+         |  if (java.lang.Double.isNaN($d) || (!java.lang.Double.isNaN($mx) && $d > $mx)) $mx = $d;
+         |}
+         |int $best = -1;
+         |for (int $j = 0; $j < $dots.length; $j++) {
+         |  if ($dots[$j] == $mx) { $best = $j; break; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFns {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -105,4 +194,11 @@ object VectorFns {
   /** Codegen'd cosine similarity of two `array<double>` columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd nearest-centroid id of an `array<double>` column against a
+    * literal centroid matrix (see [[NearestCentroid]]).
+    */
+  def nearest_centroid(v: Column, cents: Seq[Array[Double]]): Column =
+    GraftSqlBridge.column(NearestCentroid(
+      GraftSqlBridge.expression(v), cents.map(_.clone()).toArray))
 }

@@ -461,7 +461,10 @@ object DedupOps {
     // jobs) the way `qDedupEmbedding` does — should pass `bitsOverride`
     // to keep the builder fully lazy.
     val bits = bitsOverride.getOrElse(lshBits(vecs.count(), targetBucket))
-    val planes = AnnOps.hyperplanes(tables, bits, dim)
+    // planes from the fixed pool (first `bits` of each table) so the set
+    // a corpus sees is a prefix of the set every other corpus size sees —
+    // see AnnOps.LshMaxBits
+    val planes = AnnOps.hyperplanes(tables, AnnOps.LshMaxBits, dim).map(_.take(bits))
     val bucketed = vecs.select(
       col("vec_id"), col("label"),
       posexplode(array(planes.map(p => AnnOps.bucketOf(col("v"), p)): _*))
@@ -489,11 +492,15 @@ object DedupOps {
   /** Bucket bit width for a corpus of `n` vectors: ⌈log₂(n / targetBucket)⌉
     * clamped to [8, 20] — expected bucket population ≈ targetBucket
     * regardless of corpus size, so candidate volume stays linear in n.
+    *
+    * Computed as ⌈log₂⌈n/targetBucket⌉⌉ in INTEGER arithmetic
+    * ([[AnnOps.ceilLog2]]): equivalent to the real-division form —
+    * 2^k ≥ x ⇔ 2^k ≥ ⌈x⌉ for integer 2^k — without the float-log
+    * last-ulp seam a DuckDB twin would otherwise have to reproduce.
     */
   def lshBits(n: Long, targetBucket: Int): Int = {
-    val safe = math.max(1L, n)
-    math.max(8, math.min(20,
-      math.ceil(math.log(safe.toDouble / targetBucket) / math.log(2.0)).toInt))
+    val m = (math.max(1L, n) + targetBucket - 1) / targetBucket
+    math.max(8, math.min(20, AnnOps.ceilLog2(m)))
   }
 
   /** Registered query: bits come from the parquet FOOTER row count (driver
@@ -557,9 +564,26 @@ object DedupOps {
       .select("id1", "id2", "cos_sim")
   }
 
-  def qDedupSemantic(s: SparkSession, d: String): DataFrame =
-    semanticDedupPairs(plantedEmbeddings(s, d), tau = 0.95)
+  /** SemDeDup cell count for a corpus of `n` vectors: ⌈n / 256⌉ clamped
+    * to [64, 512] — cells track the corpus so within-cell pair expansion
+    * stays ~n × cell instead of n²/nlist (the fixed-64-cell form measured
+    * 22× wall growth per 10× data at the round-18 sf10 probe: every cell
+    * thickened linearly and the quadratic in-cell expansion ate it).
+    * Integer arithmetic, re-derived by the DuckDB twin from `count(*)`.
+    * The cap bounds the quantizer-training and assignment cost (nlist
+    * plan literals); past it, cell size grows again — the documented next
+    * lever at 100 TB is a two-level (coarse→fine) quantizer, not a bigger
+    * flat literal table.
+    */
+  def semNlist(n: Long): Int =
+    math.max(64, math.min(512, ((math.max(1L, n) + 255) / 256).toInt))
+
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    // planted corpus size from footers (×12/11 for the every-11th mutants)
+    val n = Tables.rowCountFromFooters(s, d, "embeddings") * 12L / 11L
+    semanticDedupPairs(plantedEmbeddings(s, d), tau = 0.95, nlist = semNlist(n))
       .orderBy("id1", "id2")
+  }
 
   // -------------------------------------------------------- dedup_fingerprint
 

@@ -39,16 +39,22 @@ class AnnOpsSpec extends SparkSpec {
     val queries = vecs.filter(col("vec_id") % 100 === 0)
     val exact = AnnOps.bruteTopK(vecs, queries, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = AnnOps.lshTopK(vecs, queries, k = 10)
+    // the REGISTERED configuration (corpus-sized bucket width, like
+    // qAnnLsh and Recall) — a floor on a config the gate doesn't run
+    // would track nothing
+    val bits = AnnOps.annLshBits(
+      graft.Tables.rowCountFromFooters(spark, sfDir, "embeddings"))
+    val approx = AnnOps.lshTopK(vecs, queries, k = 10, bits = bits)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(f"LSH recall@10 = $recall%.3f (${approx.size} approx pairs, ${exact.size} exact)")
     // This corpus's true top-10 neighbors sit at cosine ~0.3 (near-random
-    // vectors) — the hard regime for sign-LSH. 8 tables × 5 bits with 1-bit
-    // multiprobe on the query side measures 0.94 here, 0.92 at sf0.01 and
-    // 0.965 at sf0.1 (RECALL.json's three-scale sweep, round 18) — the
+    // vectors) — the hard regime for sign-LSH. 8 tables at the corpus-
+    // sized width with 1- and 2-bit multiprobe measures 1.0 here and at
+    // sf0.01, 0.94 at sf0.1 (RECALL.json's three-scale sweep, round 18;
+    // the round's sf10 probe is what forced corpus-sized widths) — the
     // pipeline is deterministic, so the floor tracks the worst measured
-    // point (0.92) with a small regeneration margin, not the old 0.7
+    // point (0.94) with a small regeneration margin, not the old 0.7
     // bring-up value a 20-point regression could hide under.
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${approx.size} pairs)")
   }

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Merge three focused Bench records (sf0.1, sf1 twin, sf10 twin) into
+SCALE_sf10.json — the three-decade scale evidence.
+
+Usage: python3 tools/scale_decade.py <bench_sf0.1.json> <bench_sf1.json> \
+           <bench_sf10.json> [out.json]
+
+Each input is a SPARK_GRAFT_BENCH_LOCAL record from a focused run
+(SPARK_GRAFT_BENCH_ONLY=<families>) at that scale point. The output keys
+every family to its three walls and the two per-decade ratios
+(r10_1 = sf1/sf0.1, r100_10 = sf10/sf1). A family is flagged
+super_linear if its WORST decade ratio exceeds 10 (growth beyond
+proportional-to-data within one 10x step) — at these absolute walls a
+fixed-cost-dominated family can bounce above the data ratio without
+meaning anything, so the flag also requires the sf10 wall to exceed 5 s.
+"""
+import json
+import sys
+
+# Families whose decade ratio is expected to exceed the data ratio for a
+# DOCUMENTED structural reason (not a plan defect). They are reported
+# under super_linear_explained instead of super_linear.
+EXPLAINED = {
+    "ann_ivf": (
+        "the gate query SET grows with the corpus (every 100th vector), so "
+        "the total is queries(∝n) × per-query probe cost(∝n·nprobe/nlist at "
+        "the recall-preserving fixed 1/4 probe fraction) — quadratic by "
+        "construction for ANY ANN whose query set tracks the corpus. The "
+        "operator-level scale property is the PER-QUERY wall (sf10: "
+        "~11.5 ms/query over 200k vectors, 4× under brute force), and the "
+        "production 100 TB shape is ann_ivf_index's DPP-pruned probe, "
+        "which reads ~nprobe/nlist of the corpus by directory layout."),
+}
+
+
+def main():
+    paths = sys.argv[1:4]
+    out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_sf10.json"
+    recs = [json.load(open(p)) for p in paths]
+    fams = sorted(set(recs[0]["queries"]) & set(recs[1]["queries"])
+                  & set(recs[2]["queries"]))
+    families = {}
+    flagged, explained = [], {}
+    for f in fams:
+        w = [r["queries"][f] for r in recs]
+        r10 = round(w[1] / w[0], 2) if w[0] > 0 else None
+        r100 = round(w[2] / w[1], 2) if w[1] > 0 else None
+        worst = max(x for x in (r10, r100) if x is not None)
+        sup = worst > 10 and w[2] > 5
+        families[f] = {"sf0.1_s": w[0], "sf1_s": w[1], "sf10_s": w[2],
+                       "r10_1": r10, "r100_10": r100,
+                       "super_linear": sup and f not in EXPLAINED}
+        if sup and f in EXPLAINED:
+            explained[f] = EXPLAINED[f]
+        elif sup:
+            flagged.append(f)
+    totals = [round(sum(r["queries"][f] for f in fams), 2) for r in recs]
+    rec = {
+        "families": families,
+        "n_families": len(fams),
+        "total_s": {"sf0.1": totals[0], "sf1": totals[1], "sf10": totals[2]},
+        "total_ratio": {"r10_1": round(totals[1] / totals[0], 2),
+                        "r100_10": round(totals[2] / totals[1], 2)},
+        "super_linear": flagged,
+        "super_linear_explained": explained,
+        "loadavg": {"sf0.1": recs[0].get("loadavg"),
+                    "sf1": recs[1].get("loadavg"),
+                    "sf10": recs[2].get("loadavg")},
+        "runs_per_query": [r.get("runs_per_query") for r in recs],
+        "excluded": {
+            "ann_topk": "declared exact brute-force baseline: its cost is "
+                        "the quadratic definition, not a plan property; the "
+                        "scale paths ann_lsh/ann_ivf are in the set",
+            "dedup_embedding": "declared sf-small exact baseline (SURVEY); "
+                               "its scale path dedup_semantic is in the set"},
+    }
+    json.dump(rec, open(out, "w"), indent=1)
+    print(json.dumps({"out": out, "n_families": len(fams),
+                      "total_s": rec["total_s"],
+                      "super_linear": flagged}))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * Families measured (same parameters as their specs):
   *  - `ann_lsh`: lshTopK recall@10 vs bruteTopK on the embeddings corpus
   *    (queries = every 100th vector; spec floor 0.9, raised round 18 from
-  *    the 0.7 bring-up value on the three-scale sweep: measured 0.94 at
-  *    sf0.001, 0.92 at sf0.01, 0.965 at sf0.1 — deterministic, so the
-  *    floor tracks the worst measured point);
+  *    the 0.7 bring-up value on the three-scale sweep at the registered
+  *    corpus-sized width + 2-bit multiprobe: measured 1.0 at sf0.001,
+  *    1.0 at sf0.01, 0.94 at sf0.1 — deterministic, so the floor tracks
+  *    the worst measured point);
   *  - `ann_ivf`: ivfTopK recall@10 at nlist=8 / nprobe=4 — half the cells
   *    probed (spec floor 0.7, raised round 17 from 0.65 on the
   *    three-scale sweep: measured ~0.80 at sf0.001, 0.72 at sf0.01,

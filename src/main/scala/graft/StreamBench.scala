@@ -86,10 +86,19 @@ object StreamBench {
     val totalInput = staged.count() // unique rows; dups on top per drop
     staged.unpersist(false)
 
+    // Copy to a dot-prefixed temp name first, then an atomic same-fs
+    // rename: the streaming query is LIVE while drops land, and
+    // FileStreamSource can list (and fail on) a half-copied parquet file
+    // with no footer; hidden dot-files are ignored by the file source, so
+    // the file only becomes visible complete.
     def dropFiles(from: Path, to: Path): Unit =
       Files.list(from).iterator().forEachRemaining { f =>
-        if (f.getFileName.toString.endsWith(".parquet"))
-          Files.copy(f, to.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          val tmp = to.resolve("." + f.getFileName.toString + ".tmp")
+          Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, to.resolve(f.getFileName),
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        }
       }
 
     // ---- drive one query over the drops ----------------------------

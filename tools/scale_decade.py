@@ -45,7 +45,10 @@ def main():
         w = [r["queries"][f] for r in recs]
         r10 = round(w[1] / w[0], 2) if w[0] > 0 else None
         r100 = round(w[2] / w[1], 2) if w[1] > 0 else None
-        worst = max(x for x in (r10, r100) if x is not None)
+        # both ratios can be None (sub-5ms family walls round to 0.0 at
+        # 2 decimals) — an empty max() would raise, so default to 0.0
+        ratios = [x for x in (r10, r100) if x is not None]
+        worst = max(ratios) if ratios else 0.0
         sup = worst > 10 and w[2] > 5
         families[f] = {"sf0.1_s": w[0], "sf1_s": w[1], "sf10_s": w[2],
                        "r10_1": r10, "r100_10": r100,

@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   *    corpus-sized width + 2-bit multiprobe: measured 1.0 at sf0.001,
   *    1.0 at sf0.01, 0.94 at sf0.1 — deterministic, so the floor tracks
   *    the worst measured point);
-  *  - `ann_ivf`: ivfTopK recall@10 at nlist=8 / nprobe=4 — half the cells
-  *    probed (spec floor 0.7, raised round 17 from 0.65 on the
-  *    three-scale sweep: measured ~0.80 at sf0.001, 0.72 at sf0.01,
-  *    0.765 at sf0.1 — deterministic, so the floor tracks the worst
-  *    measured point, not noise), plus the per-nprobe recall/wall curve
-  *    (1/2/4/8) that justifies the nprobe=4 default from data;
+  *  - `ann_ivf` (reference config): flat ivfTopK recall@10 at nlist=8 /
+  *    nprobe=4 — half the cells probed (spec floor 0.7, raised round 17
+  *    from 0.65 on the three-scale sweep — deterministic, so the floor
+  *    tracks the worst measured point, not noise). This config probes a
+  *    fixed FRACTION, so its floor is scale-stable: it isolates quantizer
+  *    quality from probe-volume effects;
+  *  - `ann_ivf2` (REGISTERED config): the two-level quantizer at the
+  *    gate's corpus-sized parameters (ivf2Ncoarse / cprobe / the
+  *    fixed-candidate-volume nprobeF), trained ONCE, plus the per-nprobeF
+  *    recall/wall curve (4/8/16/32) — the recall-vs-cost knob. Trend
+  *    note, stated honestly: at fixed candidate volume recall on this
+  *    NEAR-RANDOM synthetic corpus necessarily decays as the corpus
+  *    grows (no cluster structure for the quantizer to exploit — the
+  *    worst case for any sublinear ANN); the reference config above is
+  *    the scale-stable floor, this one records what the registered
+  *    fixed-volume config actually delivers per scale;
   *  - `dedup_semantic`: SemDeDup centroid blocking vs the exact
   *    all-pairs result on the planted corpus — planted-duplicate recall
   *    (spec requires 1.0: cos=1 pairs share a centroid by construction)
@@ -58,21 +68,27 @@ object Recall {
     val lshRecall = ratio(lsh.intersect(exactTopK).size, exactTopK.size)
     val ivfRecall = ratio(ivf.intersect(exactTopK).size, exactTopK.size)
 
-    // nprobe recall/wall curve (nlist=8 as above): the default must be
-    // chosen from data, not convention. The quantizer trains ONCE —
-    // training cost is constant across nprobe, so folding it into every
-    // point would drown the probe-cost signal the curve exists to show;
-    // it lands as its own train_wall_s field instead. Each point then
-    // runs the SAME query set against the shared index and times only
-    // the probe+rerank action.
+    // Registered two-level config + the nprobeF recall/wall curve: the
+    // default must be chosen from data, not convention. The quantizer
+    // trains ONCE — training cost is constant across nprobeF, so folding
+    // it into every point would drown the probe-cost signal the curve
+    // exists to show; it lands as its own train_wall_s field instead.
+    // Each point then runs the SAME query set against the shared index
+    // and times only the probe+rerank action.
+    val ops = operators.AnnOps
+    val n = Tables.rowCountFromFooters(spark, sfDir, "embeddings")
     val tTrain0 = System.nanoTime()
-    val curveCents = operators.AnnOps.centroidArrays(
-      operators.AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2))
+    val idx2 = ops.ivf2Train(vecs, n, ops.IvfCellTarget)
     val ivfTrainWall = (System.nanoTime() - tTrain0) / 1e9
-    val ivfCurve = Seq(1, 2, 4, 8).map { np =>
+    val cprobe = ops.ivf2Cprobe(ops.ivf2Ncoarse(n))
+    val nprobeF = ops.ivf2NprobeF(ops.IvfCellTarget)
+    val ivf2 = pairSet(ops.ivf2ProbeTopK(vecs, queries, k = 10, idx2,
+      cprobe, nprobeF).select("query_id", "neighbor_id"))
+    val ivf2Recall = ratio(ivf2.intersect(exactTopK).size, exactTopK.size)
+    val ivfCurve = Seq(4, 8, 16, 32).map { np =>
       val t0 = System.nanoTime()
-      val pairs = pairSet(operators.AnnOps.ivfProbeTopK(vecs, queries, k = 10,
-        curveCents, nprobe = np).select("query_id", "neighbor_id"))
+      val pairs = pairSet(ops.ivf2ProbeTopK(vecs, queries, k = 10, idx2,
+        cprobe, nprobeF = np).select("query_id", "neighbor_id"))
       val wall = (System.nanoTime() - t0) / 1e9
       (np, ratio(pairs.intersect(exactTopK).size, exactTopK.size), wall)
     }
@@ -94,9 +110,12 @@ object Recall {
       s"""{"sf":"$sfDir","k":10,"n_queries":${queries.count()},""" +
       s""""ann_lsh_recall":${fnum(lshRecall)},"ann_lsh_floor":0.9,""" +
       s""""ann_ivf_recall":${fnum(ivfRecall)},"ann_ivf_floor":0.7,""" +
-      s""""ann_ivf_train_wall_s":${fnum(ivfTrainWall)},""" +
-      s""""ann_ivf_curve":[""" + ivfCurve.map { case (np, r, w) =>
-        s"""{"nprobe":$np,"recall":${fnum(r)},"wall_s":${fnum(w)}}"""
+      s""""ann_ivf2_recall":${fnum(ivf2Recall)},""" +
+      s""""ann_ivf2_cprobe":$cprobe,"ann_ivf2_nprobef":$nprobeF,""" +
+      s""""ann_ivf2_cells":${idx2.totalCells},""" +
+      s""""ann_ivf2_train_wall_s":${fnum(ivfTrainWall)},""" +
+      s""""ann_ivf2_curve":[""" + ivfCurve.map { case (np, r, w) =>
+        s"""{"nprobef":$np,"recall":${fnum(r)},"wall_s":${fnum(w)}}"""
       }.mkString(",") + "]," +
       s""""exact_topk_pairs":${exactTopK.size},""" +
       s""""sem_planted_recall":${fnum(semPlantedRecall)},"sem_planted_floor":1.0,""" +

@@ -106,7 +106,15 @@ object ScaleProbe {
       val annCorpus = embeddingsK(k)
       val queries = annCorpus.filter(col("vec_id") < 1000 && col("vec_id") % 100 === 0)
       probe("ann_lsh", k, graft.operators.AnnOps.lshTopK(annCorpus, queries, k = 10))
-      probe("ann_ivf", k, graft.operators.AnnOps.ivfTopK(annCorpus, queries, k = 10))
+      probe("ann_ivf", k, {
+        // the registered two-level path: corpus-sized coarse/fine counts,
+        // fixed-candidate-volume probe — per-query cost constant in K
+        val ops = graft.operators.AnnOps
+        val n = annCorpus.count()
+        val idx = ops.ivf2Train(annCorpus, n, ops.IvfCellTarget)
+        ops.ivf2ProbeTopK(annCorpus, queries, k = 10, idx,
+          ops.ivf2Cprobe(ops.ivf2Ncoarse(n)), ops.ivf2NprobeF(ops.IvfCellTarget))
+      })
       // the one join-shaped crawler op: child assembly = equi-join + agg;
       // per-replica id offsets keep children within their replica, so both
       // sides and the output grow exactly ~K — a super-linear wall means

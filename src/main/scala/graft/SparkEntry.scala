@@ -276,10 +276,12 @@ object SparkEntry {
     "dedup_fingerprint" -> TwinHashSql.dedupFingerprint,
     "sample_bottomk" -> TwinHashSql.sampleBottomK,
     "ann_lsh" -> TwinHashSql.annLsh,
-    // IVF tier: the Lloyd-trained quantizer is bit-deterministic since the
-    // ordered-fold update step (AnnOps.ivfCentroids), so the whole training
-    // + probe + rerank chain re-derives in SQL — xxhash64(vec_id) sample
-    // order, per-pass max-dot/min-cid assignment, ordered-fold means.
+    // IVF tier: the two-level Lloyd-trained quantizer is bit-deterministic
+    // since the ordered-fold update step (AnnOps.ivfCentroids/ivf2Train),
+    // so the whole coarse + grouped-fine training + probe + rerank chain
+    // re-derives in SQL — xxhash64(vec_id) sample order, per-pass
+    // max-dot/min-cid assignment, ordered-fold means, exact-count fine
+    // cell sizing.
     "ann_ivf" -> TwinHashSql.annIvf,
     // Same twin as ann_ivf: the persisted-index path is bit-equal to the
     // in-memory plan by construction (parquet double round-trip is exact),

@@ -735,38 +735,121 @@ $cte AS MATERIALIZED (
   FROM ${cte}_d d JOIN ${cte}_m m ON m.vec_id = d.vec_id AND d.dt = m.md
   GROUP BY d.vec_id)"""
 
-  /** Twin of `AnnOps.qAnnIvf` (corpus-sized nlist = clamp(32, 512,
-    * ceil(n/100)) and nprobe = max(8, nlist/4) re-derived from count(*)
-    * in the prm CTE — the same integer formulas as AnnOps.ivfNlist /
-    * ivfNprobe; iters=2, k=10,
-    * queries = vec_id % 100 = 0): the full Lloyd training re-run in SQL,
-    * probe = top-nprobe centroids per query by (dot desc, cid), inverted
-    * file by nearest-centroid assignment, exact cosine rerank over probed
-    * cells only. Norms and cosines use the same list_sum fold as the
-    * green ann_topk/dedup_embedding twins; `+ 0.0` collapses −0.0 in the
-    * two float sort keys exactly as the Spark side does.
+  /** Fine level of the two-level quantizer re-derived in SQL — the twin of
+    * `AnnOps.ivf2Train` steps 2-5 + the fine half of `ivf2Assign`. Expects
+    * the coarse prefix `cp` already emitted over corpus CTE `src(vec_id,
+    * v)`: `${cp}_ord` (hash-ranked sample order from [[lloydCtes]]),
+    * `${cp}_cf` (trained coarse quantizer) and `$casn(vec_id, cid)` (corpus
+    * coarse assignment from [[assignCtes]]). Emits CTEs ending in
+    * `${p}_all(gcid, fcid, cv)` — every fine centroid, densely indexed per
+    * coarse cell with the coarse-centroid fallback for sample-empty cells —
+    * and `${p}_asn(vec_id, gcid, fcid)` — the corpus cell assignment.
+    *
+    * Step mirror: per-coarse-cell fine counts k_g = clamp(1, 512,
+    * ⌈n_g/target⌉) from the EXACT corpus assignment counts; fine seeds =
+    * each cell's k_g hash-smallest sample members (rank by the global
+    * sample order restricted to the cell — identical to (xxhash64, vec_id)
+    * within the cell); `iters` grouped Lloyd passes where assignment joins
+    * fine centroids on gcid (argmax dot, ties to min SPARSE fcid — the
+    * Spark kernel's first-position tie over matrices held in sparse-fcid
+    * order) and the update mean is the same ordered vec_id fold as the
+    * coarse level, grouped by (gcid, fcid).
+    */
+  private def twoLevelCtes(p: String, src: String, cp: String, casn: String,
+      target: Int, iters: Int = 2, trainCap: Int = 100000): String = {
+    val seed =
+      s"""${p}_kg AS MATERIALIZED (
+  SELECT cid AS gcid, greatest(1, least(512, (count(*) + ${target - 1}) // $target)) AS kgn
+  FROM $casn GROUP BY cid),
+${p}_sr AS MATERIALIZED (
+  SELECT a.cid AS gcid, o.vec_id, o.v,
+    row_number() OVER (PARTITION BY a.cid ORDER BY o.rn) AS crn
+  FROM ${cp}_ord o JOIN $casn a ON a.vec_id = o.vec_id
+  WHERE o.rn <= $trainCap),
+${p}_c0 AS MATERIALIZED (
+  SELECT s.gcid, CAST(s.crn - 1 AS BIGINT) AS fcid, s.v AS cv
+  FROM ${p}_sr s JOIN ${p}_kg k ON k.gcid = s.gcid WHERE s.crn <= k.kgn)"""
+    val passes = (1 to iters).map { i =>
+      s"""${p}_a$i AS MATERIALIZED (
+  SELECT vec_id, v, gcid, fcid FROM (
+    SELECT s.vec_id, s.v, s.gcid, c.fcid,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY (-(${dotSql("s.v", "c.cv")}) + 0.0::DOUBLE) ASC, c.fcid ASC) AS arn
+    FROM ${p}_sr s JOIN ${p}_c${i - 1} c ON c.gcid = s.gcid)
+  WHERE arn = 1),
+${p}_c$i AS MATERIALIZED (
+  SELECT gcid, fcid, list(m ORDER BY pos) AS cv FROM (
+    SELECT gcid, fcid, pos,
+      list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)), (acc, t) -> acc + t)
+        / count(*) AS m
+    FROM (SELECT gcid, fcid, vec_id, t.i AS pos, v[t.i] AS x
+          FROM ${p}_a$i, unnest(range(1, 65)) AS t(i))
+    GROUP BY gcid, fcid, pos)
+  GROUP BY gcid, fcid)"""
+    }
+    val tail =
+      s"""${p}_dense AS MATERIALIZED (
+  SELECT gcid, CAST(row_number() OVER (PARTITION BY gcid ORDER BY fcid) - 1 AS BIGINT) AS fcid, cv
+  FROM ${p}_c$iters),
+${p}_all AS MATERIALIZED (
+  SELECT k.gcid, COALESCE(f.fcid, 0::BIGINT) AS fcid, COALESCE(f.cv, g.cv) AS cv
+  FROM ${p}_kg k JOIN ${cp}_cf g ON g.cid = k.gcid
+  LEFT JOIN ${p}_dense f ON f.gcid = k.gcid),
+${p}_ad AS MATERIALIZED (
+  SELECT b.vec_id, a.cid AS gcid, f.fcid, ${dotSql("b.v", "f.cv")} AS dt
+  FROM $src b JOIN $casn a ON a.vec_id = b.vec_id
+  JOIN ${p}_all f ON f.gcid = a.cid),
+${p}_am AS (SELECT vec_id, max(dt) AS md FROM ${p}_ad GROUP BY vec_id),
+${p}_asn AS MATERIALIZED (
+  SELECT d.vec_id, d.gcid, min(d.fcid) AS fcid
+  FROM ${p}_ad d JOIN ${p}_am m ON m.vec_id = d.vec_id AND d.dt = m.md
+  GROUP BY d.vec_id, d.gcid)"""
+    (seed +: passes :+ tail).mkString(",\n")
+  }
+
+  /** Twin of `AnnOps.qAnnIvf` — the TWO-LEVEL quantizer re-derived in
+    * full: coarse cell count nc = clamp(4, 512, ⌈n/1024⌉) and coarse
+    * probe width cp = max(8, nc/4) from count(*) in the prm CTE (the same
+    * integer formulas as AnnOps.ivf2Ncoarse / ivf2Cprobe; fine probe
+    * width is the fixed-candidate-volume constant 16 = ivf2NprobeF(100);
+    * iters=2, k=10, queries = vec_id % 100 = 0). Coarse Lloyd training +
+    * corpus assignment ([[lloydCtes]]/[[assignCtes]]), then the grouped
+    * fine level ([[twoLevelCtes]], target 100); probe = top-cp coarse
+    * cells per query by (dot desc, gcid), then top-16 of THEIR fine cells
+    * by (dot desc, gcid, fcid); exact cosine rerank over probed cells
+    * only. Norms and cosines use the same list_sum fold as the green
+    * ann_topk/dedup_embedding twins; `+ 0.0` collapses −0.0 in every
+    * float sort key exactly as the Spark side does.
     */
   val annIvf: String = {
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-prm AS (SELECT greatest(32, least(512, (count(*) + 99) // 100)) AS nl,
-        greatest(8, greatest(32, least(512, (count(*) + 99) // 100)) // 4) AS np
+prm AS (SELECT greatest(4, least(512, (count(*) + 1023) // 1024)) AS nc,
+        greatest(8, greatest(4, least(512, (count(*) + 1023) // 1024)) // 4) AS cp
         FROM base),
-${lloydCtes("lv", "base", "SELECT nl FROM prm")},
+${lloydCtes("lv", "base", "SELECT nc FROM prm")},
 ${assignCtes("asn", "base", "lv_cf")},
+${twoLevelCtes("tl", "base", "lv", "asn", target = 100)},
 nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
-pr AS MATERIALIZED (
-  SELECT query_id, cid, qv FROM (
-    SELECT q.query_id, c.cid, q.qv,
+prg AS MATERIALIZED (
+  SELECT query_id, gcid, qv FROM (
+    SELECT q.query_id, g.cid AS gcid, q.qv,
       row_number() OVER (PARTITION BY q.query_id
-        ORDER BY (${dotSql("q.qv", "c.cv")} + 0.0::DOUBLE) DESC, c.cid ASC) AS prn
-    FROM q CROSS JOIN lv_cf c)
-  WHERE prn <= (SELECT np FROM prm)),
+        ORDER BY (${dotSql("q.qv", "g.cv")} + 0.0::DOUBLE) DESC, g.cid ASC) AS prn
+    FROM q CROSS JOIN lv_cf g)
+  WHERE prn <= (SELECT cp FROM prm)),
+prf AS MATERIALIZED (
+  SELECT query_id, gcid, fcid, qv FROM (
+    SELECT p.query_id, f.gcid, f.fcid, p.qv,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY (${dotSql("p.qv", "f.cv")} + 0.0::DOUBLE) DESC, f.gcid ASC, f.fcid ASC) AS frn
+    FROM prg p JOIN tl_all f ON f.gcid = p.gcid)
+  WHERE frn <= 16),
 cand AS MATERIALIZED (
   SELECT pr.query_id, a.vec_id AS neighbor_id,
     ((${dotSql("b.v", "pr.qv")}) / (na.nrm * nq.nrm) + 0.0::DOUBLE) AS cos_raw
-  FROM pr JOIN asn a ON a.cid = pr.cid
+  FROM prf pr JOIN tl_asn a ON a.gcid = pr.gcid AND a.fcid = pr.fcid
   JOIN base b ON b.vec_id = a.vec_id
   JOIN nrm na ON na.vec_id = a.vec_id
   JOIN nrm nq ON nq.vec_id = pr.query_id
@@ -778,12 +861,15 @@ SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 A
 FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   }
 
-  /** Twin of `DedupOps.qDedupSemantic` (planted corpus; corpus-sized
-    * nlist = clamp(64, 512, ceil(n/256)) re-derived from count(*) in the
-    * prm CTE — the same integer formula as DedupOps.semNlist; iters=2,
-    * τ=0.95, maxBucket=1000): same Lloyd quantizer over the planted
-    * corpus, candidate pairs only within a (cell,
-    * label) group of size in (1, maxBucket], exact cosine ≥ τ on the
+  /** Twin of `DedupOps.qDedupSemantic` (planted corpus; TWO-LEVEL
+    * quantizer with coarse count nc = clamp(32, 512, ⌈n̂/1024⌉) where n̂
+    * is the SAME integer estimate the Spark side derives from parquet
+    * footers — (count(*) × 12) // 11 over the base table, so a clamp
+    * boundary can never split the engines — and fine counts from the
+    * exact corpus assignment at target 256 = DedupOps.SemCellTarget;
+    * iters=2, τ=0.95, maxBucket=1000): same coarse+fine Lloyd over the
+    * planted corpus, candidate pairs only within a (gcid, fcid, label)
+    * group of size in (1, maxBucket], exact cosine ≥ τ on the
     * half-up-rounded value — the corpus construction matches the green
     * dedup_embedding twin.
     */
@@ -794,20 +880,22 @@ corpus AS (
   SELECT vec_id, label, v FROM b0
   UNION ALL SELECT vec_id + 100000, label,
     list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM b0 WHERE vec_id % 11 = 0),
-prm AS (SELECT greatest(64, least(512, (count(*) + 255) // 256)) AS nl FROM corpus),
-${lloydCtes("lv", "corpus", "SELECT nl FROM prm")},
+prm AS (SELECT greatest(4, least(512, (((count(*) * 12) // 11) + 1023) // 1024)) AS nc FROM b0),
+${lloydCtes("lv", "corpus", "SELECT nc FROM prm")},
 ${assignCtes("asn", "corpus", "lv_cf")},
-cells AS (SELECT a.vec_id, a.cid AS cell, c.label, c.v
-  FROM asn a JOIN corpus c ON c.vec_id = a.vec_id),
-sz AS (SELECT cell, label, count(*) AS n FROM cells GROUP BY cell, label),
-ok AS (SELECT cell, label FROM sz WHERE n > 1 AND n <= 1000),
+${twoLevelCtes("tl", "corpus", "lv", "asn", target = 256)},
+cells AS (SELECT a.vec_id, a.gcid, a.fcid, c.label, c.v
+  FROM tl_asn a JOIN corpus c ON c.vec_id = a.vec_id),
+sz AS (SELECT gcid, fcid, label, count(*) AS n FROM cells GROUP BY gcid, fcid, label),
+ok AS (SELECT gcid, fcid, label FROM sz WHERE n > 1 AND n <= 1000),
 nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
     floor((${dotSql("a.v", "b.v")}) / (n1.nrm * n2.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
   FROM cells a
-  JOIN cells b ON b.cell = a.cell AND b.label = a.label AND b.vec_id > a.vec_id
-  JOIN ok ON ok.cell = a.cell AND ok.label = a.label
+  JOIN cells b ON b.gcid = a.gcid AND b.fcid = a.fcid
+    AND b.label = a.label AND b.vec_id > a.vec_id
+  JOIN ok ON ok.gcid = a.gcid AND ok.fcid = a.fcid AND ok.label = a.label
   JOIN nrm n1 ON n1.vec_id = a.vec_id
   JOIN nrm n2 ON n2.vec_id = b.vec_id)
 SELECT id1, id2, cos_sim FROM pairs

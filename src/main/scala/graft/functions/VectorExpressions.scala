@@ -186,6 +186,94 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Nearest-centroid id of a vector against a centroid matrix that arrives
+  * as a COLUMN (`array<array<double>>`) — the fine-assignment kernel of the
+  * two-level IVF quantizer. Same argmax/tie semantics as the literal-matrix
+  * [[NearestCentroid]] (max dot under NaN-greatest, FIRST position attaining
+  * it, `==` so ±0.0 ties fall to the position order — the DuckDB twin's
+  * min-fcid-at-max-dot), but the matrix is data: one row per coarse cell in
+  * a broadcast fine-centroid table, so assignment is a broadcast join plus
+  * this projection — never an nlist×dim literal tree, never a shuffle. The
+  * inner loops read the matrix through `ArrayData.getDouble` (no
+  * per-row materialization of the matrix into heap arrays).
+  */
+case class NearestCentroidDyn(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expects (array<double>, array<array<double>>), got $l and $r")
+    }
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData].toDoubleArray()
+    val mat = m.asInstanceOf[ArrayData]
+    val rows = mat.numElements()
+    if (rows == 0) return -1
+    val dots = new Array[Double](rows)
+    var j = 0
+    while (j < rows) {
+      val c = mat.getArray(j)
+      val n = math.min(xs.length, c.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += xs(i) * c.getDouble(i); i += 1 }
+      dots(j) = d
+      j += 1
+    }
+    var mx = dots(0)
+    j = 1
+    while (j < dots.length) {
+      val d = dots(j)
+      if (java.lang.Double.isNaN(d) || (!java.lang.Double.isNaN(mx) && d > mx)) mx = d
+      j += 1
+    }
+    j = 0
+    while (j < dots.length) { if (dots(j) == mx) return j; j += 1 }
+    -1
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val xs = ctx.freshName("xs"); val rows = ctx.freshName("rows")
+      val dots = ctx.freshName("dots"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val mx = ctx.freshName("mx"); val best = ctx.freshName("best")
+      s"""
+         |double[] $xs = $v.toDoubleArray();
+         |int $rows = $m.numElements();
+         |int $best = -1;
+         |if ($rows > 0) {
+         |  double[] $dots = new double[$rows];
+         |  for (int $j = 0; $j < $rows; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $m.getArray($j);
+         |    int $n = java.lang.Math.min($xs.length, $c.numElements());
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $d += $xs[$i] * $c.getDouble($i); }
+         |    $dots[$j] = $d;
+         |  }
+         |  double $mx = $dots[0];
+         |  for (int $j = 1; $j < $rows; $j++) {
+         |    double $d = $dots[$j];
+         |    if (java.lang.Double.isNaN($d) || (!java.lang.Double.isNaN($mx) && $d > $mx)) $mx = $d;
+         |  }
+         |  for (int $j = 0; $j < $rows; $j++) {
+         |    if ($dots[$j] == $mx) { $best = $j; break; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFns {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -201,4 +289,11 @@ object VectorFns {
   def nearest_centroid(v: Column, cents: Seq[Array[Double]]): Column =
     GraftSqlBridge.column(NearestCentroid(
       GraftSqlBridge.expression(v), cents.map(_.clone()).toArray))
+
+  /** Codegen'd nearest-centroid id of an `array<double>` column against an
+    * `array<array<double>>` matrix COLUMN (see [[NearestCentroidDyn]]).
+    */
+  def nearest_centroid_dyn(v: Column, mats: Column): Column =
+    GraftSqlBridge.column(NearestCentroidDyn(
+      GraftSqlBridge.expression(v), GraftSqlBridge.expression(mats)))
 }

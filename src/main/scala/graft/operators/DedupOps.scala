@@ -530,27 +530,38 @@ object DedupOps {
     * candidates never cross labels (same semantics as the exact blocked
     * [[embeddingPairs]], which the equivalence spec compares against).
     *
-    * At scale: the trained centroid table is nlist rows riding into a
-    * narrow assignment projection (no join), the ONLY shuffle is the cell
-    * groupBy, `maxBucket` sheds degenerate density cells (the same guard
-    * as the minhash/simhash/LSH family), and within-cell pair expansion
-    * uses the native SortedIdPairs kernel ([[bucketPairs]]).
+    * At scale: cells come from the TWO-LEVEL quantizer
+    * ([[AnnOps.ivf2Train]]) — coarse routing via the ≤512-row literal
+    * kernel, fine cells sized ⌈n_g / [[SemCellTarget]]⌉ per coarse cell
+    * from exact corpus counts, so total cells track the corpus with NO
+    * global cap (the flat quantizer's 512-cell ceiling bound at sf10:
+    * one decade further its within-cell pair expansion went quadratic
+    * again). Assignment is one projection + one broadcast join; the ONLY
+    * corpus shuffle is the cell groupBy, `maxBucket` sheds degenerate
+    * density cells (the same guard as the minhash/simhash/LSH family),
+    * and within-cell pair expansion uses the native SortedIdPairs kernel
+    * ([[bucketPairs]]).
     */
-  def semanticDedupPairs(vecs: DataFrame, tau: Double, nlist: Int = 64,
-      iters: Int = 2, dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val cents = AnnOps.centroidArrays(AnnOps.ivfCentroids(vecs, nlist, iters, dim))
-    val cand = vecs
-      .select(col("vec_id"), col("label"),
-        AnnOps.nearestCentroid(col("v"), cents).as("cell"))
-      .groupBy("cell", "label")
+  def semanticDedupPairs(vecs: DataFrame, tau: Double,
+      nOverride: Option[Long] = None, target: Int = SemCellTarget,
+      iters: Int = 2, dim: Int = 64, maxBucket: Int = 1000,
+      ncoarseOverride: Option[Int] = None): DataFrame = {
+    // Deriving the coarse cell count runs ONE eager count() when the
+    // caller does not know its corpus size; registered queries pass
+    // nOverride from parquet footers (zero jobs — see qDedupSemantic).
+    val n = nOverride.getOrElse(vecs.count())
+    val idx = AnnOps.ivf2Train(vecs, n, target, iters, dim,
+      ncoarseOverride = ncoarseOverride)
+    val cand = AnnOps.ivf2Assign(vecs, idx)
+      .groupBy("gcid", "fcid", "label")
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
-    // no distinct(): each vec_id lands in exactly ONE (cell, label) group,
-    // so candidate pairs are unique by construction — unlike the multi-
-    // table LSH path, where the same pair surfaces from several tables and
-    // the dedup shuffle is load-bearing
+    // no distinct(): each vec_id lands in exactly ONE (gcid, fcid, label)
+    // group, so candidate pairs are unique by construction — unlike the
+    // multi-table LSH path, where the same pair surfaces from several
+    // tables and the dedup shuffle is load-bearing
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
@@ -564,24 +575,22 @@ object DedupOps {
       .select("id1", "id2", "cos_sim")
   }
 
-  /** SemDeDup cell count for a corpus of `n` vectors: ⌈n / 256⌉ clamped
-    * to [64, 512] — cells track the corpus so within-cell pair expansion
-    * stays ~n × cell instead of n²/nlist (the fixed-64-cell form measured
-    * 22× wall growth per 10× data at the round-18 sf10 probe: every cell
-    * thickened linearly and the quadratic in-cell expansion ate it).
-    * Integer arithmetic, re-derived by the DuckDB twin from `count(*)`.
-    * The cap bounds the quantizer-training and assignment cost (nlist
-    * plan literals); past it, cell size grows again — the documented next
-    * lever at 100 TB is a two-level (coarse→fine) quantizer, not a bigger
-    * flat literal table.
+  /** SemDeDup fine-cell population target: ~256 vectors per cell, so the
+    * within-cell pair expansion stays ~n × 256 at ANY corpus size (total
+    * cells ≈ ⌈n/256⌉ with no cap — the two-level quantizer's point).
     */
-  def semNlist(n: Long): Int =
-    math.max(64, math.min(512, ((math.max(1L, n) + 255) / 256).toInt))
+  val SemCellTarget = 256
 
   def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
-    // planted corpus size from footers (×12/11 for the every-11th mutants)
+    // Planted corpus size estimate: footer count × 12/11 for the
+    // every-11th mutants, in INTEGER arithmetic — and the twin derives
+    // the SAME estimate as (count(*) * 12) // 11 over the base table, so
+    // the coarse cell count can never diverge at a clamp boundary (the
+    // two sides need PARITY, not exactness; footer count == the twin's
+    // count(*) exactly, so the derived estimates are identical).
     val n = Tables.rowCountFromFooters(s, d, "embeddings") * 12L / 11L
-    semanticDedupPairs(plantedEmbeddings(s, d), tau = 0.95, nlist = semNlist(n))
+    semanticDedupPairs(plantedEmbeddings(s, d), tau = 0.95,
+      nOverride = Some(n))
       .orderBy("id1", "id2")
   }
 

@@ -200,14 +200,20 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"sampled-training IVF recall $recall below 0.5")
   }
 
-  test("persisted IVF index reproduces ivfTopK and prunes to probed cells") {
+  test("persisted two-level IVF index reproduces the in-memory plan and prunes to probed cells") {
     val vecs = AnnOps.corpus(spark, sfDir)
     val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val n = vecs.count()
+    val (cprobe, nprobeF) =
+      (AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget))
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
     try {
-      AnnOps.ivfSaveIndex(vecs, dir, nlist = 8, iters = 2)
-      val viaIndex = AnnOps.ivfQueryIndex(spark, dir, queries, k = 10, nprobe = 4)
-      val direct = AnnOps.ivfTopK(vecs, queries, k = 10, nlist = 8, nprobe = 4)
+      AnnOps.ivf2SaveIndex(vecs, dir, n)
+      val viaIndex = AnnOps.ivf2QueryIndex(spark, dir, queries, k = 10, cprobe, nprobeF)
+      // training is deterministic, so a second ivf2Train yields the
+      // bit-identical index the save path trained
+      val direct = AnnOps.ivf2ProbeTopK(vecs, queries, k = 10,
+        AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget), cprobe, nprobeF)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
       assert(rows(viaIndex) === rows(direct),
@@ -224,6 +230,62 @@ class AnnOpsSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("NearestCentroidDyn kernel agrees with the literal NearestCentroid kernel") {
+    // The two-level fine assignment rides the dynamic (matrix-as-column)
+    // kernel; its argmax and tie semantics must be bit-equal to the
+    // literal kernel the coarse level (and every flat-quantizer result)
+    // uses — same matrix in, same ids out, including ±0.0 ties.
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val cents = AnnOps.centroidArrays(AnnOps.ivfCentroids(vecs, nlist = 8, iters = 2))
+    val matDf = Seq(Tuple1(cents.map(_.toSeq))).toDF("mats")
+    val viaDyn = vecs.crossJoin(broadcast(matDf))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.nearest_centroid_dyn(col("v"), col("mats")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaLit = vecs
+      .select(col("vec_id"), AnnOps.nearestCentroid(col("v"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaDyn === viaLit, "dynamic and literal kernels must agree on every row")
+  }
+
+  test("ivf2Train is bit-identical under any input partitioning") {
+    // The two-level trainer inherits the coarse Lloyd's determinism
+    // contract: coarse + fine centroids must not move by a bit when the
+    // corpus arrives in different partition layouts (the property the
+    // DuckDB twins — and a 1000-executor cluster — rest on).
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val n = vecs.count()
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Seq[Long]])] =
+      AnnOps.ivf2Train(df, n, AnnOps.IvfCellTarget).fine.map { case (g, cs) =>
+        g -> cs.map(_.toSeq.map(java.lang.Double.doubleToRawLongBits)).toSeq
+      }
+    val base = bits(vecs)
+    assert(base.exists(_._2.size > 1),
+      "sf corpus must exercise a genuinely multi-fine-cell index (k_g > 1)")
+    assert(bits(vecs.repartition(3)) === base,
+      "3-partition layout must not move a fine centroid bit")
+    assert(bits(vecs.orderBy(desc("vec_id"))) === base,
+      "reversed scan order must not move a fine centroid bit")
+  }
+
+  test("ivf2ProbeTopK always finds an exact duplicate") {
+    // An identical vector shares both the coarse and fine cell of its
+    // twin deterministically (same kernels, same dots), so even the
+    // narrowest probe that includes the query's own cell finds it.
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val clone = vecs.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
+    val all = vecs.unionByName(clone)
+    val idx = AnnOps.ivf2Train(all, 501L, AnnOps.IvfCellTarget)
+    val rows = AnnOps.ivf2ProbeTopK(all, clone, k = 1, idx,
+      cprobe = 1, nprobeF = 1).collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("neighbor_id") === 0L,
+      "identical vector shares the query's own nearest cell even at nprobeF=1")
+    assert(rows(0).getAs[Double]("cos_sim") === 1.0)
   }
 
   test("hyperplanes are deterministic across invocations") {

@@ -37,10 +37,20 @@ object ReplicateSf {
     }
 
     replicate("documents") { (df, r) =>
+      // Replica 0 is VERBATIM; replicas 1..k−1 suffix every word so they
+      // share zero n-grams with each other and with replica 0 (ScaleProbe's
+      // decorrelation trick — similarity structure grows linearly, no
+      // cross-replica pairs). Keeping one verbatim replica preserves the
+      // fixed query VOCABULARY: search_bm25/search_match/multi_match terms
+      // still hit replica-0 docs, so the ×K twins compare non-empty search
+      // results (at ×100 the suffixed form compared 0 = 0 rows — an
+      // agreement, not evidence).
+      val text =
+        if (r == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1r$r")
       df.select(
         (col("doc_id") + lit(r * Shift)).as("doc_id"),
-        // suffix every word: replicas share zero n-grams (ScaleProbe's trick)
-        regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"),
+        text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     replicate("embeddings") { (df, r) =>

@@ -2358,7 +2358,7 @@ object SparkEntry {
         |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
         |FROM h ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
-      """WITH base AS (SELECT doc_id, lang, source, text FROM documents),
+      """WITH base AS (SELECT doc_id, lang, source, text FROM documents /*GRAFT_DOC_SAMPLE*/),
         |corpus AS (
         |  SELECT doc_id, lang, source, text FROM base
         |  UNION ALL SELECT doc_id + 1000000, lang, source, text || ' ' FROM base WHERE doc_id % 7 = 0

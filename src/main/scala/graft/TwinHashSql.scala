@@ -273,7 +273,7 @@ $cte AS MATERIALIZED (SELECT *,
     * twins).
     */
   private val corpusCte: String =
-    """base AS (SELECT doc_id, text FROM documents),
+    """base AS (SELECT doc_id, text FROM documents /*GRAFT_DOC_SAMPLE*/),
 corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL SELECT doc_id + 1000000, text || ' ' FROM base WHERE doc_id % 7 = 0
@@ -831,7 +831,7 @@ ${lloydCtes("lv", "base", "SELECT nc FROM prm")},
 ${assignCtes("asn", "base", "lv_cf")},
 ${twoLevelCtes("tl", "base", "lv", "asn", target = 100)},
 nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
-q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0 /*GRAFT_QUERY_SAMPLE*/),
 prg AS MATERIALIZED (
   SELECT query_id, gcid, qv FROM (
     SELECT q.query_id, g.cid AS gcid, q.qv,

@@ -17,6 +17,18 @@ import pyarrow as pa
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Names eligible for GRAFT_SAMPLE_DOCS: pairwise operators whose oracle twin
+# carries the /*GRAFT_DOC_SAMPLE*/ marker in its base-corpus CTE and whose
+# pair semantics depend only on the two endpoint docs (signatures/grams are
+# per-doc, so a corpus restriction restricts the result set exactly).
+# dedup_exact is NOT eligible: its keep_id is the min over a full hash
+# group, which a corpus cut changes.
+DOC_SAMPLED = {"dedup_minhash", "dedup_simhash", "dedup_fingerprint",
+               "ngram_jaccard"}
+# Names eligible for GRAFT_SAMPLE_QUERIES: ANN twins with the
+# /*GRAFT_QUERY_SAMPLE*/ marker — per-query independence, full training.
+QUERY_SAMPLED = {"ann_ivf", "ann_ivf_index"}
+
 
 def norm_cell(v):
     if v is None:
@@ -99,38 +111,92 @@ def main():
                  "hash_match": False, "err": None}
         try:
             files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
-            # Sampled pair adjudication (GRAFT_SAMPLE_PAIRS=<den>): for
-            # pair-result queries (id1/id2 columns), both sides restrict to
-            # the deterministic ~1/den subset whose md5(id1||'|'||id2)
-            # head falls under the cutoff — the seedless bottom-k recipe.
-            # This adjudicates results too large to re-derive in full
-            # (the 40k-doc ngram_jaccard 58M-pair run): the oracle's
-            # cheap id-only cutoff pushes below the jaccard projection,
-            # so the expensive verify math runs only on surviving pairs.
-            # Both filters evaluate in DuckDB, so the sampling function is
-            # engine-identical by construction; the COMPARE is still
-            # Spark output vs oracle output on the same subset.
+            # Sampled adjudication — three deterministic md5-cutoff modes
+            # for results whose full DuckDB re-derivation is too expensive
+            # at sf10-class corpora. All cuts evaluate in DuckDB on BOTH
+            # sides, so the sampling function is engine-identical by
+            # construction; the COMPARE is still Spark output vs oracle
+            # output on the same subset. Sampling applies only to
+            # ORACLE-adjudicated names: a rows-only query has no oracle
+            # side to restrict, and cutting its Spark rows could sample a
+            # small result to 0 rows and spuriously fail the rows>0 check.
+            #
+            #  - GRAFT_SAMPLE_PAIRS=<den>: pair results (id1/id2 columns)
+            #    restrict to pairs whose md5(id1||'|'||id2) head falls
+            #    under the cutoff. The cut sits ABOVE the oracle pipeline
+            #    (pruning only the final pair rows) — right for twins
+            #    whose cost is in the pair expansion/verify stage (the
+            #    40k-doc ngram_jaccard 58M-pair run passes on a 45k
+            #    sample; dedup_semantic's in-cell cosine verify prunes the
+            #    same way).
+            #  - GRAFT_SAMPLE_DOCS=<den>: for the per-doc-signature twins
+            #    (DOC_SAMPLED below) the expensive work is per-DOCUMENT
+            #    (murmur/xxhash signatures for every doc), which a pair
+            #    cut cannot prune — so the cut goes INSIDE the twin: the
+            #    /*GRAFT_DOC_SAMPLE*/ marker in its base-corpus CTE
+            #    becomes a WHERE on md5(doc_id), signatures are computed
+            #    only for the ~1/den sampled base docs (planted mutants
+            #    follow their base doc), and the Spark side restricts to
+            #    pairs with BOTH endpoint base ids in the sample (~1/den²
+            #    of pairs). Sound because these operators are pairwise:
+            #    a pair's emission depends only on its two docs'
+            #    signatures, so the restricted result equals the full
+            #    result restricted — except a full-corpus maxBucket shed
+            #    that the sampled corpus no longer triggers, which would
+            #    surface loudly as extra oracle rows, not silently.
+            #  - GRAFT_SAMPLE_QUERIES=<den>: for the ANN twins
+            #    (QUERY_SAMPLED) training + corpus assignment must stay
+            #    FULL (the quantizer depends on every vector) but each
+            #    query is independent — the /*GRAFT_QUERY_SAMPLE*/ marker
+            #    cuts the twin's query CTE on md5(vec_id) and both sides
+            #    restrict to the sampled query_ids.
             sample_den = int(os.environ.get("GRAFT_SAMPLE_PAIRS", "0") or 0)
+            doc_den = int(os.environ.get("GRAFT_SAMPLE_DOCS", "0") or 0)
+            query_den = int(os.environ.get("GRAFT_SAMPLE_QUERIES", "0") or 0)
             schema_names = set(pq.read_schema(files[0]).names)
-            # Sampling applies only to ORACLE-adjudicated pair results: a
-            # rows-only query has no oracle side to restrict, and cutting
-            # its Spark rows could sample a small result to 0 rows and
-            # spuriously fail the rows>0 check.
-            if sample_den and name in oracle and {"id1", "id2"} <= schema_names:
-                cut = (f"('0x' || substr(md5(id1 || '|' || id2), 1, 8))::BIGINT"
-                       f" * {sample_den} < 4294967296")
+            oracle_sql = oracle.get(name)
+            conds = []
+
+            def md5_cut(expr, den):
+                return (f"('0x' || substr(md5({expr} || ''), 1, 8))::BIGINT"
+                        f" * {den} < 4294967296")
+
+            # planted ids sit at base+1e6 (exact copies) / base+2e6 (near
+            # copies) / base+1e5 (embedding mutants); replica shifts are
+            # multiples of 1e7 — so base id = id minus its planted offset
+            def base_id(col):
+                return f"({col} - 1000000*(({col} % 10000000) // 1000000))"
+
+            if sample_den and oracle_sql and {"id1", "id2"} <= schema_names:
+                conds.append(f"('0x' || substr(md5(id1 || '|' || id2), 1, 8))::BIGINT"
+                             f" * {sample_den} < 4294967296")
+                entry["sampled_den"] = sample_den
+            if doc_den and oracle_sql and name in DOC_SAMPLED:
+                oracle_sql = oracle_sql.replace(
+                    "/*GRAFT_DOC_SAMPLE*/", f"WHERE {md5_cut('doc_id', doc_den)}")
+                conds.append(f"({md5_cut(base_id('id1'), doc_den)}) AND "
+                             f"({md5_cut(base_id('id2'), doc_den)})")
+                entry["sampled_docs_den"] = doc_den
+            if query_den and oracle_sql and name in QUERY_SAMPLED:
+                oracle_sql = oracle_sql.replace(
+                    "/*GRAFT_QUERY_SAMPLE*/", f"AND {md5_cut('vec_id', query_den)}")
+                conds.append(md5_cut("query_id", query_den))
+                entry["sampled_queries_den"] = query_den
+
+            if conds:
+                order_by = ", ".join(f'"{c}"' for c in sorted(schema_names))
+                where = " AND ".join(f"({c})" for c in conds)
                 entry["spark_rows_full"] = sum(
                     pq.read_metadata(f).num_rows for f in files)
                 spark_tbl = con.execute(
-                    f"SELECT * FROM read_parquet({files!r}) WHERE {cut} "
-                    f"ORDER BY id1, id2").fetch_arrow_table()
-                oracle_for_name = (f"SELECT * FROM (\n{oracle.get(name, '')}\n) "
-                                   f"WHERE {cut} ORDER BY id1, id2")
-                entry["sampled_den"] = sample_den
+                    f"SELECT * FROM read_parquet({files!r}) WHERE {where} "
+                    f"ORDER BY {order_by}").fetch_arrow_table()
+                oracle_for_name = (f"SELECT * FROM (\n{oracle_sql}\n) "
+                                   f"WHERE {where} ORDER BY {order_by}")
             else:
                 spark_tbl = pq.read_table(files[0]) if len(files) == 1 else \
                     pa.concat_tables([pq.read_table(f) for f in files])
-                oracle_for_name = oracle.get(name)
+                oracle_for_name = oracle_sql
             entry["spark_rows"] = spark_tbl.num_rows
             if name not in oracle:
                 entry["rows_match"] = spark_tbl.num_rows > 0

@@ -51,6 +51,7 @@ object SparkEntry {
     "warc_write" -> (SyncOps.qWarcWrite _),
     "link_extract" -> (SyncOps.qLinkExtract _),
     "plone_search" -> (SyncOps.qPloneSearch _),
+    "plone_attachments" -> (SyncOps.qPloneAttachments _),
     // Normalization / document transforms (SURVEY §2 #17-#23)
     "norm_clean_html" -> (NormOps.qNormCleanHtml _),
     "norm_boilerplate" -> (NormOps.qNormBoilerplate _),
@@ -1043,6 +1044,48 @@ object SparkEntry {
         |  AND url <> 'https://site.example.eu/docs/23'
         |  AND NOT (path LIKE '/docs/11%' OR regexp_matches(path, '^/docs/3.'))
         |ORDER BY doc_id""".stripMargin,
+    // the expected attachment table restated from the same doc_id
+    // arithmetic: is_field_of_type key-presence gate ('thumb' lacks
+    // filename → never a row), the 4-type content gate, the
+    // replace/split-membership/endswith URL swap, the report_pdf items
+    // path (File children only, NO swap)
+    "plone_attachments" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://www.eea.europa.eu/x/doc' || doc_id
+        |         WHEN doc_id % 3 = 1 THEN 'https://www.eea.europa.eu/en/doc' || doc_id
+        |         ELSE 'https://other.site/doc' || doc_id END AS url,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'application/pdf'
+        |         WHEN doc_id % 4 = 1 THEN 'application/msword'
+        |         WHEN doc_id % 4 = 2 THEN 'text/html'
+        |         ELSE 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        |         END AS ct
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT *,
+        |    CASE WHEN doc_id % 5 = 0 THEN url || '/@@download/pdfStatic'
+        |         ELSE url || '/file/@@download/file' END AS download
+        |  FROM d),
+        |fieldrows AS (
+        |  SELECT doc_id, 'file' AS field, 'f' || doc_id || '.bin' AS filename,
+        |    ct AS content_type,
+        |    CASE WHEN contains(url, 'www.eea.europa.eu')
+        |          AND NOT list_contains(string_split(url, '/'), 'en')
+        |          AND NOT ends_with(download, '@@download/pdfStatic')
+        |      THEN replace(download, '@@download', 'at_download')
+        |      ELSE download END AS download_url
+        |  FROM d2
+        |  WHERE ct IN ('application/pdf', 'application/msword',
+        |    'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+        |    'application/vnd.ms-word.document.macroEnabled.12')),
+        |reportrows AS (
+        |  SELECT doc_id, 'items' AS field, NULL AS filename, NULL AS content_type,
+        |    url || '/item0/@@download/file' AS download_url
+        |  FROM d2 WHERE doc_id % 7 = 0)
+        |SELECT doc_id, field, filename, content_type, download_url FROM fieldrows
+        |UNION ALL
+        |SELECT doc_id, field, filename, content_type, download_url FROM reportrows
+        |ORDER BY doc_id, field""".stripMargin,
     "norm_clean_html" ->
       """WITH h AS (
         |  SELECT doc_id,

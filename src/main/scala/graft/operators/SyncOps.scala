@@ -629,6 +629,146 @@ object SyncOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- plone_attachments
+
+  /** Content types whose attachments the reference's converter sidecar
+    * extracts (lib/plone_rest_api.py:280-284 CONTENT_TYPES_TO_EXTRACT plus
+    * the inline application/pdf check at :327-331): PDF and the three
+    * Word container types.
+    */
+  val PloneExtractTypes: Seq[String] = Seq(
+    "application/pdf",
+    "application/msword",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "application/vnd.ms-word.document.macroEnabled.12")
+
+  /** `fix_download_url` (lib/plone_rest_api.py:274-277): on the main-site
+    * host (www.eea.europa.eu) OUTSIDE the /en/ tree, `@@download` URLs
+    * rewrite to `at_download` (the pre-migration traversal name) — unless
+    * the URL is the static-PDF endpoint. Pure URL algebra, the same class
+    * as url_canonical: the reference's str.replace swaps EVERY occurrence
+    * (regexp_replace is global and `@@download` has no regex
+    * metacharacters), and the `en` test is path-SEGMENT membership
+    * (`'en' not in url.split('/')`), not a substring match — limit −1
+    * keeps trailing empty segments exactly like Python's split.
+    */
+  def fixDownloadUrl(downloadUrl: Column, sourceUrl: Column): Column =
+    when(sourceUrl.contains("www.eea.europa.eu")
+        && !array_contains(split(sourceUrl, "/", -1), "en")
+        && !downloadUrl.endsWith("@@download/pdfStatic"),
+      regexp_replace(downloadUrl, "@@download", "at_download"))
+      .otherwise(downloadUrl)
+
+  /** The data half of `extract_attachments` (lib/plone_rest_api.py:287-357)
+    * — one row per extractable attachment of a Plone JSON document, the
+    * table the converter fetch consumes (the HTTP fetch + pdf-to-text call
+    * are §6 non-goals; their output is the pdf_text sidecar
+    * `nlp_preprocess` already reads). Two discovery paths, exactly the
+    * reference's:
+    *
+    *  - FIELD scan (:319-346): every top-level key whose value is a dict
+    *    carrying all of {content-type, download, filename}
+    *    (`is_field_of_type(value, "file")`, :264-271 — KEY presence, so a
+    *    JSON object discovered via `json_object_keys` of the field text,
+    *    never a fixed schema) and whose content-type is in
+    *    [[PloneExtractTypes]]; its download URL gets the
+    *    [[fixDownloadUrl]] host-swap against the doc's own `id` URL.
+    *  - report_pdf ITEMS (:299-314): docs of `@type = report_pdf` emit one
+    *    row per `items[]` child of `@type = File`, download URL =
+    *    child `@id` + "/@@download/file" (the reference applies NO host
+    *    swap on this path).
+    *
+    * Per-row JSON expression work only (json_object_keys /
+    * get_json_object / from_json) — a pure narrow pipeline, zero shuffle;
+    * output keeps every input column plus (field, filename, content_type,
+    * download_url). `extractPdf` mirrors the reference flag that gates
+    * BOTH paths (:326-333 and :300).
+    */
+  def ploneAttachments(docs: DataFrame, jsonCol: String,
+      extractPdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val js = col(jsonCol)
+    val srcUrl = get_json_object(js, "$.id")
+    val fieldRows = docs
+      .filter(lit(extractPdf))
+      .select(col("*"), explode(json_object_keys(js)).as("field"))
+      // dynamic JSON path (the field name is data): the Scala function
+      // signature pins path to a literal, but the underlying Catalyst
+      // GetJsonObject accepts any expression — bridge it directly
+      .withColumn("__fjs", {
+        import org.apache.spark.sql.graftbridge.GraftSqlBridge
+        GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+            GraftSqlBridge.expression(js),
+            GraftSqlBridge.expression(
+              concat(lit("$['"), col("field"), lit("']")))))
+      })
+      .withColumn("__fkeys", json_object_keys(col("__fjs")))
+      // non-objects yield NULL keys and drop — isinstance(field, dict)
+      .filter(col("__fkeys").isNotNull
+        && array_contains(col("__fkeys"), "content-type")
+        && array_contains(col("__fkeys"), "download")
+        && array_contains(col("__fkeys"), "filename"))
+      .withColumn("content_type", get_json_object(col("__fjs"), "$['content-type']"))
+      .filter(col("content_type").isInCollection(PloneExtractTypes))
+      .withColumn("filename", get_json_object(col("__fjs"), "$['filename']"))
+      .withColumn("download_url",
+        fixDownloadUrl(get_json_object(col("__fjs"), "$['download']"), srcUrl))
+      .drop("__fjs", "__fkeys")
+    val itemsSchema = ArrayType(StructType(Seq(
+      StructField("@id", StringType), StructField("@type", StringType))))
+    val reportRows = docs
+      .filter(lit(extractPdf) &&
+        get_json_object(js, "$['@type']") === "report_pdf")
+      .select(col("*"),
+        explode(from_json(get_json_object(js, "$.items"), itemsSchema)).as("__it"))
+      .filter(col("__it").getField("@type") === "File")
+      .select(col("*"),
+        lit("items").as("field"),
+        lit(null).cast("string").as("filename"),
+        lit(null).cast("string").as("content_type"),
+        concat(col("__it").getField("@id"), lit("/@@download/file")).as("download_url"))
+      .drop("__it")
+    fieldRows.unionByName(reportRows)
+  }
+
+  /** queries() wrapper: synthesizes a Plone document JSON per row
+    * exercising every branch — the three host/tree cases of the URL swap
+    * (main host, main host under /en/, foreign host), all four extractable
+    * content types plus a non-extractable one, the pdfStatic exemption, a
+    * near-miss field missing `filename` (never extracted), and every 7th
+    * doc a report_pdf whose items hold one File and one non-File child.
+    * The DuckDB oracle restates the expected rows from the same doc_id
+    * arithmetic — field typing, content-type gate, and the full
+    * replace/split/endswith URL algebra.
+    */
+  def qPloneAttachments(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = when(id % 3 === 0, concat(lit("https://www.eea.europa.eu/x/doc"), id))
+      .when(id % 3 === 1, concat(lit("https://www.eea.europa.eu/en/doc"), id))
+      .otherwise(concat(lit("https://other.site/doc"), id))
+    val ct = when(id % 4 === 0, lit("application/pdf"))
+      .when(id % 4 === 1, lit("application/msword"))
+      .when(id % 4 === 2, lit("text/html"))
+      .otherwise(lit(
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"))
+    val download = when(id % 5 === 0, concat(url, lit("/@@download/pdfStatic")))
+      .otherwise(concat(url, lit("/file/@@download/file")))
+    val items = when(id % 7 === 0, array(
+      struct(concat(url, lit("/item0")).as("@id"), lit("File").as("@type")),
+      struct(concat(url, lit("/item1")).as("@id"), lit("Image").as("@type"))))
+    val js = to_json(struct(
+      url.as("id"),
+      when(id % 7 === 0, lit("report_pdf")).otherwise(lit("document")).as("@type"),
+      struct(ct.as("content-type"), download.as("download"),
+        concat(lit("f"), id, lit(".bin")).as("filename")).as("file"),
+      struct(ct.as("content-type"), download.as("download")).as("thumb"),
+      items.as("items")))
+    ploneAttachments(Tables.documents(s, d).select(id, js.as("js")), "js")
+      .select("doc_id", "field", "filename", "content_type", "download_url")
+      .orderBy("doc_id", "field")
+  }
+
   // ------------------------------------------------------------ site_for_url
 
   /** `find_site_by_url` (tasks/helpers.py:131-145) — route a doc URL to

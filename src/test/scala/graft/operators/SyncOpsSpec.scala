@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, struct, to_json}
 
 class SyncOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -200,6 +200,67 @@ class SyncOpsSpec extends SparkSpec {
       urlsWhitelist = Seq("https://water.s.eu/marine/a")))
       .select("url").collect().map(_.getString(0)).toSeq
     assert(got == Seq("https://water.s.eu/marine/a"))
+  }
+
+  test("ploneAttachments: field typing, URL swap branches, report_pdf items") {
+    def doc(id: Long, js: String) = (id, js)
+    val docs = Seq(
+      // main host, not under /en/: @@download swaps to at_download in
+      // EVERY occurrence (str.replace semantics); extra keys beyond the
+      // {content-type, download, filename} markers still type as a file
+      // field (superset test)
+      doc(1L, """{"id":"https://www.eea.europa.eu/x/d1",
+        |"file":{"content-type":"application/pdf","download":"https://www.eea.europa.eu/x/@@download/a/@@download/file","filename":"a.pdf","size":9}}"""
+        .stripMargin.replace("\n", "")),
+      // /en/ tree: no swap — membership is per path SEGMENT ('en'), and
+      // 'entity' must NOT count as membership
+      doc(2L, """{"id":"https://www.eea.europa.eu/en/d2","file":{"content-type":"application/pdf","download":"https://x/@@download/file","filename":"b.pdf"}}"""),
+      doc(3L, """{"id":"https://www.eea.europa.eu/entity/d3","file":{"content-type":"application/pdf","download":"https://x/@@download/file","filename":"c.pdf"}}"""),
+      // pdfStatic endpoint: exempt from the swap even on the main host
+      doc(4L, """{"id":"https://www.eea.europa.eu/x/d4","file":{"content-type":"application/pdf","download":"https://x/@@download/pdfStatic","filename":"d.pdf"}}"""),
+      // near-miss: no filename key → not a file field; scalar fields and
+      // wrong content types never extract
+      doc(5L, """{"id":"https://www.eea.europa.eu/x/d5","thumb":{"content-type":"application/pdf","download":"https://x/@@download/file"},"title":"hi","file":{"content-type":"text/html","download":"https://x/@@download/file","filename":"e.html"}}"""),
+      // report_pdf: one row per File item, NO host swap on this path
+      doc(6L, """{"id":"https://www.eea.europa.eu/x/d6","@type":"report_pdf","items":[{"@id":"https://www.eea.europa.eu/x/d6/f1","@type":"File"},{"@id":"https://www.eea.europa.eu/x/d6/img","@type":"Image"}]}"""))
+      .toDF("doc_id", "js")
+    val got = SyncOps.ploneAttachments(docs, "js")
+      .select("doc_id", "field", "download_url")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.keySet === Set((1L, "file"), (2L, "file"), (3L, "file"),
+      (4L, "file"), (6L, "items")))
+    assert(got((1L, "file")) ===
+      "https://www.eea.europa.eu/x/at_download/a/at_download/file",
+      "every @@download occurrence swaps (str.replace semantics)")
+    assert(got((2L, "file")) === "https://x/@@download/file", "/en/ tree exempt")
+    assert(got((3L, "file")) === "https://x/at_download/file",
+      "'entity' is not segment membership of 'en' — the swap applies")
+    assert(got((4L, "file")) === "https://x/@@download/pdfStatic")
+    assert(got((6L, "items")) ===
+      "https://www.eea.europa.eu/x/d6/f1/@@download/file",
+      "report_pdf items path: File child only, no host swap")
+    assert(SyncOps.ploneAttachments(docs, "js", extractPdf = false).count() === 0,
+      "the extract_pdf flag gates BOTH discovery paths")
+  }
+
+  test("ploneAttachments composes with ploneSearch: attachments of admitted docs") {
+    // the reference pipeline order: @search enumerates + admits docs,
+    // extract_attachments then runs per admitted doc JSON — an admitted
+    // url IS the json 'id' the swap keys on
+    val items = ploneItems(
+      (1L, "https://www.eea.europa.eu/api/x/d1", "Document", null, "2025-01-01", false),
+      (2L, "https://www.eea.europa.eu/api/x/skip", "Event", null, "2025-01-01", false))
+    val admitted = SyncOps.ploneSearch(items,
+      SyncOps.PloneSiteConfig(apiPart = "api", typesBlacklist = Seq("Event")))
+    val docs = admitted.select(col("doc_id"), to_json(struct(
+      col("url").as("id"),
+      struct(lit("application/pdf").as("content-type"),
+        concat(col("url"), lit("/@@download/file")).as("download"),
+        lit("f.pdf").as("filename")).as("file"))).as("js"))
+    val got = SyncOps.ploneAttachments(docs, "js")
+      .select("download_url").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("https://www.eea.europa.eu/x/d1/at_download/file"),
+      "only the admitted doc yields an attachment row, with the swap applied")
   }
 
   test("ploneSearch composes into crawlFrontier and syncDiff") {

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-/** Streaming throughput standing record: drives the two always-on
-  * operators (`StreamOps.windowCounts`, `StreamOps.dedupEvents`) through a
+/** Streaming throughput standing record: drives the four always-on
+  * operators (`StreamOps.windowCounts`, `StreamOps.dedupEvents`, and the
+  * flatMapGroupsWithState pair `sessionize` / `errorRetryState`) through a
   * real file-drop pipeline — parquet files landing in a watched directory,
   * exactly the reference's "crawler output appears, the always-on loop
   * picks it up" shape — and writes STREAM.json (plus the same line on
@@ -38,7 +39,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object StreamBench {
   private case class RunStats(
       inputRows: Long, outputRows: Long, wallS: Double,
-      batchMs: Seq[Double])
+      batchMs: Seq[Double], stateRowsMax: Long, stateMemMaxBytes: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
@@ -122,8 +123,16 @@ object StreamBench {
       progress.filter(_.numInputRows > 0).foreach { p =>
         batchMs += p.durationMs.get("triggerExecution").toDouble
       }
+      // state-store footprint across the run: the number the stateful
+      // operators' "bounded state" claims rest on (watermark eviction /
+      // session close / terminal-action removal must keep it flat-ish,
+      // not corpus-sized)
+      val stateRows = progress.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      val stateMem = progress.flatMap(_.stateOperators.toSeq.map(_.memoryUsedBytes))
       val outRows = spark.read.parquet(out).count()
-      RunStats(inRows, outRows, wall, batchMs.result())
+      RunStats(inRows, outRows, wall, batchMs.result(),
+        if (stateRows.isEmpty) 0L else stateRows.max,
+        if (stateMem.isEmpty) 0L else stateMem.max)
     }
 
     // windowCounts: append mode — a window emits once the watermark
@@ -141,6 +150,37 @@ object StreamBench {
         .format("parquet").option("path", out).option("checkpointLocation", chk)
         .start())
 
+    // The flatMapGroupsWithState pair — the ops whose keyed state store
+    // actually strains at volume (windowCounts/dedup state is
+    // operator-managed; these two manage their own per-key state +
+    // event-time timeouts). Sessions close on the 30-min gap as the
+    // time-ordered drops advance the watermark; error retries key on
+    // user_id so keys RECUR across drops and the counter state machine
+    // exercises updates, not just inserts.
+    val ss = run("sessionize", (s, out, chk) => {
+      import spark.implicits._
+      streaming.StreamOps.sessionize(
+        s.select(col("user_id"), col("event_id"), col("ts"))
+          .as[streaming.StreamOps.SessionEvent], gapMinutes = 30)
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out).option("checkpointLocation", chk)
+        .start()
+    })
+
+    val er = run("error_retry", (s, out, chk) => {
+      import spark.implicits._
+      streaming.StreamOps.errorRetryState(
+        s.select(col("user_id").as("id"), col("ts"))
+          .as[streaming.StreamOps.ErrorEvent], quietMinutes = 60)
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out).option("checkpointLocation", chk)
+        .start()
+    })
+    require(ss.outputRows > 0, "sessionize emitted no closed sessions")
+    require(er.outputRows > 0, "error_retry emitted no actions")
+
     // exactly-once check: every injected duplicate absorbed, every
     // unique event delivered once
     require(dd.outputRows == totalInput,
@@ -156,12 +196,14 @@ object StreamBench {
       s""""$name":{"input_rows":${r.inputRows},"output_rows":${r.outputRows},""" +
       s""""wall_s":${fnum(r.wallS)},"rows_per_s":${fnum(r.inputRows / r.wallS)},""" +
       s""""batch_ms_mean":${fnum(mean)},"batch_ms_max":${fnum(max)},""" +
+      s""""state_rows_max":${r.stateRowsMax},"state_mem_max_bytes":${r.stateMemMaxBytes},""" +
       s""""n_nonempty_batches":${r.batchMs.size}}"""
     }
     val record =
       s"""{"sf":"$sfDir","n_drops":$nBatches,"amplify":$amplify,""" +
       s""""unique_events":$totalInput,""" +
-      stats("stream_window_counts", wc) + "," + stats("stream_dedup", dd) +
+      stats("stream_window_counts", wc) + "," + stats("stream_dedup", dd) + "," +
+      stats("stream_sessionize", ss) + "," + stats("stream_error_retry", er) +
       s""","dedup_exactly_once":true}"""
     java.nio.file.Files.write(
       Paths.get(sys.env.getOrElse("GRAFT_STREAM_OUT", "STREAM.json")),

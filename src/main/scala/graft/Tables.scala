@@ -74,7 +74,7 @@ object Tables {
     val status = fs.getFileStatus(root)
     val files =
       if (status.isDirectory) {
-        // Recurse: partitioned layouts (e.g. ivfSaveIndex's partitionBy
+        // Recurse: partitioned layouts (e.g. ivf2SaveIndex's partitionBy
         // output) nest part files under key=value directories — a one-level
         // listing would return an empty list and a silent row count of 0.
         // Hidden/staging segments (_temporary, .spark-staging-*, _SUCCESS)

@@ -498,11 +498,18 @@ cb0 AS MATERIALIZED (SELECT vec_id, unnest($structs, recursive := true) FROM bas
 cb AS MATERIALIZED (SELECT vec_id, tbl,
        bkt & ((1 << (SELECT bits FROM prm)) - 1) AS bkt FROM cb0),
 pb AS (SELECT cb.vec_id AS query_id, cb.tbl, xor(cb.bkt, u.f) AS bkt
-       FROM cb, prm, unnest(list_prepend(0::BIGINT, list_concat(
+       FROM cb, prm, unnest(list_prepend(0::BIGINT, list_concat(list_concat(
          list_transform(range(0, prm.bits), b -> 1::BIGINT << b),
          flatten(list_transform(range(0, prm.bits), a ->
            list_transform(range(a + 1, prm.bits), b ->
-             (1::BIGINT << a) | (1::BIGINT << b))))))) AS u(f)
+             (1::BIGINT << a) | (1::BIGINT << b))))),
+         -- third probe ring from 10 bits up (AnnOps.lshTopK flips)
+         CASE WHEN prm.bits >= 10 THEN
+           flatten(flatten(list_transform(range(0, prm.bits), a ->
+             list_transform(range(a + 1, prm.bits), b ->
+               list_transform(range(b + 1, prm.bits), c ->
+                 (1::BIGINT << a) | (1::BIGINT << b) | (1::BIGINT << c))))))
+         ELSE []::BIGINT[] END))) AS u(f)
        WHERE cb.vec_id % 100 = 0),
 cand AS (SELECT DISTINCT pb.query_id, cb.vec_id AS neighbor_id
          FROM pb JOIN cb ON cb.tbl = pb.tbl AND cb.bkt = pb.bkt

@@ -146,7 +146,7 @@ object EmbedOps {
     * beyond the per-doc max. A real deployment swaps the stub for a model
     * call on BOTH sides (distinct passages + the one query string) and the
     * plan shape is unchanged — at 100 TB you'd route the scan through the
-    * persisted IVF index (`AnnOps.ivfQueryIndex`) instead of scoring every
+    * persisted IVF index (`AnnOps.ivf2QueryIndex`) instead of scoring every
     * passage; this operator is the exact-baseline twin of that path.
     */
   def semanticSearchTopK(docs: DataFrame, queryText: String, k: Int,

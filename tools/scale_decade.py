@@ -23,13 +23,19 @@ import sys
 EXPLAINED = {
     "ann_ivf": (
         "the gate query SET grows with the corpus (every 100th vector), so "
-        "the total is queries(∝n) × per-query probe cost(∝n·nprobe/nlist at "
-        "the recall-preserving fixed 1/4 probe fraction) — quadratic by "
-        "construction for ANY ANN whose query set tracks the corpus. The "
-        "operator-level scale property is the PER-QUERY wall (sf10: "
-        "~11.5 ms/query over 200k vectors, 4× under brute force), and the "
-        "production 100 TB shape is ann_ivf_index's DPP-pruned probe, "
-        "which reads ~nprobe/nlist of the corpus by directory layout."),
+        "the family total grows ~n even though the two-level quantizer's "
+        "fixed-candidate-volume probe makes the PER-QUERY cost constant "
+        "(nprobeF × ~100-vector fine cells); the remaining growth is "
+        "training/assignment passes, which are linear. The production "
+        "100 TB shape is ann_ivf_index's DPP-pruned probe, which reads "
+        "only the probed fine-cell directories."),
+    "ann_lsh": (
+        "same query-set-growth shape (queries ∝ n), and the corpus-sized "
+        "bucket width adds its third probe ring from 10 bits up (the "
+        "recall-preserving width compensation: sf1 recall 0.70 → 0.95) — "
+        "probe volume grows with the CUBE of the log of the corpus, so "
+        "per-query cost is polylog, but the family total still tracks "
+        "queries × polylog."),
 }
 
 

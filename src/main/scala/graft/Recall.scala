@@ -93,10 +93,18 @@ object Recall {
       (np, ratio(pairs.intersect(exactTopK).size, exactTopK.size), wall)
     }
 
-    val planted = operators.DedupOps.plantedEmbeddings(spark, sfDir)
-    val exactPairs = pairSet(operators.DedupOps.embeddingPairs(planted, tau = 0.95)
+    // GRAFT_RECALL_ANN_ONLY skips the SemDeDup block: its EXACT reference
+    // (label-blocked all-pairs cosine) is quadratic by definition and
+    // unaffordable at the ×100 twin, while the ANN recalls stay measurable
+    // (brute force there is |corpus| × |queries|, not all-pairs).
+    val annOnly = sys.env.contains("GRAFT_RECALL_ANN_ONLY")
+    val planted =
+      if (annOnly) null else operators.DedupOps.plantedEmbeddings(spark, sfDir)
+    val exactPairs = if (annOnly) Set.empty[(Long, Long)] else
+      pairSet(operators.DedupOps.embeddingPairs(planted, tau = 0.95)
       .select("id1", "id2"))
-    val semPairs = pairSet(operators.DedupOps.semanticDedupPairs(planted, tau = 0.95)
+    val semPairs = if (annOnly) Set.empty[(Long, Long)] else
+      pairSet(operators.DedupOps.semanticDedupPairs(planted, tau = 0.95)
       .select("id1", "id2"))
     val plantedPairs = exactPairs.filter { case (a, b) => b == a + 100000 }
     val semPlantedRecall =

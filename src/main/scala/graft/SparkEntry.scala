@@ -1052,19 +1052,27 @@ object SparkEntry {
     "plone_attachments" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'https://www.eea.europa.eu/x/doc' || doc_id
+        |    CASE WHEN doc_id % 11 = 7 THEN 'https://www.eea.europa.eu/en/analysis/publications/european-union-greenhouse-gas-inventory-2014'
+        |         WHEN doc_id % 3 = 0 THEN 'https://www.eea.europa.eu/x/doc' || doc_id
         |         WHEN doc_id % 3 = 1 THEN 'https://www.eea.europa.eu/en/doc' || doc_id
         |         ELSE 'https://other.site/doc' || doc_id END AS url,
         |    CASE WHEN doc_id % 4 = 0 THEN 'application/pdf'
         |         WHEN doc_id % 4 = 1 THEN 'application/msword'
         |         WHEN doc_id % 4 = 2 THEN 'text/html'
         |         ELSE 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
-        |         END AS ct
+        |         END AS ct,
+        |    CASE WHEN doc_id % 3 = 0 THEN '2024-01-0' || (doc_id % 9 + 1) || 'T12:30:00'
+        |         WHEN doc_id % 3 = 1 THEN '2026-07-0' || (doc_id % 9 + 1) || 'T00:10:00'
+        |         WHEN doc_id % 6 = 2 THEN '2026-08-01' END AS mod_str
         |  FROM documents),
         |d2 AS (
         |  SELECT *,
         |    CASE WHEN doc_id % 5 = 0 THEN url || '/@@download/pdfStatic'
-        |         ELSE url || '/file/@@download/file' END AS download
+        |         ELSE url || '/file/@@download/file' END AS download,
+        |    url <> 'https://www.eea.europa.eu/en/analysis/publications/european-union-greenhouse-gas-inventory-2014'
+        |      AND NOT (mod_str IS NOT NULL AND trim(mod_str) <> ''
+        |        AND date_diff('day', CAST(string_split(mod_str, 'T')[1] AS DATE), DATE '2026-08-15') > 365)
+        |      AS should_extract
         |  FROM d),
         |fieldrows AS (
         |  SELECT doc_id, 'file' AS field, 'f' || doc_id || '.bin' AS filename,
@@ -1075,13 +1083,14 @@ object SparkEntry {
         |      THEN replace(download, '@@download', 'at_download')
         |      ELSE download END AS download_url
         |  FROM d2
-        |  WHERE ct IN ('application/pdf', 'application/msword',
+        |  WHERE should_extract
+        |    AND ct IN ('application/pdf', 'application/msword',
         |    'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
         |    'application/vnd.ms-word.document.macroEnabled.12')),
         |reportrows AS (
         |  SELECT doc_id, 'items' AS field, NULL AS filename, NULL AS content_type,
         |    url || '/item0/@@download/file' AS download_url
-        |  FROM d2 WHERE doc_id % 7 = 0)
+        |  FROM d2 WHERE doc_id % 7 = 0 AND should_extract)
         |SELECT doc_id, field, filename, content_type, download_url FROM fieldrows
         |UNION ALL
         |SELECT doc_id, field, filename, content_type, download_url FROM reportrows

@@ -732,21 +732,67 @@ object SyncOps {
     fieldRows.unionByName(reportRows)
   }
 
+  /** The reference's hardcoded attachment-extraction skip URL
+    * (lib/plone_rest_api.py:362-363).
+    */
+  val PloneExtractSkipUrl: String =
+    "https://www.eea.europa.eu/en/analysis/publications/european-union-greenhouse-gas-inventory-2014"
+
+  /** `extract_pdf`'s should_extract_pdf gate (lib/plone_rest_api.py:
+    * 358-383): a doc's attachments are extracted unless (a) its `@id` is
+    * the one hardcoded skip URL, or (b) the site sets `pdf_days_limit` > 0
+    * and the doc's modification date (modification_date, falling back to
+    * modified — the same coalesce the @search admission uses; a Plone
+    * response omits the key rather than sending null, so column-level
+    * coalesce mirrors the reference's dict-get default) is MORE than that
+    * many days before `now`. The reference parses the date's 'T'-split
+    * head with strptime('%Y-%m-%d') and compares (now − mod).days — with
+    * mod at midnight that is exactly the calendar-day difference, so
+    * `datediff(now_date, mod_date)` is the identical integer. `now` is a
+    * caller-pinned DATE column (the always-on loop passes today;
+    * deterministic pipelines pin a literal). A missing/blank date means
+    * no staleness check (the reference's falsy test); a MALFORMED date
+    * yields null from to_date and extracts where the reference would
+    * raise — the lenient choice, documented here.
+    */
+  def ploneShouldExtractPdf(atId: Column, modificationDate: Column,
+      modified: Column, now: Column, pdfDaysLimit: Int): Column = {
+    val modStr = coalesce(modificationDate, modified)
+    val stale =
+      if (pdfDaysLimit <= 0) lit(false)
+      else modStr.isNotNull && graft.functions.TextFns.zsTrim(modStr) =!= "" &&
+        datediff(now, to_date(split(modStr, "T").getItem(0))) > pdfDaysLimit
+    atId =!= lit(PloneExtractSkipUrl) && !stale
+  }
+
   /** queries() wrapper: synthesizes a Plone document JSON per row
     * exercising every branch — the three host/tree cases of the URL swap
     * (main host, main host under /en/, foreign host), all four extractable
     * content types plus a non-extractable one, the pdfStatic exemption, a
-    * near-miss field missing `filename` (never extracted), and every 7th
-    * doc a report_pdf whose items hold one File and one non-File child.
-    * The DuckDB oracle restates the expected rows from the same doc_id
-    * arithmetic — field typing, content-type gate, and the full
-    * replace/split/endswith URL algebra.
+    * near-miss field missing `filename` (never extracted), every 7th
+    * doc a report_pdf whose items hold one File and one non-File child,
+    * and the should_extract_pdf gate (pdf_days_limit = 365 against a
+    * pinned now of 2026-08-15: every 3rd doc stale-dated and skipped,
+    * every 11th carrying the hardcoded skip URL, modification_date
+    * falling back to modified). The DuckDB oracle restates the expected
+    * rows from the same doc_id arithmetic — field typing, content-type
+    * gate, date staleness, and the full replace/split/endswith URL
+    * algebra.
     */
   def qPloneAttachments(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val url = when(id % 3 === 0, concat(lit("https://www.eea.europa.eu/x/doc"), id))
+    val url = when(id % 11 === 7, lit(PloneExtractSkipUrl))
+      .when(id % 3 === 0, concat(lit("https://www.eea.europa.eu/x/doc"), id))
       .when(id % 3 === 1, concat(lit("https://www.eea.europa.eu/en/doc"), id))
       .otherwise(concat(lit("https://other.site/doc"), id))
+    // dates for the staleness gate vs the pinned now (2026-08-15):
+    // %3==0 stale (2024), %3==1 fresh (2026-07), %3==2 no
+    // modification_date — %6==2 falls back to a fresh `modified`,
+    // %6==5 has no date at all (no staleness check)
+    val modificationDate =
+      when(id % 3 === 0, concat(lit("2024-01-0"), id % 9 + 1, lit("T12:30:00")))
+        .when(id % 3 === 1, concat(lit("2026-07-0"), id % 9 + 1, lit("T00:10:00")))
+    val modifiedFallback = when(id % 6 === 2, lit("2026-08-01"))
     val ct = when(id % 4 === 0, lit("application/pdf"))
       .when(id % 4 === 1, lit("application/msword"))
       .when(id % 4 === 2, lit("text/html"))
@@ -764,7 +810,13 @@ object SyncOps {
         concat(lit("f"), id, lit(".bin")).as("filename")).as("file"),
       struct(ct.as("content-type"), download.as("download")).as("thumb"),
       items.as("items")))
-    ploneAttachments(Tables.documents(s, d).select(id, js.as("js")), "js")
+    val admitted = Tables.documents(s, d)
+      .select(id, js.as("js"), url.as("at_id"),
+        modificationDate.as("md"), modifiedFallback.as("mf"))
+      .filter(ploneShouldExtractPdf(col("at_id"), col("md"), col("mf"),
+        lit("2026-08-15").cast("date"), pdfDaysLimit = 365))
+      .select(col("doc_id"), col("js"))
+    ploneAttachments(admitted, "js")
       .select("doc_id", "field", "filename", "content_type", "download_url")
       .orderBy("doc_id", "field")
   }

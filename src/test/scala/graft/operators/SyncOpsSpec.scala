@@ -243,6 +243,30 @@ class SyncOpsSpec extends SparkSpec {
       "the extract_pdf flag gates BOTH discovery paths")
   }
 
+  test("ploneShouldExtractPdf: skip URL, staleness boundary, date fallback") {
+    val now = lit("2026-08-15").cast("date")
+    val rows = Seq(
+      // (id, @id, modification_date, modified, expected)
+      (1L, SyncOps.PloneExtractSkipUrl, "2026-08-14T00:00:00", null, false), // hardcoded skip
+      (2L, "https://s.eu/d2", "2025-08-14T23:59:59", null, false), // 366 days: stale (> limit)
+      (3L, "https://s.eu/d3", "2025-08-15T00:00:01", null, true),  // exactly 365 days: kept (not >)
+      (4L, "https://s.eu/d4", null, "2026-08-01", true),           // fallback date, fresh
+      (5L, "https://s.eu/d5", null, "2024-08-01", false),          // fallback date, stale
+      (6L, "https://s.eu/d6", null, null, true),                   // no date: no staleness check
+      (7L, "https://s.eu/d7", "", null, true))                     // blank date: falsy, no check
+      .toDF("doc_id", "at_id", "md", "m", "expected")
+    val got = rows.withColumn("keep",
+      SyncOps.ploneShouldExtractPdf(col("at_id"), col("md"), col("m"), now, 365))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val want = rows.collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("expected"))).toMap
+    assert(got === want)
+    // pdf_days_limit = 0 disables the staleness branch entirely
+    val anyOld = Seq("x").toDF("x").select(SyncOps.ploneShouldExtractPdf(
+      lit("https://s.eu/x"), lit("2000-01-01T00:00:00"),
+      lit(null).cast("string"), now, 0).as("k")).collect()(0).getBoolean(0)
+    assert(anyOld, "limit 0 means no staleness gate (reference: `> 0` guard)")
+  }
+
   test("ploneAttachments composes with ploneSearch: attachments of admitted docs") {
     // the reference pipeline order: @search enumerates + admits docs,
     // extract_attachments then runs per admitted doc JSON — an admitted

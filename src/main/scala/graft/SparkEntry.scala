@@ -128,6 +128,7 @@ object SparkEntry {
     "contamination_check" -> (TextAnalysis.qContamination _),
     "ann_topk" -> (AnnOps.qAnnTopK _),
     "embed_quantize" -> (AnnOps.qEmbedQuantize _),
+    "embed_pq" -> (AnnOps.qEmbedPq _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "ann_ivf_index" -> (AnnOps.qAnnIvfIndex _),
@@ -290,6 +291,10 @@ object SparkEntry {
     // re-derived training/probe/rerank SQL.
     "ann_ivf_index" -> TwinHashSql.annIvf,
     "dedup_semantic" -> TwinHashSql.dedupSemantic,
+    // embed_pq: all eight per-subspace Euclidean Lloyd trainings re-run in
+    // SQL (sliced corpus, augmented-dot assignment key, ordered-fold means
+    // and error sums).
+    "embed_pq" -> TwinHashSql.embedPq,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical
     // to the codegen'd DotProduct/CosineSim loops).

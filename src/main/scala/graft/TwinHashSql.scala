@@ -672,8 +672,19 @@ $cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS
     * probed over 2000 random 64-vectors with zero mismatches, and the
     * green ann_topk / dedup_embedding twins rest on the same identity).
     */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+
+  /** Assignment SORT KEY against centroid `c`: plain max-dot for the IVF
+    * family (near-equal-norm corpus), or the EUCLIDEAN argmin for PQ —
+    * via the augmented form argmin‖x−c‖² = argmax(x·c − ‖c‖²/2), whose
+    * norm term is the same ascending left-fold sum the Spark side bakes
+    * into the augmented centroid (0.5 is a power of two: the multiply is
+    * exact on both engines).
+    */
+  private def assignKeySql(v: String, c: String, dim: Int, euclid: Boolean): String =
+    if (!euclid) dotSql(v, c, dim)
+    else s"(${dotSql(v, c, dim)} - 0.5 * list_sum(list_transform($c, x -> x * x)))"
 
   /** Lloyd-trained IVF quantizer re-derived in SQL — the twin of
     * `AnnOps.ivfCentroids` + `centroidArrays` (deterministic since the
@@ -692,7 +703,8 @@ $cte AS MATERIALIZED (SELECT *, ${toS64(xor64(s"${p}f4", s"${p}f4 // $M32"))} AS
     * from parquet footers), so one static twin serves every scale.
     */
   private def lloydCtes(cte: String, src: String, nlistSql: String,
-      iters: Int = 2, trainCap: Int = 100000): String = {
+      iters: Int = 2, trainCap: Int = 100000, dim: Int = 64,
+      euclid: Boolean = false): String = {
     val p = cte
     val hash = xxhashLongCte(s"${p}_h", src, "vec_id", s"${p}_hv")
     val seed =
@@ -706,7 +718,7 @@ ${p}_c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv
   SELECT vec_id, v, cid FROM (
     SELECT s.vec_id, s.v, c.cid,
       row_number() OVER (PARTITION BY s.vec_id
-        ORDER BY (-(${dotSql("s.v", "c.cv")}) + 0.0::DOUBLE) ASC, c.cid ASC) AS arn
+        ORDER BY (-(${assignKeySql("s.v", "c.cv", dim, euclid)}) + 0.0::DOUBLE) ASC, c.cid ASC) AS arn
     FROM ${p}_samp s CROSS JOIN ${p}_c${i - 1} c)
   WHERE arn = 1),
 ${p}_c$i AS MATERIALIZED (
@@ -715,7 +727,7 @@ ${p}_c$i AS MATERIALIZED (
       list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)), (acc, t) -> acc + t)
         / count(*) AS m
     FROM (SELECT cid, vec_id, t.i AS pos, v[t.i] AS x
-          FROM ${p}_a$i, unnest(range(1, 65)) AS t(i))
+          FROM ${p}_a$i, unnest(range(1, ${dim + 1})) AS t(i))
     GROUP BY cid, pos)
   GROUP BY cid)"""
     }
@@ -732,9 +744,10 @@ ${p}_c$i AS MATERIALIZED (
     * needed on the equality path). Emits CTEs ending in
     * `${cte}(vec_id, cid)`.
     */
-  private def assignCtes(cte: String, src: String, cents: String): String =
+  private def assignCtes(cte: String, src: String, cents: String,
+      dim: Int = 64, euclid: Boolean = false): String =
     s"""${cte}_d AS MATERIALIZED (
-  SELECT b.vec_id, c.cid, ${dotSql("b.v", "c.cv")} AS dt
+  SELECT b.vec_id, c.cid, ${assignKeySql("b.v", "c.cv", dim, euclid)} AS dt
   FROM $src b CROSS JOIN $cents c),
 ${cte}_m AS (SELECT vec_id, max(dt) AS md FROM ${cte}_d GROUP BY vec_id),
 $cte AS MATERIALIZED (
@@ -866,6 +879,44 @@ r AS (SELECT query_id, neighbor_id, cos_raw,
   FROM cand WHERE cos_raw IS NOT NULL)
 SELECT query_id, neighbor_id, "rank", floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
 FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+  }
+
+  /** Twin of `AnnOps.qEmbedPq` (m=8 subspaces of 8 dims, k=16 centroids
+    * each, iters=2): all eight per-subspace Lloyd trainings re-run in SQL
+    * over the SLICED corpus (DuckDB list slices are inclusive:
+    * v[lo:lo+7] is the 8-dim subvector), with the EUCLIDEAN assignment
+    * key (dot − 0.5·normsq — the twin of the Spark side's augmented-dot
+    * kernel form), then per-vector codes joined across subspaces and the
+    * squared reconstruction error folded per-dimension then per-subspace
+    * in the same left-to-left order as the Spark aggregate/reduce chain.
+    */
+  val embedPq: String = {
+    val m = 8; val sd = 8; val k = 16
+    val subs = (0 until m).map { s =>
+      val lo = s * sd + 1
+      s"""bs$s AS (SELECT vec_id, v[$lo:${lo + sd - 1}] AS v FROM base),
+${lloydCtes(s"pq$s", s"bs$s", k.toString, dim = sd, euclid = true)},
+${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = sd, euclid = true)}"""
+    }.mkString(",\n")
+    val codes = (0 until m).map(s => s"pa$s.cid").mkString(" || ',' || ")
+    val err = (0 until m).map { s =>
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> (bs$s.v[i] - c$s.cv[i]) * (bs$s.v[i] - c$s.cv[i])))"
+    }.mkString("(", "\n      + ", ")")
+    val joinSql = (0 until m).map { s =>
+      s"  JOIN pa$s ON pa$s.vec_id = b.vec_id\n" +
+      s"  JOIN pq${s}_cf c$s ON c$s.cid = pa$s.cid\n" +
+      s"  JOIN bs$s ON bs$s.vec_id = b.vec_id"
+    }.mkString("\n")
+    s"""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+$subs
+SELECT vec_id, codes, floor(recon_raw * 1000000.0 + 0.5) / 1000000.0 AS recon_sqerr
+FROM (
+  SELECT b.vec_id, $codes AS codes,
+    $err AS recon_raw
+  FROM base b
+$joinSql)
+ORDER BY vec_id"""
   }
 
   /** Twin of `DedupOps.qDedupSemantic` (planted corpus; TWO-LEVEL

@@ -288,6 +288,41 @@ class AnnOpsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("pqCodebooks: bit-deterministic, Euclidean assignment, codes in range") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      AnnOps.pqCodebooks(df).map(_.map(_.toSeq.map(java.lang.Double.doubleToRawLongBits)))
+    val base = bits(vecs)
+    assert(bits(vecs.repartition(3)) === base,
+      "PQ training must not move a bit under repartitioning")
+    val books = AnnOps.pqCodebooks(vecs)
+    val enc = AnnOps.pqReconError(AnnOps.pqEncode(vecs, books), books)
+    val rows = enc.select("vec_id", "pq_codes", "recon_sqerr").collect()
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)),
+      "every code addresses its 16-entry codebook")
+    assert(rows.forall(_.getDouble(2) >= 0.0), "squared error is non-negative")
+    // Euclidean, not max-dot: a vector equal to a NEGATED codebook entry
+    // must still pick the CLOSEST centroid, which max-dot would rank last.
+    val spark2 = spark
+    import spark2.implicits._
+    val c0 = books(0)(0) // first subspace, first centroid
+    val probe = Seq((1L, (c0 ++ Array.fill(56)(0.0)).toSeq)).toDF("vec_id", "v")
+    val code = AnnOps.pqEncode(probe, books).select("pq_codes")
+      .collect()(0).getSeq[Int](0)
+    assert(code(0) === 0, "a vector AT centroid 0 encodes to code 0 (L2 argmin)")
+  }
+
+  test("pqEncode gives identical codes to identical vectors (dedup-stable compression)") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val books = AnnOps.pqCodebooks(vecs)
+    val clone = vecs.filter(col("vec_id") === 3)
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
+    val both = AnnOps.pqEncode(vecs.unionByName(clone), books)
+      .filter(col("vec_id").isin(3L, 99999L))
+      .select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(both.length === 2 && both(0) === both(1))
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = AnnOps.hyperplanes(2, 4, 8)
     val b = AnnOps.hyperplanes(2, 4, 8)

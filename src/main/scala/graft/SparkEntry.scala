@@ -129,6 +129,7 @@ object SparkEntry {
     "ann_topk" -> (AnnOps.qAnnTopK _),
     "embed_quantize" -> (AnnOps.qEmbedQuantize _),
     "embed_pq" -> (AnnOps.qEmbedPq _),
+    "ann_pq" -> (AnnOps.qAnnPq _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "ann_ivf_index" -> (AnnOps.qAnnIvfIndex _),
@@ -295,6 +296,7 @@ object SparkEntry {
     // SQL (sliced corpus, augmented-dot assignment key, ordered-fold means
     // and error sums).
     "embed_pq" -> TwinHashSql.embedPq,
+    "ann_pq" -> TwinHashSql.annPq,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical
     // to the codegen'd DotProduct/CosineSim loops).

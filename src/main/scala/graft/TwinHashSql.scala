@@ -890,33 +890,75 @@ FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
     * squared reconstruction error folded per-dimension then per-subspace
     * in the same left-to-left order as the Spark aggregate/reduce chain.
     */
+  private val PqM = 8
+  private val PqSd = 8
+  private val PqK = 16
+
+  /** The 8 per-subspace PQ training + corpus-assignment CTE blocks,
+    * shared by [[embedPq]] and [[annPq]].
+    */
+  private def pqTrainCtes: String = (0 until PqM).map { s =>
+    val lo = s * PqSd + 1
+    s"""bs$s AS (SELECT vec_id, v[$lo:${lo + PqSd - 1}] AS v FROM base),
+${lloydCtes(s"pq$s", s"bs$s", PqK.toString, dim = PqSd, euclid = true)},
+${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = PqSd, euclid = true)}"""
+  }.mkString(",\n")
+
+  /** Per-vector joins fetching each subspace's code + chosen centroid. */
+  private def pqJoinSql: String = (0 until PqM).map { s =>
+    s"  JOIN pa$s ON pa$s.vec_id = b.vec_id\n" +
+    s"  JOIN pq${s}_cf c$s ON c$s.cid = pa$s.cid"
+  }.mkString("\n")
+
   val embedPq: String = {
-    val m = 8; val sd = 8; val k = 16
-    val subs = (0 until m).map { s =>
-      val lo = s * sd + 1
-      s"""bs$s AS (SELECT vec_id, v[$lo:${lo + sd - 1}] AS v FROM base),
-${lloydCtes(s"pq$s", s"bs$s", k.toString, dim = sd, euclid = true)},
-${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = sd, euclid = true)}"""
-    }.mkString(",\n")
-    val codes = (0 until m).map(s => s"pa$s.cid").mkString(" || ',' || ")
-    val err = (0 until m).map { s =>
-      s"list_sum(list_transform(range(1, ${sd + 1}), i -> (bs$s.v[i] - c$s.cv[i]) * (bs$s.v[i] - c$s.cv[i])))"
+    val codes = (0 until PqM).map(s => s"pa$s.cid").mkString(" || ',' || ")
+    val err = (0 until PqM).map { s =>
+      s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> (bs$s.v[i] - c$s.cv[i]) * (bs$s.v[i] - c$s.cv[i])))"
     }.mkString("(", "\n      + ", ")")
-    val joinSql = (0 until m).map { s =>
-      s"  JOIN pa$s ON pa$s.vec_id = b.vec_id\n" +
-      s"  JOIN pq${s}_cf c$s ON c$s.cid = pa$s.cid\n" +
-      s"  JOIN bs$s ON bs$s.vec_id = b.vec_id"
-    }.mkString("\n")
+    val bsJoins = (0 until PqM)
+      .map(s => s"  JOIN bs$s ON bs$s.vec_id = b.vec_id").mkString("\n")
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-$subs
+$pqTrainCtes
 SELECT vec_id, codes, floor(recon_raw * 1000000.0 + 0.5) / 1000000.0 AS recon_sqerr
 FROM (
   SELECT b.vec_id, $codes AS codes,
     $err AS recon_raw
   FROM base b
-$joinSql)
+$pqJoinSql
+$bsJoins)
 ORDER BY vec_id"""
+  }
+
+  /** Twin of `AnnOps.qAnnPq` (ADC top-10 over the m=8 × k=16 codes,
+    * queries = vec_id % 100 = 0): the same 8 trainings + assignments as
+    * [[embedPq]], then per (query, candidate) the m-term reconstruction
+    * inner product — each term the 8-dim left-fold dot of the query
+    * sub-slice against the CHOSEN centroid, summed left-to-right exactly
+    * like the Spark expression chain — ranked per query with −0.0
+    * normalized and the neighbor_id tie-break.
+    */
+  val annPq: String = {
+    val adc = (0 until PqM).map { s =>
+      val off = s * PqSd
+      s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> q.qv[$off + i] * c$s.cv[i]))"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+$pqTrainCtes,
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0 /*GRAFT_QUERY_SAMPLE*/),
+scored AS MATERIALIZED (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    ($adc + 0.0::DOUBLE) AS adc_raw
+  FROM base b
+$pqJoinSql
+  CROSS JOIN q
+  WHERE b.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, adc_raw,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_raw DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", floor(adc_raw * 1000000.0 + 0.5) / 1000000.0 AS adc_score
+FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   }
 
   /** Twin of `DedupOps.qDedupSemantic` (planted corpus; TWO-LEVEL

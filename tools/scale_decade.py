@@ -80,6 +80,10 @@ def main():
             "ann_topk": "declared exact brute-force baseline: its cost is "
                         "the quadratic definition, not a plan property; the "
                         "scale paths ann_lsh/ann_ivf are in the set",
+            "ann_pq": "declared compressed exhaustive baseline (queries x "
+                      "codes by definition, like ann_topk on a 16x lighter "
+                      "scan); its scale path is composing the two-level IVF "
+                      "probe with ADC over probed cells only (IVF-PQ)",
             "dedup_embedding": "declared sf-small exact baseline (SURVEY); "
                                "its scale path dedup_semantic is in the set"},
     }

@@ -130,6 +130,7 @@ object SparkEntry {
     "embed_quantize" -> (AnnOps.qEmbedQuantize _),
     "embed_pq" -> (AnnOps.qEmbedPq _),
     "ann_pq" -> (AnnOps.qAnnPq _),
+    "ann_ivfpq" -> (AnnOps.qAnnIvfPq _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "ann_ivf_index" -> (AnnOps.qAnnIvfIndex _),
@@ -297,6 +298,7 @@ object SparkEntry {
     // and error sums).
     "embed_pq" -> TwinHashSql.embedPq,
     "ann_pq" -> TwinHashSql.annPq,
+    "ann_ivfpq" -> TwinHashSql.annIvfPq,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical
     // to the codegen'd DotProduct/CosineSim loops).

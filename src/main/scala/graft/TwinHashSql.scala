@@ -905,10 +905,19 @@ ${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = PqSd, euclid = true)}"""
   }.mkString(",\n")
 
   /** Per-vector joins fetching each subspace's code + chosen centroid. */
-  private def pqJoinSql: String = (0 until PqM).map { s =>
-    s"  JOIN pa$s ON pa$s.vec_id = b.vec_id\n" +
+  private def pqJoinSql(vecExpr: String = "b.vec_id"): String = (0 until PqM).map { s =>
+    s"  JOIN pa$s ON pa$s.vec_id = $vecExpr\n" +
     s"  JOIN pq${s}_cf c$s ON c$s.cid = pa$s.cid"
   }.mkString("\n")
+
+  /** The m-term ADC reconstruction inner product of query column `qv`
+    * against the joined chosen centroids — left-assoc sum of 8-dim
+    * left-fold dots, the twin of the Spark expression chain.
+    */
+  private def pqAdcSql(qv: String): String = (0 until PqM).map { s =>
+    val off = s * PqSd
+    s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> $qv[$off + i] * c$s.cv[i]))"
+  }.mkString("(", "\n      + ", ")")
 
   val embedPq: String = {
     val codes = (0 until PqM).map(s => s"pa$s.cid").mkString(" || ',' || ")
@@ -925,7 +934,7 @@ FROM (
   SELECT b.vec_id, $codes AS codes,
     $err AS recon_raw
   FROM base b
-$pqJoinSql
+${pqJoinSql()}
 $bsJoins)
 ORDER BY vec_id"""
   }
@@ -939,10 +948,7 @@ ORDER BY vec_id"""
     * normalized and the neighbor_id tie-break.
     */
   val annPq: String = {
-    val adc = (0 until PqM).map { s =>
-      val off = s * PqSd
-      s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> q.qv[$off + i] * c$s.cv[i]))"
-    }.mkString("(", "\n      + ", ")")
+    val adc = pqAdcSql("q.qv")
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 $pqTrainCtes,
@@ -951,9 +957,56 @@ scored AS MATERIALIZED (
   SELECT q.query_id, b.vec_id AS neighbor_id,
     ($adc + 0.0::DOUBLE) AS adc_raw
   FROM base b
-$pqJoinSql
+${pqJoinSql()}
   CROSS JOIN q
   WHERE b.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, adc_raw,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_raw DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", floor(adc_raw * 1000000.0 + 0.5) / 1000000.0 AS adc_score
+FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+  }
+
+  /** Twin of `AnnOps.qAnnIvfPq` — the IVF-PQ composition re-derived
+    * whole: the two-level quantizer training + corpus assignment (the
+    * same CTEs as [[annIvf]]), ALL EIGHT PQ codebook trainings + code
+    * assignments (the same CTEs as [[embedPq]]/[[annPq]]), the coarse+
+    * fine probe, and the ADC reconstruction inner product computed ONLY
+    * for vectors in probed cells — candidate generation by cells, scoring
+    * by codes, exactly the Spark plan.
+    */
+  val annIvfPq: String = {
+    s"""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+prm AS (SELECT greatest(4, least(512, (count(*) + 1023) // 1024)) AS nc,
+        greatest(8, greatest(4, least(512, (count(*) + 1023) // 1024)) // 4) AS cp
+        FROM base),
+${lloydCtes("lv", "base", "SELECT nc FROM prm")},
+${assignCtes("asn", "base", "lv_cf")},
+${twoLevelCtes("tl", "base", "lv", "asn", target = 100)},
+$pqTrainCtes,
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0 /*GRAFT_QUERY_SAMPLE*/),
+prg AS MATERIALIZED (
+  SELECT query_id, gcid, qv FROM (
+    SELECT q.query_id, g.cid AS gcid, q.qv,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY (${dotSql("q.qv", "g.cv")} + 0.0::DOUBLE) DESC, g.cid ASC) AS prn
+    FROM q CROSS JOIN lv_cf g)
+  WHERE prn <= (SELECT cp FROM prm)),
+prf AS MATERIALIZED (
+  SELECT query_id, gcid, fcid, qv FROM (
+    SELECT p.query_id, f.gcid, f.fcid, p.qv,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY (${dotSql("p.qv", "f.cv")} + 0.0::DOUBLE) DESC, f.gcid ASC, f.fcid ASC) AS frn
+    FROM prg p JOIN tl_all f ON f.gcid = p.gcid)
+  WHERE frn <= 16),
+scored AS MATERIALIZED (
+  SELECT pr.query_id, a.vec_id AS neighbor_id,
+    (${pqAdcSql("pr.qv")} + 0.0::DOUBLE) AS adc_raw
+  FROM prf pr
+  JOIN tl_asn a ON a.gcid = pr.gcid AND a.fcid = pr.fcid
+${pqJoinSql("a.vec_id")}
+  WHERE a.vec_id <> pr.query_id),
 r AS (SELECT query_id, neighbor_id, adc_raw,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_raw DESC, neighbor_id) AS BIGINT) AS "rank"
   FROM scored)

@@ -328,6 +328,38 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ-ADC recall $recall below 0.2")
   }
 
+  test("ivfpqTopK: probed-cells-only ADC agrees with full ADC on shared candidates") {
+    // The IVF-PQ contract: candidate generation narrows to probed cells,
+    // scoring is IDENTICAL to the exhaustive ADC — so every (query,
+    // neighbor) the composed path returns must carry the exact score the
+    // full scan assigns it, and an identical planted vector (same cell,
+    // same codes) must still surface at rank 1.
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val n = vecs.count()
+    val idx = AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget)
+    val books = AnnOps.pqCodebooks(vecs)
+    val composed = AnnOps.ivfpqTopK(vecs, queries, k = 10, idx, books,
+      AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val full = AnnOps.pqAdcTopK(AnnOps.pqEncode(vecs, books), queries, books, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(composed.nonEmpty)
+    composed.foreach { case (pair, score) =>
+      assert(full.get(pair).contains(score),
+        s"composed score for $pair must equal the exhaustive ADC score")
+    }
+    val clone = vecs.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("label"), col("v"))
+    val all = vecs.unionByName(clone)
+    val idx2 = AnnOps.ivf2Train(all, n + 1, AnnOps.IvfCellTarget)
+    val books2 = AnnOps.pqCodebooks(all)
+    val hit = AnnOps.ivfpqTopK(all, clone, k = 1, idx2, books2,
+      cprobe = 1, nprobeF = 1).collect()
+    assert(hit.length === 1 && hit(0).getAs[Long]("neighbor_id") === 0L,
+      "an identical vector shares cell AND codes — rank 1 even at nprobeF=1")
+  }
+
   test("pqEncode gives identical codes to identical vectors (dedup-stable compression)") {
     val vecs = AnnOps.corpus(spark, sfDir)
     val books = AnnOps.pqCodebooks(vecs)

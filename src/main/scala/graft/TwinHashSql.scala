@@ -952,7 +952,8 @@ ORDER BY vec_id"""
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 $pqTrainCtes,
-q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0 /*GRAFT_QUERY_SAMPLE*/),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base
+      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
 scored AS MATERIALIZED (
   SELECT q.query_id, b.vec_id AS neighbor_id,
     ($adc + 0.0::DOUBLE) AS adc_raw

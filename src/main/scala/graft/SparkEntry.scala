@@ -1070,9 +1070,11 @@ object SparkEntry {
         |         WHEN doc_id % 4 = 2 THEN 'text/html'
         |         ELSE 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
         |         END AS ct,
-        |    CASE WHEN doc_id % 3 = 0 THEN '2024-01-0' || (doc_id % 9 + 1) || 'T12:30:00'
-        |         WHEN doc_id % 3 = 1 THEN '2026-07-0' || (doc_id % 9 + 1) || 'T00:10:00'
-        |         WHEN doc_id % 6 = 2 THEN '2026-08-01' END AS mod_str
+        |    CASE WHEN doc_id % 13 = 3 THEN '2024-01-0' || (doc_id % 9 + 1) || 'T12:30:00'
+        |         WHEN doc_id % 13 = 6 THEN '2026-08-01'
+        |         WHEN doc_id % 13 = 8 THEN '2024-02-03T08:00:00'
+        |         WHEN doc_id % 13 = 5 THEN NULL
+        |         ELSE '2026-07-0' || (doc_id % 9 + 1) || 'T00:10:00' END AS mod_str
         |  FROM documents),
         |d2 AS (
         |  SELECT *,

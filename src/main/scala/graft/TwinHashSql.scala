@@ -1016,7 +1016,7 @@ FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   }
 
   /** Twin of `DedupOps.qDedupSemantic` (planted corpus; TWO-LEVEL
-    * quantizer with coarse count nc = clamp(32, 512, ⌈n̂/1024⌉) where n̂
+    * quantizer with coarse count nc = clamp(4, 512, ⌈n̂/1024⌉) where n̂
     * is the SAME integer estimate the Spark side derives from parquet
     * footers — (count(*) × 12) // 11 over the base table, so a clamp
     * boundary can never split the engines — and fine counts from the

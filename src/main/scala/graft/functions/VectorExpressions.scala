@@ -101,9 +101,12 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
   * the IVF assignment kernel. Semantically identical to the composed form
   * `array_position(dots, array_max(dots)) - 1` over per-centroid
   * [[DotProduct]]s (max under Spark's NaN-greatest ordering, then the
-  * FIRST index whose dot EQUALS the max — `==`, where ±0.0 compare equal,
-  * so the id tie-break matches the DuckDB twin's `d.dt = m.md`; an
-  * all-NaN row degenerates to −1 exactly like `array_position`'s 0−1).
+  * FIRST index attaining it; ±0.0 compare equal so the tie falls to the
+  * lower id, matching the DuckDB twin's `d.dt = m.md`). The best index is
+  * tracked INSIDE the max loop with the same NaN-greatest comparison — a
+  * NaN max returns the first NaN's position, exactly like Spark SQL's
+  * `array_position` (NaN = NaN is true in both Spark and DuckDB), never a
+  * −1 that would poison a downstream `element_at(..., 0)`.
   *
   * Exists because the composed form is a tree of nlist × dim literal
   * nodes: fine at nlist ≤ 64, but at the corpus-sized cell counts the
@@ -134,15 +137,14 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       j += 1
     }
     var mx = dots(0)
+    var best = 0
     j = 1
     while (j < dots.length) {
       val d = dots(j)
-      if (java.lang.Double.isNaN(d) || (!java.lang.Double.isNaN(mx) && d > mx)) mx = d
+      if (!java.lang.Double.isNaN(mx) && (java.lang.Double.isNaN(d) || d > mx)) { mx = d; best = j }
       j += 1
     }
-    j = 0
-    while (j < dots.length) { if (dots(j) == mx) return j; j += 1 }
-    -1
+    best
   }
 
   override def nullSafeEval(v: Any): Any =
@@ -169,13 +171,10 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
          |  $dots[$j] = $d;
          |}
          |double $mx = $dots[0];
+         |int $best = 0;
          |for (int $j = 1; $j < $dots.length; $j++) {
          |  double $d = $dots[$j];
-         |  if (java.lang.Double.isNaN($d) || (!java.lang.Double.isNaN($mx) && $d > $mx)) $mx = $d;
-         |}
-         |int $best = -1;
-         |for (int $j = 0; $j < $dots.length; $j++) {
-         |  if ($dots[$j] == $mx) { $best = $j; break; }
+         |  if (!java.lang.Double.isNaN($mx) && (java.lang.Double.isNaN($d) || $d > $mx)) { $mx = $d; $best = $j; }
          |}
          |${ev.value} = $best;
        """.stripMargin
@@ -190,8 +189,9 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
   * as a COLUMN (`array<array<double>>`) — the fine-assignment kernel of the
   * two-level IVF quantizer. Same argmax/tie semantics as the literal-matrix
   * [[NearestCentroid]] (max dot under NaN-greatest, FIRST position attaining
-  * it, `==` so ±0.0 ties fall to the position order — the DuckDB twin's
-  * min-fcid-at-max-dot), but the matrix is data: one row per coarse cell in
+  * it — tracked inside the max loop, so a NaN max yields the first NaN's
+  * position rather than −1; ±0.0 ties fall to the position order — the
+  * DuckDB twin's min-fcid-at-max-dot), but the matrix is data: one row per coarse cell in
   * a broadcast fine-centroid table, so assignment is a broadcast join plus
   * this projection — never an nlist×dim literal tree, never a shuffle. The
   * inner loops read the matrix through `ArrayData.getDouble` (no
@@ -226,15 +226,14 @@ case class NearestCentroidDyn(left: Expression, right: Expression)
       j += 1
     }
     var mx = dots(0)
+    var best = 0
     j = 1
     while (j < dots.length) {
       val d = dots(j)
-      if (java.lang.Double.isNaN(d) || (!java.lang.Double.isNaN(mx) && d > mx)) mx = d
+      if (!java.lang.Double.isNaN(mx) && (java.lang.Double.isNaN(d) || d > mx)) { mx = d; best = j }
       j += 1
     }
-    j = 0
-    while (j < dots.length) { if (dots(j) == mx) return j; j += 1 }
-    -1
+    best
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -258,12 +257,10 @@ case class NearestCentroidDyn(left: Expression, right: Expression)
          |    $dots[$j] = $d;
          |  }
          |  double $mx = $dots[0];
+         |  $best = 0;
          |  for (int $j = 1; $j < $rows; $j++) {
          |    double $d = $dots[$j];
-         |    if (java.lang.Double.isNaN($d) || (!java.lang.Double.isNaN($mx) && $d > $mx)) $mx = $d;
-         |  }
-         |  for (int $j = 0; $j < $rows; $j++) {
-         |    if ($dots[$j] == $mx) { $best = $j; break; }
+         |    if (!java.lang.Double.isNaN($mx) && (java.lang.Double.isNaN($d) || $d > $mx)) { $mx = $d; $best = $j; }
          |  }
          |}
          |${ev.value} = $best;

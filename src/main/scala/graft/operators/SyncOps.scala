@@ -772,9 +772,11 @@ object SyncOps {
     * near-miss field missing `filename` (never extracted), every 7th
     * doc a report_pdf whose items hold one File and one non-File child,
     * and the should_extract_pdf gate (pdf_days_limit = 365 against a
-    * pinned now of 2026-08-15: every 3rd doc stale-dated and skipped,
-    * every 11th carrying the hardcoded skip URL, modification_date
-    * falling back to modified). The DuckDB oracle restates the expected
+    * pinned now of 2026-08-15: doc_id%13==3 stale-dated and skipped —
+    * a residue class DISJOINT from the %3 host classes, so fresh
+    * main-host docs carry the at_download swap all the way into the
+    * output; %13==8 stale via the `modified` fallback; every 11th doc
+    * carrying the hardcoded skip URL). The DuckDB oracle restates the expected
     * rows from the same doc_id arithmetic — field typing, content-type
     * gate, date staleness, and the full replace/split/endswith URL
     * algebra.
@@ -785,14 +787,22 @@ object SyncOps {
       .when(id % 3 === 0, concat(lit("https://www.eea.europa.eu/x/doc"), id))
       .when(id % 3 === 1, concat(lit("https://www.eea.europa.eu/en/doc"), id))
       .otherwise(concat(lit("https://other.site/doc"), id))
-    // dates for the staleness gate vs the pinned now (2026-08-15):
-    // %3==0 stale (2024), %3==1 fresh (2026-07), %3==2 no
-    // modification_date — %6==2 falls back to a fresh `modified`,
-    // %6==5 has no date at all (no staleness check)
+    // dates for the staleness gate vs the pinned now (2026-08-15),
+    // DECOUPLED from the %3 host modulus so the at_download swap and the
+    // pdfStatic exemption both survive into the output on fresh main-host
+    // docs: %13==3 stale 2024 modification_date (removed — and %91==42
+    // hits report_pdf docs, so the gate is exercised on BOTH paths),
+    // %13==5 no date at all (no staleness check), %13==6 no
+    // modification_date with a fresh `modified` fallback, %13==8 no
+    // modification_date with a STALE fallback (removed via the coalesce),
+    // everything else fresh 2026-07
     val modificationDate =
-      when(id % 3 === 0, concat(lit("2024-01-0"), id % 9 + 1, lit("T12:30:00")))
-        .when(id % 3 === 1, concat(lit("2026-07-0"), id % 9 + 1, lit("T00:10:00")))
-    val modifiedFallback = when(id % 6 === 2, lit("2026-08-01"))
+      when(id % 13 === 3, concat(lit("2024-01-0"), id % 9 + 1, lit("T12:30:00")))
+        .when(id % 13 === 5 || id % 13 === 6 || id % 13 === 8,
+          lit(null).cast("string"))
+        .otherwise(concat(lit("2026-07-0"), id % 9 + 1, lit("T00:10:00")))
+    val modifiedFallback = when(id % 13 === 6, lit("2026-08-01"))
+      .when(id % 13 === 8, lit("2024-02-03T08:00:00"))
     val ct = when(id % 4 === 0, lit("application/pdf"))
       .when(id % 4 === 1, lit("application/msword"))
       .when(id % 4 === 2, lit("text/html"))

@@ -267,6 +267,24 @@ class SyncOpsSpec extends SparkSpec {
     assert(anyOld, "limit 0 means no staleness gate (reference: `> 0` guard)")
   }
 
+  test("qPloneAttachments exercises every URL-swap branch non-vacuously") {
+    // the staleness residue (%13) is disjoint from the host residue (%3),
+    // so the differential must carry surviving rows for: the at_download
+    // swap on fresh main-host docs, the pdfStatic exemption, the /en/
+    // no-swap tree, and the foreign host — a vacuous 0=0 branch here
+    // would let the oracle agree without testing the algebra
+    val got = SyncOps.qPloneAttachments(spark, sfDir)
+      .select("download_url").collect().map(_.getString(0))
+    assert(got.exists(u => u.contains("www.eea.europa.eu") && u.contains("/at_download/")),
+      "swap branch must survive the staleness gate")
+    assert(got.exists(u => u.contains("www.eea.europa.eu") &&
+      u.endsWith("@@download/pdfStatic")), "pdfStatic exemption must survive")
+    assert(got.exists(u => u.contains("/en/") && u.contains("@@download")),
+      "/en/ tree no-swap rows must survive")
+    assert(got.exists(u => u.startsWith("https://other.site/") && u.contains("@@download")),
+      "foreign-host no-swap rows must survive")
+  }
+
   test("ploneAttachments composes with ploneSearch: attachments of admitted docs") {
     // the reference pipeline order: @search enumerates + admits docs,
     // extract_attachments then runs per admitted doc JSON — an admitted

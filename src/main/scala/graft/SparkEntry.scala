@@ -131,6 +131,7 @@ object SparkEntry {
     "embed_pq" -> (AnnOps.qEmbedPq _),
     "ann_pq" -> (AnnOps.qAnnPq _),
     "ann_ivfpq" -> (AnnOps.qAnnIvfPq _),
+    "ann_ivfpq_index" -> (AnnOps.qAnnIvfPqIndex _),
     "ann_lsh" -> (AnnOps.qAnnLsh _),
     "ann_ivf" -> (AnnOps.qAnnIvf _),
     "ann_ivf_index" -> (AnnOps.qAnnIvfIndex _),
@@ -299,6 +300,11 @@ object SparkEntry {
     "embed_pq" -> TwinHashSql.embedPq,
     "ann_pq" -> TwinHashSql.annPq,
     "ann_ivfpq" -> TwinHashSql.annIvfPq,
+    // Same twin as ann_ivfpq: the persisted IVF-PQ index (coded inverted
+    // cells + codebook parquet + DPP probe) is bit-equal to the in-memory
+    // composition by construction — the gate adjudicates the production
+    // layout round-trip against the same re-derived residual-PQ SQL.
+    "ann_ivfpq_index" -> TwinHashSql.annIvfPq,
     // Stub-embedding tier: the deterministic xxhash64 encoder re-derived
     // component by component, sums as ordered left folds (bit-identical
     // to the codegen'd DotProduct/CosineSim loops).

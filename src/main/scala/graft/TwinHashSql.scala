@@ -895,11 +895,12 @@ FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   private val PqK = 16
 
   /** The 8 per-subspace PQ training + corpus-assignment CTE blocks,
-    * shared by [[embedPq]] and [[annPq]].
+    * shared by [[embedPq]] and [[annPq]] (raw vectors, src = base) and
+    * [[annIvfPq]] (RESIDUAL vectors, src = rbase).
     */
-  private def pqTrainCtes: String = (0 until PqM).map { s =>
+  private def pqTrainCtes(src: String = "base"): String = (0 until PqM).map { s =>
     val lo = s * PqSd + 1
-    s"""bs$s AS (SELECT vec_id, v[$lo:${lo + PqSd - 1}] AS v FROM base),
+    s"""bs$s AS (SELECT vec_id, v[$lo:${lo + PqSd - 1}] AS v FROM $src),
 ${lloydCtes(s"pq$s", s"bs$s", PqK.toString, dim = PqSd, euclid = true)},
 ${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = PqSd, euclid = true)}"""
   }.mkString(",\n")
@@ -912,12 +913,16 @@ ${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = PqSd, euclid = true)}"""
 
   /** The m-term ADC reconstruction inner product of query column `qv`
     * against the joined chosen centroids — left-assoc sum of 8-dim
-    * left-fold dots, the twin of the Spark expression chain.
+    * left-fold dots, the twin of the Spark expression chain. `lead`
+    * prepends extra terms INSIDE the left-assoc chain (the residual
+    * form's q·c_fine — the Spark side folds it first, so the SQL must
+    * too: IEEE addition is order-sensitive).
     */
-  private def pqAdcSql(qv: String): String = (0 until PqM).map { s =>
-    val off = s * PqSd
-    s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> $qv[$off + i] * c$s.cv[i]))"
-  }.mkString("(", "\n      + ", ")")
+  private def pqAdcSql(qv: String, lead: Seq[String] = Nil): String =
+    (lead ++ (0 until PqM).map { s =>
+      val off = s * PqSd
+      s"list_sum(list_transform(range(1, ${PqSd + 1}), i -> $qv[$off + i] * c$s.cv[i]))"
+    }).mkString("(", "\n      + ", ")")
 
   val embedPq: String = {
     val codes = (0 until PqM).map(s => s"pa$s.cid").mkString(" || ',' || ")
@@ -928,7 +933,7 @@ ${assignCtes(s"pa$s", s"bs$s", s"pq${s}_cf", dim = PqSd, euclid = true)}"""
       .map(s => s"  JOIN bs$s ON bs$s.vec_id = b.vec_id").mkString("\n")
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-$pqTrainCtes
+${pqTrainCtes()}
 SELECT vec_id, codes, floor(recon_raw * 1000000.0 + 0.5) / 1000000.0 AS recon_sqerr
 FROM (
   SELECT b.vec_id, $codes AS codes,
@@ -951,7 +956,7 @@ ORDER BY vec_id"""
     val adc = pqAdcSql("q.qv")
     s"""WITH base AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-$pqTrainCtes,
+${pqTrainCtes()},
 q AS (SELECT vec_id AS query_id, v AS qv FROM base
       WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
 scored AS MATERIALIZED (
@@ -970,11 +975,15 @@ FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
 
   /** Twin of `AnnOps.qAnnIvfPq` — the IVF-PQ composition re-derived
     * whole: the two-level quantizer training + corpus assignment (the
-    * same CTEs as [[annIvf]]), ALL EIGHT PQ codebook trainings + code
-    * assignments (the same CTEs as [[embedPq]]/[[annPq]]), the coarse+
-    * fine probe, and the ADC reconstruction inner product computed ONLY
-    * for vectors in probed cells — candidate generation by cells, scoring
-    * by codes, exactly the Spark plan.
+    * same CTEs as [[annIvf]]), the RESIDUAL corpus r = x − c_fine(x)
+    * (one list_transform subtraction over the joined fine centroid —
+    * Jégou 2011 §IV), ALL EIGHT PQ codebook trainings + code assignments
+    * over the residuals (the same CTE emitters as [[embedPq]]/[[annPq]],
+    * src = rbase), the coarse+fine probe carrying the probed fine
+    * centroid, and the ADC score q·c_fine + q·r̂ computed ONLY for
+    * vectors in probed cells — the q·c_fine dot leads the left-assoc
+    * term chain exactly like the Spark fold. Candidate generation by
+    * cells, scoring by codes, exactly the Spark plan.
     */
   val annIvfPq: String = {
     s"""WITH base AS (SELECT vec_id,
@@ -985,7 +994,11 @@ prm AS (SELECT greatest(4, least(512, (count(*) + 1023) // 1024)) AS nc,
 ${lloydCtes("lv", "base", "SELECT nc FROM prm")},
 ${assignCtes("asn", "base", "lv_cf")},
 ${twoLevelCtes("tl", "base", "lv", "asn", target = 100)},
-$pqTrainCtes,
+rbase AS MATERIALIZED (
+  SELECT b.vec_id, list_transform(range(1, 65), i -> b.v[i] - f.cv[i]) AS v
+  FROM base b JOIN tl_asn a ON a.vec_id = b.vec_id
+  JOIN tl_all f ON f.gcid = a.gcid AND f.fcid = a.fcid),
+${pqTrainCtes("rbase")},
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0 /*GRAFT_QUERY_SAMPLE*/),
 prg AS MATERIALIZED (
   SELECT query_id, gcid, qv FROM (
@@ -995,15 +1008,15 @@ prg AS MATERIALIZED (
     FROM q CROSS JOIN lv_cf g)
   WHERE prn <= (SELECT cp FROM prm)),
 prf AS MATERIALIZED (
-  SELECT query_id, gcid, fcid, qv FROM (
-    SELECT p.query_id, f.gcid, f.fcid, p.qv,
+  SELECT query_id, gcid, fcid, qv, fcv FROM (
+    SELECT p.query_id, f.gcid, f.fcid, p.qv, f.cv AS fcv,
       row_number() OVER (PARTITION BY p.query_id
         ORDER BY (${dotSql("p.qv", "f.cv")} + 0.0::DOUBLE) DESC, f.gcid ASC, f.fcid ASC) AS frn
     FROM prg p JOIN tl_all f ON f.gcid = p.gcid)
   WHERE frn <= 16),
 scored AS MATERIALIZED (
   SELECT pr.query_id, a.vec_id AS neighbor_id,
-    (${pqAdcSql("pr.qv")} + 0.0::DOUBLE) AS adc_raw
+    (${pqAdcSql("pr.qv", Seq(dotSql("pr.qv", "pr.fcv")))} + 0.0::DOUBLE) AS adc_raw
   FROM prf pr
   JOIN tl_asn a ON a.gcid = pr.gcid AND a.fcid = pr.fcid
 ${pqJoinSql("a.vec_id")}

@@ -97,6 +97,52 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise difference of two double arrays (length = min of the two) —
+  * the residual kernel of the IVF-PQ family (r = x − c_fine(x), Jégou et
+  * al. 2011 §IV). A plain `zip_with` computes the same doubles but
+  * interpreted (boxed element hops); this stays inside whole-stage
+  * codegen. The DuckDB twin is `list_transform(range(1, d+1),
+  * i -> a[i] - b[i])` — the identical per-index IEEE subtraction.
+  */
+case class VectorSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"expects two array<double> args, got $l and $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = xs(i) - ys(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |double[] $ys = $b.toDoubleArray();
+         |int $n = java.lang.Math.min($xs.length, $ys.length);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $xs[$i] - $ys[$i]; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Nearest-centroid id of a vector against a LITERAL centroid matrix —
   * the IVF assignment kernel. Semantically identical to the composed form
   * `array_position(dots, array_max(dots)) - 1` over per-centroid
@@ -279,6 +325,10 @@ object VectorFns {
   /** Codegen'd cosine similarity of two `array<double>` columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd elementwise difference of two `array<double>` columns. */
+  def vector_sub(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VectorSub(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Codegen'd nearest-centroid id of an `array<double>` column against a
     * literal centroid matrix (see [[NearestCentroid]]).

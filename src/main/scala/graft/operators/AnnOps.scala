@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   * the corpus — one pass over the vectors, no corpus shuffle, top-k per query
   * via a bounded window. Exact but linear in |corpus|×|queries|.
   *
-  * `lshTopK` is the scale path: seeded random-hyperplane signatures put each
-  * vector into `tables` × 2^`bits` buckets; candidates are generated by ONE
-  * equi-join shuffle on (table, bucket) and only candidates get the exact
-  * cosine rerank. At 100 TB the corpus never cross-joins anything.
+  * `ivfpqTopK` (+ the persisted `ivfpqSaveIndex`/`ivfpqQueryIndex` pair) is
+  * the 100 TB path — the FAISS-IndexIVFPQ layout: two-level IVF routing,
+  * residual PQ codes in the inverted cells, fixed candidate volume per
+  * query, DPP-pruned code-only scans. `lshTopK` is the hyperplane
+  * ALTERNATIVE (data-independent hashing — no training pass, no quantizer
+  * to go stale under drift): candidates from ONE equi-join shuffle on
+  * (table, bucket) with query-side multiprobe; its recall floor is
+  * per-scale (see `annLshFloor` — probed hash-space mass decays with the
+  * corpus-sized width, measured 0.82 at the 15-bit third decade vs ≥ 0.9
+  * through 13 bits).
   *
   * All similarity math runs through the codegen'd `CosineSim`/`DotProduct`
   * expressions (graft.functions.VectorExpressions) — primitive loops, no
@@ -110,6 +116,18 @@ object AnnOps {
     math.max(5, math.min(LshMaxBits, ceilLog2(m)))
   }
 
+  /** The recall@10 floor ann_lsh publishes AT a given corpus-sized width —
+    * per-scale, because the three-ring probed hash-space mass
+    * (1 + b + C(b,2) + C(b,3)) / 2^b decays with the width b: measured
+    * 1.0 / 0.94 / 0.95 through b ≤ 13 (floor 0.9), but 0.823 at the
+    * b = 15 third decade (floor 0.8) — holding mass constant there would
+    * need a fourth ring that multiplies the probe join ~3× on top of an
+    * already 96 s family wall, and the production scale path is
+    * [[ivfpqTopK]], not wider LSH probes. `graft.Recall` enforces these
+    * floors (exits non-zero on a miss at the scale it ran).
+    */
+  def annLshFloor(bits: Int): Double = if (bits >= 14) 0.8 else 0.9
+
   /** Bucket id of one table = the `bits` sign bits of the hyperplane
     * projections, folded into a long. Pure expression tree (codegen'd).
     */
@@ -134,7 +152,10 @@ object AnnOps {
     * which is what makes recall tunable without touching 100 TB of corpus.
     * Exact cosine rerank on candidates; recall vs `bruteTopK` is
     * spec-tested and trended in RECALL.json / RECALL_sf*.json at the
-    * registered corpus-sized width.
+    * registered corpus-sized width, against the PER-SCALE floors of
+    * [[annLshFloor]] (three rings hold ≥ 0.9 through 13 bits; at wider
+    * corpus-sized widths the probed mass keeps shrinking and the floor
+    * steps to 0.8 — the 100 TB path is [[ivfpqTopK]]).
     */
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 5, dim: Int = 64): DataFrame = {
@@ -147,12 +168,17 @@ object AnnOps {
           .as(Seq("table", "bucket")))
     // Probe rings: the identity bucket, every 1- and 2-bit flip, and —
     // once the corpus-sized width reaches 10 bits — every 3-bit flip.
-    // The third ring is the width-compensation the sf1 (×10) recall
-    // sweep demanded: probed hash-space mass per table is
-    // (1 + b + C(b,2) (+ C(b,3))) / 2^b, which at b = 12 falls to 1.9%
-    // with two rings (measured recall 0.70) but holds 7.3% with three
-    // (measured 0.94). Probe volume stays query-side only and grows
-    // ~b³ — cubic in the LOG of the corpus.
+    // The third ring compensates width through the sf1 decade: probed
+    // hash-space mass per table is (1 + b + C(b,2) (+ C(b,3))) / 2^b,
+    // which at b = 12 falls to 1.9% with two rings (measured recall
+    // 0.70) but holds 7.3% with three (measured 0.94). It does NOT hold
+    // mass constant forever — at b = 15 the three-ring mass is 1.8% and
+    // measured recall 0.823, which is why the published floor is
+    // per-scale (annLshFloor), not a fourth ring: each extra ring
+    // multiplies the probe join ~b/(r+1)× at the scale where the wall is
+    // already the family's largest, and wider-corpus ANN belongs to the
+    // IVF-PQ tier. Probe volume stays query-side only and grows ~b³ —
+    // cubic in the LOG of the corpus.
     val flips: Seq[Long] = 0L +:
       ((0 until bits).map(b => 1L << b) ++
         (for { a <- 0 until bits; b <- a + 1 until bits }
@@ -1016,6 +1042,64 @@ object AnnOps {
 
   // ---------------------------------------------------------------- ann_ivfpq
 
+  /** Residual corpus for IVF-PQ (Jégou et al. 2011 §IV): r = x − c_fine(x)
+    * — the code entropy describes the vector's OFFSET from its cell
+    * centroid instead of re-describing cell position, the recall lever at
+    * identical bytes. One assignment projection + one broadcast join on
+    * (gcid, fcid) + the codegen'd [[graft.functions.VectorSub]] kernel;
+    * adds `rv` (array<double>) next to the assignment columns, zero
+    * corpus shuffles. The DuckDB twin is one `list_transform` subtraction
+    * over the same joined fine centroid.
+    */
+  def ivf2Residuals(vecs: DataFrame, idx: Ivf2Index): DataFrame = {
+    val (_, fineDf) = ivf2LiteralDfs(vecs.sparkSession, idx)
+    ivf2Assign(vecs, idx)
+      .join(broadcast(fineDf), Seq("gcid", "fcid"))
+      .withColumn("rv", graft.functions.VectorFns.vector_sub(col("v"), col("fcv")))
+      .drop("fcv")
+  }
+
+  /** The m-term ADC score of the `qv` query column against the `pq_codes`
+    * column — plus an optional LEADING term (the residual form's
+    * q·c_fine). Left-assoc sum, twin-identical ordering.
+    */
+  private def pqAdcScoreExpr(books: IndexedSeq[IndexedSeq[Array[Double]]],
+      dim: Int, lead: Option[Column]): Column = {
+    val m = books.size
+    val sd = dim / m
+    val terms = (0 until m).map { s =>
+      val bookLit = typedLit(books(s).map(_.toSeq))
+      dot_product(
+        slice(col("qv"), s * sd + 1, sd),
+        element_at(bookLit, element_at(col("pq_codes"), s + 1) + 1))
+    }
+    (lead.toSeq ++ terms).reduce(_ + _)
+  }
+
+  /** ADC rerank of a coded inverted file against a probe table — the
+    * shared tail of the in-memory and persisted IVF-PQ paths (the PQ
+    * analogue of [[ivf2Rerank]]). `inverted` carries (neighbor_id,
+    * pq_codes) plus the join key columns present in `probed` besides
+    * (query_id, qv, fcv); when `residual` the score is q·c_fine + q·r̂
+    * (fcv rides on the broadcast probe side), else the raw q·x̂.
+    */
+  private def ivfpqRerank(inverted: DataFrame, probed: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Double]]], k: Int, dim: Int,
+      residual: Boolean): DataFrame = {
+    val keys = probed.columns
+      .filter(c => c != "query_id" && c != "qv" && c != "fcv").toSeq
+    val lead = if (residual) Some(dot_product(col("qv"), col("fcv"))) else None
+    val byQuery = Window.partitionBy("query_id").orderBy(desc("adc_raw"), col("neighbor_id"))
+    inverted
+      .join(broadcast(probed), keys)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_raw", noNegZero(pqAdcScoreExpr(books, dim, lead)))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        roundHalfUp(col("adc_raw"), 6).as("adc_score"))
+  }
+
   /** IVF-PQ: the production billion-vector ANN layout (Jégou et al. 2011
     * §IV; FAISS IndexIVFPQ) — the two-level coarse quantizer ROUTES
     * (each vector lives in one (gcid, fcid) cell), PQ codes COMPRESS
@@ -1028,42 +1112,135 @@ object AnnOps {
     * scores from the same m-term reconstruction inner product as
     * [[pqAdcTopK]]. Zero corpus-side shuffles; one per-query top-k window
     * over narrow (query, neighbor, score) rows.
+    *
+    * With `residual` (the default, and what `qAnnIvfPq` registers) the
+    * codes encode r = x − c_fine(x) against residual-trained codebooks
+    * (Jégou §IV) and the score is q·c_fine + q·r̂ — the fine-centroid dot
+    * comes free from the probe's broadcast fcv column. `residual = false`
+    * keeps the raw-vector composition for comparison at identical bytes
+    * (RECALL.json records both).
     */
   def ivfpqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
       idx: Ivf2Index, books: IndexedSeq[IndexedSeq[Array[Double]]],
-      cprobe: Int, nprobeF: Int, dim: Int = 64): DataFrame = {
-    val m = books.size
-    val sd = dim / m
+      cprobe: Int, nprobeF: Int, dim: Int = 64,
+      residual: Boolean = true): DataFrame = {
     val (coarseDf, fineDf) = ivf2LiteralDfs(vecs.sparkSession, idx)
-    val probed = ivf2Probe(queries, coarseDf, fineDf, cprobe, nprobeF)
+    val probed0 = ivf2Probe(queries, coarseDf, fineDf, cprobe, nprobeF)
+    val probed =
+      if (residual) probed0.join(broadcast(fineDf), Seq("gcid", "fcid"))
+      else probed0
     // inverted cells carrying CODES, not vectors — the 16×-lighter scan
-    val inverted = ivf2Assign(
-      pqEncode(vecs.select(col("vec_id").as("neighbor_id"), col("v")), books, dim),
-      idx).select("neighbor_id", "pq_codes", "gcid", "fcid")
-    val score = (0 until m).map { s =>
-      val bookLit = typedLit(books(s).map(_.toSeq))
-      dot_product(
-        slice(col("qv"), s * sd + 1, sd),
-        element_at(bookLit, element_at(col("pq_codes"), s + 1) + 1))
-    }.reduce(_ + _)
-    val byQuery = Window.partitionBy("query_id").orderBy(desc("adc_raw"), col("neighbor_id"))
-    inverted
-      .join(broadcast(probed), Seq("gcid", "fcid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_raw", noNegZero(score))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        roundHalfUp(col("adc_raw"), 6).as("adc_score"))
+    val nvecs = vecs.select(col("vec_id").as("neighbor_id"), col("v"))
+    val encodeSrc =
+      if (residual) ivf2Residuals(nvecs, idx).drop("v").withColumnRenamed("rv", "v")
+      else ivf2Assign(nvecs, idx)
+    val inverted = pqEncode(encodeSrc, books, dim)
+      .select("neighbor_id", "pq_codes", "gcid", "fcid")
+    ivfpqRerank(inverted, probed, books, k, dim, residual)
   }
+
+  /** Residual-trained PQ codebooks for a trained two-level index — the
+    * training half of the registered IVF-PQ composition.
+    */
+  def ivfpqBooks(vecs: DataFrame, idx: Ivf2Index, m: Int = 8, k: Int = 16,
+      dim: Int = 64, iters: Int = 2,
+      trainCap: Int = 100000): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqCodebooks(ivf2Residuals(vecs.select(col("vec_id"), col("v")), idx)
+      .select(col("vec_id"), col("rv").as("v")), m, k, dim, iters, trainCap)
 
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val vecs = corpus(s, d)
     val n = graft.Tables.rowCountFromFooters(s, d, "embeddings")
     val idx = ivf2Train(vecs, n, IvfCellTarget)
-    val books = pqCodebooks(vecs)
+    val books = ivfpqBooks(vecs, idx)
     ivfpqTopK(vecs, vecs.filter(col("vec_id") % 100 === 0), k = 10,
       idx, books, ivf2Cprobe(ivf2Ncoarse(n)), ivf2NprobeF(IvfCellTarget))
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------ persisted IVF-PQ index
+
+  /** Persist the full IVF-PQ layout: `<path>/coarse` + `<path>/fine` (the
+    * two centroid levels, as [[ivf2SaveIndex]]) plus `<path>/books` (the
+    * residual-trained PQ codebooks — m × k × sd doubles) and
+    * `<path>/inverted` — the corpus as (vec_id, pq_codes) PARTITIONED BY
+    * packed cell id, ~one file per cell. The inverted file carries the
+    * 4-byte codes and NOT the float vectors: this is the point of PQ —
+    * the persisted index is ~16× smaller than [[ivf2SaveIndex]]'s and a
+    * query reads only its probed cells' codes via dynamic partition
+    * pruning. Training runs ONCE here; [[ivfpqQueryIndex]] never
+    * retrains.
+    */
+  def ivfpqSaveIndex(vecs: DataFrame, path: String, n: Long,
+      target: Int = IvfCellTarget, m: Int = 8, kq: Int = 16,
+      iters: Int = 2, dim: Int = 64, trainCap: Int = 100000): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val idx = ivf2Train(vecs, n, target, iters, dim, trainCap)
+    idx.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("gcid", "gcv")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    idx.fine.flatMap { case (g, cs) =>
+      cs.zipWithIndex.map { case (c, f) => (g, f.toLong, c.toSeq) }
+    }.toDF("gcid", "fcid", "fcv")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/fine")
+    val res = ivf2Residuals(vecs.select(col("vec_id"), col("v")), idx)
+    val books = pqCodebooks(res.select(col("vec_id"), col("rv").as("v")),
+      m, kq, dim, iters, trainCap)
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, cid) => (s, cid.toLong, c.toSeq) }
+    }.toDF("s", "cid", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    pqEncode(res.select(col("vec_id"), col("gcid"), col("fcid"),
+      col("rv").as("v")), books, dim)
+      .withColumn("cid", col("gcid").cast("long") * Ivf2CellStride + col("fcid"))
+      .select("vec_id", "pq_codes", "cid")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/inverted")
+  }
+
+  /** Query a persisted IVF-PQ index: probe against the parquet centroid
+    * tables, read back the codebooks as literals (doubles round-trip
+    * parquet bit-exactly, so scoring is bit-equal to the in-memory
+    * [[ivfpqTopK]] — spec-locked), and ADC-rerank ONLY the probed cells'
+    * codes — the broadcast probe join on the cid partition column
+    * triggers dynamic partition pruning exactly like [[ivf2QueryIndex]],
+    * but the pruned scan reads 4-byte codes, never a corpus vector.
+    */
+  def ivfpqQueryIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, cprobe: Int, nprobeF: Int, dim: Int = 64): DataFrame = {
+    val coarseDf = spark.read.parquet(s"$path/coarse")
+    val fineDf = spark.read.parquet(s"$path/fine")
+    val bookRows = spark.read.parquet(s"$path/books").orderBy("s", "cid").collect()
+    val m = bookRows.iterator.map(_.getInt(0)).max + 1
+    val books: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map { s =>
+      bookRows.iterator.filter(_.getInt(0) == s).toIndexedSeq
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    }
+    val probed = ivf2Probe(queries, coarseDf, fineDf, cprobe, nprobeF)
+      .join(broadcast(fineDf), Seq("gcid", "fcid"))
+      .withColumn("cid", col("gcid").cast("long") * Ivf2CellStride + col("fcid"))
+      .select("query_id", "cid", "qv", "fcv")
+    val inverted = spark.read.parquet(s"$path/inverted")
+      .select(col("vec_id").as("neighbor_id"), col("pq_codes"), col("cid"))
+    ivfpqRerank(inverted, probed, books, k, dim, residual = true)
+  }
+
+  /** queries() wrapper for the persisted IVF-PQ path: build the index
+    * (same training parameters as `qAnnIvfPq`), answer the same query set
+    * through the DPP-pruned coded scan. Bit-identical to `qAnnIvfPq`
+    * (spec-locked), so the DuckDB twin is the SAME SQL — the gate
+    * adjudicates the production layout: parquet round-trip of both
+    * centroid levels + codebooks + the cid-partitioned CODE cells.
+    */
+  def qAnnIvfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val vecs = corpus(s, d)
+    val n = graft.Tables.rowCountFromFooters(s, d, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+    ivfpqSaveIndex(vecs, path, n)
+    ivfpqQueryIndex(s, path, vecs.filter(col("vec_id") % 100 === 0), k = 10,
+      cprobe = ivf2Cprobe(ivf2Ncoarse(n)), nprobeF = ivf2NprobeF(IvfCellTarget))
       .orderBy("query_id", "rank")
   }
 }

@@ -232,6 +232,69 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index: bit-equal to in-memory, DPP-pruned, codes not vectors") {
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val n = vecs.count()
+    val (cprobe, nprobeF) =
+      (AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    try {
+      AnnOps.ivfpqSaveIndex(vecs, dir, n)
+      val viaIndex = AnnOps.ivfpqQueryIndex(spark, dir, queries, k = 10, cprobe, nprobeF)
+      // training is deterministic: a second train reproduces the saved
+      // index + codebooks bit for bit
+      val idx = AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget)
+      val direct = AnnOps.ivfpqTopK(vecs, queries, k = 10, idx,
+        AnnOps.ivfpqBooks(vecs, idx), cprobe, nprobeF)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(viaIndex) === rows(direct),
+        "persisted IVF-PQ query must equal the in-memory composition bit for bit")
+      // the inverted file must carry CODES only — no float vector column
+      val invSchema = spark.read.parquet(s"$dir/inverted").schema.fieldNames.toSet
+      assert(invSchema === Set("vec_id", "pq_codes", "cid"),
+        s"coded inverted file must not persist vectors, got $invSchema")
+      // and the probe must dynamically prune the cid partitions
+      val scan = viaIndex.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("inverted") => f
+      }.head
+      assert(scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+        s"coded inverted scan must carry a dynamic pruning filter, got: ${scan.partitionFilters}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("residual IVF-PQ recall at identical bytes is at least the raw composition's") {
+    // Jégou §IV: codes spent on the residual describe position-within-cell
+    // instead of re-describing cell position — at the same 4 bytes/vector
+    // the reconstruction is strictly finer-grained. Measured recall@10 of
+    // both compositions against the exact ranking; the residual form must
+    // not regress below raw (RECALL.json trends the actual lift).
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val n = vecs.count()
+    val (cprobe, nprobeF) =
+      (AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget))
+    val exact = AnnOps.bruteTopK(vecs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget)
+    def recallOf(residual: Boolean): Double = {
+      val books =
+        if (residual) AnnOps.ivfpqBooks(vecs, idx) else AnnOps.pqCodebooks(vecs)
+      val got = AnnOps.ivfpqTopK(vecs, queries, k = 10, idx, books,
+        cprobe, nprobeF, residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val raw = recallOf(residual = false)
+    val res = recallOf(residual = true)
+    info(f"IVF-PQ recall@10 raw=$raw%.3f residual=$res%.3f (same 4 bytes/vector)")
+    assert(res >= raw, s"residual recall $res must not regress below raw $raw")
+  }
+
   test("NearestCentroidDyn kernel agrees with the literal NearestCentroid kernel") {
     // The two-level fine assignment rides the dynamic (matrix-as-column)
     // kernel; its argmax and tie semantics must be bit-equal to the
@@ -329,18 +392,20 @@ class AnnOpsSpec extends SparkSpec {
   }
 
   test("ivfpqTopK: probed-cells-only ADC agrees with full ADC on shared candidates") {
-    // The IVF-PQ contract: candidate generation narrows to probed cells,
-    // scoring is IDENTICAL to the exhaustive ADC — so every (query,
-    // neighbor) the composed path returns must carry the exact score the
-    // full scan assigns it, and an identical planted vector (same cell,
-    // same codes) must still surface at rank 1.
+    // The RAW composition's contract (residual = false — pqAdcTopK has no
+    // residual form to compare against): candidate generation narrows to
+    // probed cells, scoring is IDENTICAL to the exhaustive ADC — so every
+    // (query, neighbor) the composed path returns must carry the exact
+    // score the full scan assigns it, and an identical planted vector
+    // (same cell, same codes) must still surface at rank 1.
     val vecs = AnnOps.corpus(spark, sfDir)
     val queries = vecs.filter(col("vec_id") % 100 === 0)
     val n = vecs.count()
     val idx = AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget)
     val books = AnnOps.pqCodebooks(vecs)
     val composed = AnnOps.ivfpqTopK(vecs, queries, k = 10, idx, books,
-      AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget))
+      AnnOps.ivf2Cprobe(AnnOps.ivf2Ncoarse(n)), AnnOps.ivf2NprobeF(AnnOps.IvfCellTarget),
+      residual = false)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     val full = AnnOps.pqAdcTopK(AnnOps.pqEncode(vecs, books), queries, books, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
@@ -353,7 +418,9 @@ class AnnOpsSpec extends SparkSpec {
       .select(lit(99999L).as("vec_id"), col("label"), col("v"))
     val all = vecs.unionByName(clone)
     val idx2 = AnnOps.ivf2Train(all, n + 1, AnnOps.IvfCellTarget)
-    val books2 = AnnOps.pqCodebooks(all)
+    // registered (residual) form: an identical vector shares the cell,
+    // hence the fine centroid, hence the residual — and so the codes
+    val books2 = AnnOps.ivfpqBooks(all, idx2)
     val hit = AnnOps.ivfpqTopK(all, clone, k = 1, idx2, books2,
       cprobe = 1, nprobeF = 1).collect()
     assert(hit.length === 1 && hit(0).getAs[Long]("neighbor_id") === 0L,

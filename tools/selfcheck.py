@@ -27,7 +27,7 @@ DOC_SAMPLED = {"dedup_minhash", "dedup_simhash", "dedup_fingerprint",
                "ngram_jaccard"}
 # Names eligible for GRAFT_SAMPLE_QUERIES: ANN twins with the
 # /*GRAFT_QUERY_SAMPLE*/ marker — per-query independence, full training.
-QUERY_SAMPLED = {"ann_ivf", "ann_ivf_index", "ann_ivfpq"}
+QUERY_SAMPLED = {"ann_ivf", "ann_ivf_index", "ann_ivfpq", "ann_ivfpq_index"}
 # Doc-sampled names whose operator carries a maxBucket degenerate-bucket
 # guard. The guard thresholds FULL-corpus bucket counts, which a sampled
 # twin cannot know — but sample ⊆ corpus means sampled_count ≤ full_count,

@@ -2467,9 +2467,10 @@ object SparkEntry {
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |po AS (SELECT 100000 * ((count(*) + 99999) // 100000) AS off FROM base),
         |corpus AS (
         |  SELECT vec_id, label, v FROM base
-        |  UNION ALL SELECT vec_id + 100000, label,
+        |  UNION ALL SELECT vec_id + (SELECT off FROM po), label,
         |    list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM base WHERE vec_id % 11 = 0),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus)

@@ -1043,9 +1043,10 @@ FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   val dedupSemantic: String = {
     s"""WITH b0 AS (SELECT vec_id, label,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+po AS (SELECT 100000 * ((count(*) + 99999) // 100000) AS off FROM b0),
 corpus AS (
   SELECT vec_id, label, v FROM b0
-  UNION ALL SELECT vec_id + 100000, label,
+  UNION ALL SELECT vec_id + (SELECT off FROM po), label,
     list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) FROM b0 WHERE vec_id % 11 = 0),
 prm AS (SELECT greatest(4, least(512, (((count(*) * 12) // 11) + 1023) // 1024)) AS nc FROM b0),
 ${lloydCtes("lv", "corpus", "SELECT nc FROM prm")},

@@ -380,16 +380,31 @@ object DedupOps {
 
   // ---------------------------------------------------------- dedup_embedding
 
+  /** Clone-id offset for the planted embedding mutants: 100000 rounded UP
+    * to clear the corpus — a FIXED +100000 collides with real vec_ids once
+    * the corpus passes 100k vectors (the ×100 replicate twin has 200k), at
+    * which point "planted pair" and "natural pair" ids alias and every
+    * planted-recall number is polluted. Pure integer arithmetic from the
+    * base count; the twins re-derive it as
+    * `100000 * ((count(*) + 99999) // 100000)`, and at every corpus ≤ 100k
+    * (all the small-SF gates) it is exactly the historical 100000, so
+    * standing records are unchanged.
+    */
+  def plantedOffset(n: Long): Long =
+    100000L * ((math.max(1L, n) + 99999L) / 100000L)
+
   /** Embedding corpus with planted near-duplicates: every 11th vector is
-    * re-added (id+100000) scaled by 1.01 — cosine ≈ 1, so thresholding must
-    * recover exactly these pairs plus any natural near-dups.
+    * re-added (id + [[plantedOffset]]) scaled by 1.01 — cosine ≈ 1, so
+    * thresholding must recover exactly these pairs plus any natural
+    * near-dups.
     */
   def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val off = plantedOffset(Tables.rowCountFromFooters(s, d, "embeddings"))
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val mut = base.filter(col("vec_id") % 11 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+      .select((col("vec_id") + off).as("vec_id"), col("label"),
         transform(col("v"), x => x * 1.01).as("v"))
     base.unionByName(mut)
   }

@@ -218,7 +218,9 @@ class DedupOpsSpec extends SparkSpec {
     val sem = DedupOps.semanticDedupPairs(vecs, tau = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sem.subsetOf(exact), s"semantic pairs not a subset: ${(sem -- exact).take(3)}")
-    val planted = exact.filter { case (a, b) => b == a + 100000 }
+    val off = DedupOps.plantedOffset(
+      graft.Tables.rowCountFromFooters(spark, sfDir, "embeddings"))
+    val planted = exact.filter { case (a, b) => b == a + off }
     assert(planted.nonEmpty && planted.subsetOf(sem),
       s"planted duplicates missing: ${(planted -- sem).take(3)}")
   }

@@ -397,24 +397,36 @@ SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fingerprints,
 FROM fps ORDER BY doc_id""",
     withCorpus = false)
 
-  /** Winnowing pair twin (`DedupOps.qDedupFingerprint`, k=30, w=10,
+  /** Winnowing pair twin (`DedupOps.qDedupFingerprint`, k=30, CORPUS-SIZED
+    * w = DedupOps.fingerprintW re-derived in the prw CTE from the base
+    * `documents` count with the same integer formula — `length(bin(n-1))`
+    * is ⌈log₂ n⌉ by bit length, never float log2 cross-engine —
     * minShared=3, maxBucket=200 over the planted corpus): shared
-    * fingerprint buckets → ordered pairs → shared-count threshold.
+    * fingerprint buckets → ordered pairs → shared-count threshold. The
+    * winnowing window slice and the length gate both read prw.wv as a
+    * joined COLUMN (DuckDB lambdas reject subqueries, columns are fine).
     */
-  val dedupFingerprint: String = winnowSql(
-    src = "corpus",
-    k = 30, w = 10,
-    tail = """fps AS (SELECT doc_id,
-    list_distinct([list_min(kg[j:j+9]) for j in range(1, len(kg) - 8)]) AS f
-  FROM kgl),
+  val dedupFingerprint: String = {
+    val k = 30
+    s"""WITH $corpusCte,
+prw AS (SELECT least(58, 10 + 4 * greatest(0, length(bin(count(*) - 1)) - 16)) AS wv
+  FROM documents),
+d AS (SELECT doc_id, text FROM corpus, prw WHERE length(text) >= ${k - 1} + prw.wv),
+pos AS (SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS i, text FROM d),
+sub AS (SELECT doc_id, i, substr(text, i::INT, $k) AS kgs FROM pos),
+${mm32Cte("wf", "sub", "kgs", "kh")},
+kgl AS (SELECT doc_id, list(kh ORDER BY i) AS kg FROM wf GROUP BY doc_id),
+fps AS (SELECT doc_id,
+    list_distinct([list_min(kg[j:j + prw.wv - 1]) for j in range(1, len(kg) - (prw.wv - 2))]) AS f
+  FROM kgl, prw),
 fpr AS (SELECT doc_id, unnest(f) AS fp FROM fps),
 fb AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM fpr),
 pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
   FROM fb a JOIN fb b ON a.fp = b.fp AND a.doc_id < b.doc_id
   WHERE a.bn BETWEEN 2 AND 200)
 SELECT id1, id2, CAST(count(*) AS BIGINT) AS shared_fps
-FROM pairs GROUP BY id1, id2 HAVING count(*) >= 3 ORDER BY id1, id2""",
-    withCorpus = true)
+FROM pairs GROUP BY id1, id2 HAVING count(*) >= 3 ORDER BY id1, id2"""
+  }
 
   /** Shared winnowing scaffold: position explode → k-char substrings →
     * murmur hashes → per-doc ordered hash list `kg`; `tail` continues from

@@ -638,6 +638,23 @@ object DedupOps {
     * substring-dedup uses, where cross-document collisions mean actual
     * shared text.
     */
+  /** Corpus-sized winnowing window for the PAIRING path: w = 10 through
+    * 2^16 docs, +4 per corpus doubling past it, capped at 58. Fingerprint
+    * density is ~2/(w+1) per character, so the candidate volume per doc
+    * (the cost the sf10 decade probe measured — 83 fingerprints/doc and
+    * 46M candidate pairs at 571k docs, wall ×9.19/decade with NO bucket
+    * anywhere near maxBucket: the constant, not the asymptote) shrinks as
+    * the corpus grows, while the guaranteed shared-run length k+w−1 rises
+    * from 39 chars (≤65k docs — all small-SF gates unchanged) to 55 at
+    * ~1M, 87 at the cap: at web scale a SHORT shared run is idiom, not
+    * copying — published substring dedup (Lee et al. 2022) keys on
+    * 50-token ≈ 250-char spans. Integer arithmetic; the twin re-derives
+    * it as `least(58, 10 + 4 * greatest(0, length(bin(count(*) - 1)) -
+    * 16))` in a prm CTE.
+    */
+  def fingerprintW(n: Long): Int =
+    math.min(58, 10 + 4 * math.max(0, AnnOps.ceilLog2(math.max(1L, n)) - 16))
+
   def fingerprintPairs(
       docs: DataFrame,
       k: Int = 30,
@@ -658,7 +675,9 @@ object DedupOps {
   }
 
   def qDedupFingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprintPairs(plantedCorpus(s, d)).orderBy("id1", "id2")
+    fingerprintPairs(plantedCorpus(s, d),
+      w = fingerprintW(Tables.rowCountFromFooters(s, d, "documents")))
+      .orderBy("id1", "id2")
 
   // ----------------------------------------------------------------- span_dedup
 

@@ -432,8 +432,11 @@ object DedupOps {
   }
 
   /** Cosine near-dup pairs ≥ τ within `label` blocks with candidates from
-    * random-hyperplane LSH buckets — the scale path. Three properties make
-    * it a plan and not a disguised cross join:
+    * random-hyperplane LSH buckets — the linear-candidate scale form of the
+    * blocked cross-join baseline ([[semanticDedupPairs]]'s two-level
+    * centroid cells are the density-following production path; hyperplanes
+    * are data-blind but need no training pass). Three properties make it a
+    * plan and not a disguised cross join:
     *
     *  - **Bucket width scales with the corpus.** `bits` defaults to
     *    ⌈log₂(N / targetBucket)⌉ (clamped to [8, 20]), so the expected

@@ -32,10 +32,21 @@ EXPLAINED = {
     "ann_lsh": (
         "same query-set-growth shape (queries ∝ n), and the corpus-sized "
         "bucket width adds its third probe ring from 10 bits up (the "
-        "recall-preserving width compensation: sf1 recall 0.70 → 0.95) — "
-        "probe volume grows with the CUBE of the log of the corpus, so "
-        "per-query cost is polylog, but the family total still tracks "
-        "queries × polylog."),
+        "width compensation that holds recall >= 0.9 through 13-bit "
+        "widths; at the 15-bit third decade the three-ring probed mass "
+        "decays and the published floor steps to 0.8 per "
+        "AnnOps.annLshFloor) — probe volume grows with the CUBE of the "
+        "log of the corpus, so per-query cost is polylog, but the family "
+        "total still tracks queries × polylog. LSH is the "
+        "data-independent hyperplane alternative; the 100 TB path is the "
+        "IVF-PQ tier (ann_ivfpq / ann_ivfpq_index)."),
+    "ann_ivfpq": (
+        "query-set growth (queries ∝ n) over a fixed-volume probe, plus "
+        "the registered query honestly retrains its two-level index and "
+        "residual codebooks per run (training is trainCap-bounded so the "
+        "cost saturates, but at small absolute walls it can dominate a "
+        "decade ratio). The persisted layout ann_ivfpq_index builds once "
+        "and probes thereafter — its entry isolates the query-side cost."),
 }
 
 

@@ -10,7 +10,8 @@ the caller runs the REAL gate over it:
 
     python3 tools/vectors_differential.py /tmp/graft_vec
     sbt -batch "runMain graft.Verify /tmp/graft_vec /tmp/verify_vec \
-        ann_topk dedup_embedding embed_quantize embed_pq ann_lsh ann_ivf dedup_semantic"
+        ann_topk dedup_embedding embed_quantize embed_pq ann_pq ann_lsh \
+        ann_ivf ann_ivf_index ann_ivfpq ann_ivfpq_index dedup_semantic"
     GRAFT_HOSTILE_DATA=1 python3 tools/selfcheck.py /tmp/graft_vec /tmp/verify_vec
 
 First run's findings (all fixed):

@@ -32,9 +32,16 @@ object AnnOps {
 
   /** Corpus as (vec_id, label, v: array<double>). */
   def corpus(s: SparkSession, d: String): DataFrame =
+    // array<float> → array<double> via the native Cast (codegen'd, exact
+    // widening — bit-identical values to an element-wise cast). NOT
+    // transform(_.cast): higher-order lambdas are interpreted, and this
+    // projection sits UNDER every assignment/encode kernel — when the
+    // optimizer inlines it into join keys, join conditions and window
+    // inputs, an interpreted inner cast multiplies into the whole ANN
+    // family's hot path.
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
 
   // ------------------------------------------------------------------ ann_topk
 
@@ -1147,8 +1154,17 @@ object AnnOps {
     val encodeSrc =
       if (residual) ivf2Residuals(nvecs, idx).drop("v").withColumnRenamed("rv", "v")
       else ivf2Assign(nvecs, idx)
+    // One narrow cell shuffle MATERIALIZES the coded inverted file — the
+    // in-memory mirror of [[ivfpqSaveIndex]]'s cid-partitioned layout.
+    // Without the barrier the optimizer inlines the assignment + 8 encode
+    // kernels into the rerank join's keys, condition and window input, and
+    // the whole encode chain re-evaluates per candidate row (measured 26 s
+    // vs 1.8 s materialized at the ×10 twin; ~1000 s at ×100). The shuffle
+    // payload is (neighbor_id, pq_codes, cell) — ~20 bytes/row, never a
+    // corpus float vector.
     val inverted = pqEncode(encodeSrc, books, dim)
       .select("neighbor_id", "pq_codes", "gcid", "fcid")
+      .repartition(col("gcid"), col("fcid"))
     ivfpqRerank(inverted, probed, books, k, dim, residual)
   }
 

@@ -40,6 +40,17 @@ EXPLAINED = {
         "total still tracks queries × polylog. LSH is the "
         "data-independent hyperplane alternative; the 100 TB path is the "
         "IVF-PQ tier (ann_ivfpq / ann_ivfpq_index)."),
+    "ann_ivfpq_index": (
+        "the persisted-index gate query set grows with the corpus (every "
+        "100th vector), and the UNION of that many queries' probed cells "
+        "approaches every cell — so the DPP-pruned scan degenerates to "
+        "reading the whole (code-only, 16x-lighter) inverted file plus "
+        "per-cell file overhead that itself grows ~n/256. PER-QUERY cost "
+        "is fixed (nprobeF cells x ~target codes); a production workload "
+        "with a bounded in-flight query set reads only its probed cells."),
+    "ann_ivf_index": (
+        "same probed-cell-union shape as ann_ivfpq_index, over float "
+        "cells instead of codes."),
     "ann_ivfpq": (
         "query-set growth (queries ∝ n) over a fixed-volume probe, plus "
         "the registered query honestly retrains its two-level index and "

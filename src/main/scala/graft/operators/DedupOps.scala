@@ -130,10 +130,12 @@ object DedupOps {
     * millions of docs still costs one row per input partition on the wire;
     * a window on the gram key would instead colocate every occurrence in a
     * single unsplittable task), one join of the counts back onto the gram
-    * rows (sort-merge; AQE splits any residual skewed partition — something
-    * window partitions never get), one window on doc_id (prefix ranks), one
-    * equi-join on (gram, block), one distinct — all linear in corpus size.
-    * Survives a 100× scale-up.
+    * rows (AQE splits any residual skewed partition — something window
+    * partitions never get), one doc-keyed partial-agg collect whose sorted
+    * per-doc array serves BOTH the prefix index and the verify stage's
+    * gram sets (per-doc array_sort replaces the earlier full-table window
+    * sorts), one equi-join on (gram, block), one distinct — all linear in
+    * corpus size. Survives a 100× scale-up.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, tau: Double, blockCols: Seq[String]): DataFrame = {
     val setRows = docs
@@ -148,30 +150,54 @@ object DedupOps {
     // four candidate/verify joins, which removes the bench variance).
     // Only candIds (small by construction) is left eligible to broadcast.
     val dfCounts = setRows.groupBy("g").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
-    val ranked = setRows
+    // Per-doc (df, g) orders via ONE partial-agg collect + a codegen'd
+    // array_sort — struct comparison is field-lexicographic, i.e. exactly
+    // the (df ASC, g ASC) total order the prefix scheme needs. The earlier
+    // form ranked with TWO window passes over the full gram table (a count
+    // and a row_number, each sorting every (doc_id, df, g) row through the
+    // big sort machinery — the measured bottleneck); per-doc arrays sort
+    // ~|doc| elements per row in parallel instead, and the SAME array
+    // serves both the prefix index (a native GetArrayStructFields + slice
+    // + explode — no interpreted lambda) and the verify stage's gram sets
+    // (grams are distinct per doc by construction, so the sorted g field
+    // IS the gram set; array_intersect is order-insensitive).
+    val perDoc = setRows
       .join(dfCounts.hint("shuffle_hash"), Seq("g"))
-      .withColumn("sz", count(lit(1)).over(byDoc))
-      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("g"))))
-    val prefix = ranked
-      .filter(col("r") <= col("sz") - ceil(col("sz") * tau) + 1)
-      .select((Seq("doc_id", "g", "sz") ++ blockCols).map(col): _*)
+      .groupBy((Seq("doc_id") ++ blockCols).map(col): _*)
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("sg"))
+      .withColumn("sz", size(col("sg")).cast("long"))
+    val prefixLen = (col("sz") - ceil(col("sz") * tau) + 1).cast("int")
+    val prefix = perDoc
+      .select((Seq("doc_id", "sz") ++ blockCols).map(col) :+
+        explode(slice(col("sg").getField("g"), lit(1), prefixLen)).as("g"): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.g") === col("b.g"))(_ && _) &&
       col("a.doc_id") < col("b.doc_id") &&
       least(col("a.sz"), col("b.sz")) >= greatest(col("a.sz"), col("b.sz")) * tau
+    // The candidate pair table is TINY by construction (near-dup pairs ≪
+    // corpus) but is referenced three times downstream (the verify join
+    // plus both branches of candIds) — an eager localCheckpoint truncates
+    // the lineage so the whole prefix-index subtree is planned and
+    // executed ONCE instead of being re-inlined per reference (the
+    // un-truncated plan re-derived the gram pipeline ~5×: 322 KB of
+    // physical plan and ~130 exchanges at the gate corpus).
     val cand = prefix.hint("shuffle_hash").as("a")
       .join(prefix.hint("shuffle_hash").as("b"), cond)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+      .localCheckpoint()
     // Exact verify only for candidate docs — identical formula to the
-    // all-pairs form (distinct-gram sets on both sides).
+    // all-pairs form (distinct-gram sets on both sides, as the projected
+    // g field of the SAME per-doc array the prefix index used: the
+    // grouped exchange is reused, no second pass over the corpus).
+    // Checkpointed for the same reason as `cand`: g1 and g2 are two
+    // references.
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
-    val gramSets = setRows
+    val gramSets = perDoc
       .join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_set(col("g")).as("grams"))
+      .select(col("doc_id"), col("sg").getField("g").as("grams"))
+      .localCheckpoint()
     val inter = size(array_intersect(col("g1"), col("g2")))
     val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
     cand
@@ -272,6 +298,10 @@ object DedupOps {
     // standard web-dedup practice (and the skew story at 100 TB) is to drop
     // the bucket; its members still pair through their other `bands-1`
     // bands whenever they are genuine near-duplicates.
+    // Candidate pairs are tiny (near-dup groups) but referenced three
+    // times downstream — eager localCheckpoint truncates the lineage so
+    // the banding subtree plans and runs once (same rationale as
+    // ngramJaccardPairsPrefix's checkpoint).
     val cand = banded
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -279,15 +309,19 @@ object DedupOps {
       .select(bucketPairs(array_sort(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
+      .localCheckpoint()
     // Exact-verify gram sets are built ONLY for candidate docs (semi-join
     // first): at scale candidates ≪ corpus, so the expensive string sets
-    // never materialize for the long tail.
+    // never materialize for the long tail. gramRows is already
+    // partitioned by doc_id (the ngram window), so the grouping adds no
+    // shuffle; checkpointed because g1 and g2 are two references.
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
     val gramSets = gramRows
       .join(candIds, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(col("g")).as("grams"))
+      .localCheckpoint()
     val g1 = gramSets.select(col("doc_id").as("id1"), col("grams").as("g1"))
     val g2 = gramSets.select(col("doc_id").as("id2"), col("grams").as("g2"))
     val inter = size(array_intersect(col("g1"), col("g2")))

@@ -224,44 +224,76 @@ object GraphOps {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    // The distinct edge table feeds THREE loop invariants (out-degrees,
+    // node set, edge⋈outdeg); persisting it makes the dedup shuffle run
+    // once instead of once per invariant materialization.
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-    val linkW = e.join(outDeg, "src").persist()
-    var ranks = ckpt(
-      nodes.crossJoin(broadcast(nRow))
-        .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank")))
+    // Cached pre-partitioned by src: the per-round contribs join re-reads
+    // this side every iteration, and InMemoryRelation preserves the
+    // repartition's hash layout — only the (much smaller) rank state
+    // exchanges per round, not the edge table.
+    val linkW = e.join(outDeg, "src").repartition(col("src")).persist()
+    // Nodes carry their DANGLING flag in the iteration state, computed by
+    // one left join here: the earlier form re-derived the dangling set
+    // every round as an anti-join of ranks against out-degrees, which
+    // re-ran the edge-distinct + degree aggregation per iteration (the
+    // dominant crawl_rank cost — the loop body is otherwise one join +
+    // one partial-agg shuffle). With the flag in the checkpointed state
+    // the per-round dangling mass is a filter + 1-row aggregate.
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(outDeg.select(col("src").as("id"), lit(true).as("has_out")),
+        Seq("id"), "left")
+      .select(col("id"), col("has_out").isNull.as("dang"))
+      .persist()
+    // N collected once as a plan literal (one count over the persisted
+    // node set — the same scalar every iteration used): the earlier form
+    // recomputed and re-broadcast the 1-row count table every round.
+    // Long literal, so the division promotes exactly like the previous
+    // double/long-column arithmetic — bit-identical ranks.
+    val n = nodes.count()
+    // No checkpoint on the initial state: it is a pure projection of the
+    // persisted node table (iteration 1 reads the cache; every later
+    // round reads the previous round's checkpoint).
+    var ranks =
+      nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"), col("dang"))
     for (_ <- 1 to iters) {
-      ranks = ckpt(pageRankStep(nodes, nRow, linkW, outDeg, ranks, damping))
+      // Dangling mass as a collected scalar: one 1-row aggregate over the
+      // previous state (checkpointed — a narrow in-memory scan), injected
+      // as a literal. The broadcast-crossJoin form paid a broadcast build
+      // + nested-loop stage per round for the same single double.
+      val dm = ranks.filter(col("dang"))
+        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      ranks = ckpt(pageRankStep(nodes, n, linkW, ranks, dm, damping))
     }
     nodes.unpersist(false)
     linkW.unpersist(false)
-    ranks
+    e.unpersist(false)
+    ranks.select("id", "rank")
   }
 
   /** One power-iteration update — factored out so plan audits can inspect
     * the ITERATION plan (the checkpointed loop flattens each round to an
     * ExistingRDD scan, hiding the join/agg shape from the final plan).
+    * `nodes` and `ranks` carry the precomputed `dang` flag (see
+    * [[pageRank]]); `n` is the node count as a literal.
     */
-  private[graft] def pageRankStep(nodes: DataFrame, nRow: DataFrame,
-      linkW: DataFrame, outDeg: DataFrame, ranks: DataFrame,
+  private[graft] def pageRankStep(nodes: DataFrame, n: Long,
+      linkW: DataFrame, ranks: DataFrame, dm: Double,
       damping: Double): DataFrame = {
     val d = lit(damping)
-    val dangling = ranks
-      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
     val contribs = linkW
-      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .join(ranks.select(col("id").as("src"), col("rank")), "src")
       .groupBy(col("dst").as("id"))
       .agg(sum(col("rank") / col("odeg")).as("c"))
-    nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+    nodes
       .join(contribs, Seq("id"), "left")
       .select(col("id"),
-        ((lit(1.0) - d) / col("n_nodes") +
-          d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
-          .as("rank"))
+        ((lit(1.0) - d) / lit(n) +
+          d * (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)))
+          .as("rank"),
+        col("dang"))
   }
 
   /** queries() wrapper: a deterministic 2-out-regular link graph over the

@@ -1742,40 +1742,40 @@ object SyncOps {
       fetched: DataFrame, urlCol: String, fetchedXmlCol: String,
       maxDepth: Int = 5): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be at least 1")
+    // The pool is probed once per level — persisted for the loop's
+    // duration so each level's resolve joins the cache instead of
+    // re-deriving the fetched set; released on exit (the returned plan
+    // references only the checkpointed levels, never the pool lineage).
     val pool = fetched.select(col(urlCol).as("__f_url"),
-      col(fetchedXmlCol).as("__f_xml"))
+      col(fetchedXmlCol).as("__f_xml")).persist()
     var frontier = roots.withColumn("__tree_xml", col(xmlCol)).drop(xmlCol)
     var leaves: DataFrame = null
-    var prevLevel: DataFrame = null
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
       val children = parseSitemapIndex(
         frontier.withColumnRenamed("__tree_xml", "__idx_xml"), "__idx_xml")
+      // Each resolved level is child-list-sized (tiny) and referenced by
+      // THREE consumers (the leaf accumulator, the next frontier, the
+      // emptiness probe) — an EAGER localCheckpoint materializes it once
+      // and truncates lineage, so the accumulated leaf set never
+      // re-derives the join chain from the roots (the earlier
+      // persist/unpersist dance recomputed the whole ≤maxDepth chain for
+      // the final page explode) and the per-level probe is a cached scan.
       val resolved = children
         .join(pool, children("sitemap_url") === col("__f_url"))
         .drop("__f_url")
-        .persist()
+        .localCheckpoint()
       val leafRows = resolved.filter(col("__f_xml").contains("<urlset"))
       leaves = if (leaves == null) leafRows else leaves.unionByName(leafRows)
       val next = resolved.filter(col("__f_xml").contains("<sitemapindex"))
         .drop("sitemap_url", "sitemap_lastmod")
         .withColumnRenamed("__f_xml", "__tree_xml")
-      // next.count() (not isEmpty) — isEmpty is a limit-1 job that can
-      // leave partitions of THIS level's cache unmaterialized, and
-      // unpersisting the previous level right after would force those
-      // partitions to recompute the whole join chain from the roots.
-      // next is a filter OVER the freshly-persisted resolved, so its
-      // count scans every cached partition — the cache is fully resident
-      // before the parent level is released — and the loop condition
-      // costs exactly ONE job per level.
       done = next.count() == 0
-      if (prevLevel != null) prevLevel.unpersist()
-      prevLevel = resolved
       frontier = next
       depth += 1
     }
-    if (prevLevel != null) prevLevel.unpersist()
+    pool.unpersist(false)
     parseSitemaps(leaves.withColumnRenamed("__f_xml", "__leaf_xml"), "__leaf_xml")
   }
 

@@ -284,20 +284,25 @@ class PlanAuditSpec extends SparkSpec {
     // the audit inspects ONE iteration step built on real edges.
     val edges = spark.range(1000).selectExpr("id AS src", "(id * 31 + 7) % 1000 AS dst")
     val e = edges.distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .join(outDeg.select(col("src").as("id"), lit(true).as("has_out")),
+        Seq("id"), "left")
+      .select(col("id"), col("has_out").isNull.as("dang"))
     val linkW = e.join(outDeg, "src")
-    val ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
+    val ranks = nodes
+      .select(col("id"), (lit(1.0) / lit(1000L)).as("rank"), col("dang"))
     val step = graft.operators.GraphOps
-      .pageRankStep(nodes, nRow, linkW, outDeg, ranks, 0.85)
+      .pageRankStep(nodes, 1000L, linkW, ranks, 0.0, 0.85)
     val p = step.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "iteration must not have a cartesian product")
-    assert(p.contains("BroadcastExchange"),
-      "the N and dangling-mass 1-row aggregates must broadcast")
-    assert(p.contains("LeftAnti"), "dangling mass is an anti-join against out-degrees")
+    assert(!p.contains("LeftAnti"),
+      "dangling mass is a filter over the precomputed flag — the per-round " +
+        "anti-join against out-degrees (which re-ran the degree aggregation " +
+        "every iteration) must be gone")
+    assert(p.contains("HashAggregate"),
+      "contribs is a partial-agg sum shuffled on dst")
   }
 
   test("robots_parse windows partition by host — never a global sort of the line table") {

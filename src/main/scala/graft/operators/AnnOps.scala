@@ -291,13 +291,39 @@ object AnnOps {
     if (!euclid) nearestCentroid(v, cents)
     else nearestCentroid(concat(v, array(lit(1.0d))), euclidAugment(cents))
 
-  def ivfCentroids(vecs: DataFrame, nlist: Int, iters: Int, dim: Int = 64,
-      trainCap: Int = 100000, euclid: Boolean = false): DataFrame = {
-    val sample = vecs
+  /** The deterministic training sample every quantizer here draws: the
+    * `trainCap` hash-smallest vec_ids (one TakeOrdered pass — per-partition
+    * top-k, no full sort), persisted. Factored out so ONE sample feeds the
+    * coarse Lloyd, the fine Lloyd and the residual PQ codebooks (each used
+    * to re-sort the corpus independently); callers unpersist when done.
+    */
+  private[operators] def hashSample(vecs: DataFrame, trainCap: Int): DataFrame =
+    vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(trainCap)
       .select("vec_id", "v")
       .persist()
+
+  def ivfCentroids(vecs: DataFrame, nlist: Int, iters: Int, dim: Int = 64,
+      trainCap: Int = 100000, euclid: Boolean = false): DataFrame = {
+    val session = vecs.sparkSession
+    import session.implicits._
+    val sample = hashSample(vecs, trainCap)
+    val cents = lloydCents(sample, nlist, iters, dim, euclid)
+    sample.unpersist(false)
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cid", "cv")
+  }
+
+  /** The Lloyd loop over an already-persisted [[hashSample]] — factored
+    * out of [[ivfCentroids]] so [[ivf2Train]] can run the coarse level on
+    * the SAME cached sample its fine level (and the residual PQ training)
+    * reads, instead of each level re-sorting the corpus into its own
+    * sample. Identical arithmetic, identical collects.
+    */
+  private def lloydCents(sample: DataFrame, nlist: Int, iters: Int,
+      dim: Int, euclid: Boolean): IndexedSeq[Array[Double]] = {
     // cid by position in the same deterministic hash order (NOT
     // monotonically_increasing_id, whose values depend on the physical
     // partitioning of the limit output). The seed table is sort-COLLECTED
@@ -307,8 +333,6 @@ object AnnOps {
     // (see centroidArrays) — so the ≤nlist-row collect is the honest form,
     // not a scale hazard. orderBy→limit compiles to TakeOrderedAndProject,
     // whose collected order IS the sort order.
-    val session = vecs.sparkSession
-    import session.implicits._
     val seeds = sample
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
@@ -365,10 +389,7 @@ object AnnOps {
         .collect()
       cents = next.map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray).toIndexedSeq
     }
-    sample.unpersist(false)
-    cents.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }
-      .toDF("cid", "cv")
+    cents
   }
 
   /** Driver-side materialization of the trained quantizer — nlist × dim
@@ -574,21 +595,38 @@ object AnnOps {
   def ivf2Train(vecs: DataFrame, n: Long, target: Int, iters: Int = 2,
       dim: Int = 64, trainCap: Int = 100000,
       ncoarseOverride: Option[Int] = None): Ivf2Index = {
+    val (idx, s) =
+      ivf2TrainWithSample(vecs, n, target, iters, dim, trainCap, ncoarseOverride)
+    s.unpersist(false)
+    idx
+  }
+
+  /** [[ivf2Train]] that also hands back the persisted training sample —
+    * still cached — so a composed training pass (the residual PQ books of
+    * [[ivfpqTrainAll]]) reuses it instead of re-sorting the corpus into a
+    * third sample. Caller unpersists. Both quantizer levels train off the
+    * ONE sample here (the earlier form drew a sample inside the coarse
+    * trainer and a second, identical one for the fine level).
+    */
+  private[operators] def ivf2TrainWithSample(
+      vecs: DataFrame, n: Long, target: Int, iters: Int = 2,
+      dim: Int = 64, trainCap: Int = 100000,
+      ncoarseOverride: Option[Int] = None): (Ivf2Index, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val ncoarse = ncoarseOverride.getOrElse(ivf2Ncoarse(n))
-    val coarse = centroidArrays(ivfCentroids(vecs, ncoarse, iters, dim, trainCap))
+    val sample0 = hashSample(vecs, trainCap)
+    val coarse = lloydCents(sample0, ncoarse, iters, dim, euclid = false)
     val counts = vecs
       .select(nearestCentroid(col("v"), coarse).as("gcid"))
       .groupBy("gcid").agg(count(lit(1)).as("cn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val kg = counts.map { case (g, c) => g -> ivf2FineK(c, target) }
-    val sample = vecs
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(trainCap)
-      .select(col("vec_id"), col("v"),
-        nearestCentroid(col("v"), coarse).as("gcid"))
-      .persist()
+    // Fine-level sample: the same cached rows, coarse cell attached by a
+    // projection (the kernel over ≤512 literal centroids) — not a second
+    // corpus TakeOrdered.
+    val sample = sample0.select(col("vec_id"), col("v"),
+      nearestCentroid(col("v"), coarse).as("gcid"))
     def regroup(rows: Array[org.apache.spark.sql.Row]): IndexedSeq[(Int, IndexedSeq[(Long, Array[Double])])] =
       rows.toIndexedSeq
         .map(r => (r.getInt(r.fieldIndex("gcid")), r.getLong(r.fieldIndex("fcid")),
@@ -629,12 +667,11 @@ object AnnOps {
         .collect()
       fine = regroup(next)
     }
-    sample.unpersist(false)
     val fineMap = fine.toMap
     val all = counts.keys.toIndexedSeq.sorted.map { g =>
       g -> fineMap.get(g).map(_.map(_._2)).getOrElse(IndexedSeq(coarse(g)))
     }
-    Ivf2Index(coarse, all)
+    (Ivf2Index(coarse, all), sample0)
   }
 
   /** Corpus assignment against a trained two-level index: coarse cell from
@@ -1177,11 +1214,31 @@ object AnnOps {
     pqCodebooks(ivf2Residuals(vecs.select(col("vec_id"), col("v")), idx)
       .select(col("vec_id"), col("rv").as("v")), m, k, dim, iters, trainCap)
 
+  /** Train the full IVF-PQ composition — two-level index + residual
+    * codebooks — off ONE shared corpus sample. Bit-identical to
+    * `(ivf2Train(...), ivfpqBooks(...))` (spec-locked): the codebooks'
+    * sample is the trainCap hash-smallest rows of the RESIDUAL corpus,
+    * and residual encoding preserves vec_id — so residuals OF the sample
+    * are exactly the sample of the residuals. The separated form paid
+    * three corpus TakeOrdered sorts plus a full-corpus residual
+    * assignment that immediately fell to the books' trainCap cut; this
+    * pays one sort and residual-encodes only the cached sample.
+    */
+  def ivfpqTrainAll(vecs: DataFrame, n: Long, target: Int = IvfCellTarget,
+      m: Int = 8, k: Int = 16, iters: Int = 2, dim: Int = 64,
+      trainCap: Int = 100000): (Ivf2Index, IndexedSeq[IndexedSeq[Array[Double]]]) = {
+    val (idx, sample) =
+      ivf2TrainWithSample(vecs, n, target, iters, dim, trainCap)
+    val books = pqCodebooks(ivf2Residuals(sample, idx)
+      .select(col("vec_id"), col("rv").as("v")), m, k, dim, iters, trainCap)
+    sample.unpersist(false)
+    (idx, books)
+  }
+
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val vecs = corpus(s, d)
     val n = graft.Tables.rowCountFromFooters(s, d, "embeddings")
-    val idx = ivf2Train(vecs, n, IvfCellTarget)
-    val books = ivfpqBooks(vecs, idx)
+    val (idx, books) = ivfpqTrainAll(vecs, n, IvfCellTarget)
     ivfpqTopK(vecs, vecs.filter(col("vec_id") % 100 === 0), k = 10,
       idx, books, ivf2Cprobe(ivf2Ncoarse(n)), ivf2NprobeF(IvfCellTarget))
       .orderBy("query_id", "rank")
@@ -1205,7 +1262,10 @@ object AnnOps {
       iters: Int = 2, dim: Int = 64, trainCap: Int = 100000): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val idx = ivf2Train(vecs, n, target, iters, dim, trainCap)
+    // Shared-sample training (see ivfpqTrainAll); the FULL-corpus residual
+    // pass below exists only for the encode — the write every vector rides
+    // out in — not for training.
+    val (idx, books) = ivfpqTrainAll(vecs, n, target, m, kq, iters, dim, trainCap)
     idx.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("gcid", "gcv")
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
@@ -1214,8 +1274,6 @@ object AnnOps {
     }.toDF("gcid", "fcid", "fcv")
       .repartition(1).write.mode("overwrite").parquet(s"$path/fine")
     val res = ivf2Residuals(vecs.select(col("vec_id"), col("v")), idx)
-    val books = pqCodebooks(res.select(col("vec_id"), col("rv").as("v")),
-      m, kq, dim, iters, trainCap)
     books.zipWithIndex.flatMap { case (cs, s) =>
       cs.zipWithIndex.map { case (c, cid) => (s, cid.toLong, c.toSeq) }
     }.toDF("s", "cid", "cv")

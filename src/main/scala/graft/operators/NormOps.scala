@@ -298,15 +298,33 @@ object NormOps {
 
   // ---------------------------------------------------------- norm_add_counts
 
+  /** withColumn-chain semantics in ONE projection — one analyzer pass
+    * instead of one per column (each withColumn call re-analyzes the whole
+    * plan; the site normalizer chains measured as almost pure Catalyst
+    * time at gate scale). Equivalent to a sequential withColumn fold ONLY
+    * when no right-hand side reads a column written earlier in the same
+    * batch — every call site here satisfies that by construction (each
+    * expression references the input frame's columns). Existing names are
+    * replaced in place, new names append in `cols` order, matching
+    * withColumn's layout.
+    */
+  private[operators] def withColumnsBatch(
+      docs: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val names = docs.columns
+    val byName = cols.toMap
+    val q = (n: String) => col("`" + n + "`")
+    val kept = names.map(n => byName.get(n).map(_.as(n)).getOrElse(q(n)))
+    val added = cols.collect { case (n, c) if !names.contains(n) => c.as(n) }
+    docs.select(kept ++ added: _*)
+  }
+
   /** add_counts (normalizers.py:655): `items_count_<field>` = len for list
     * fields, 1 for scalars.
     */
-  def addCounts(docs: DataFrame, listCols: Seq[String], scalarCols: Seq[String]): DataFrame = {
-    val withLists = listCols.foldLeft(docs) { (df, c) =>
-      df.withColumn(s"items_count_$c", size(col(c)).cast("long"))
-    }
-    scalarCols.foldLeft(withLists)((df, c) => df.withColumn(s"items_count_$c", lit(1L)))
-  }
+  def addCounts(docs: DataFrame, listCols: Seq[String], scalarCols: Seq[String]): DataFrame =
+    withColumnsBatch(docs,
+      listCols.map(c => s"items_count_$c" -> size(col(c)).cast("long")) ++
+        scalarCols.map(c => s"items_count_$c" -> lit(1L)))
 
   /** queries() wrapper: topics = distinct first-10 words (a synthetic list
     * field); lang stays scalar.
@@ -1340,18 +1358,30 @@ object NormOps {
       }
     val s6 = valueMaps(valueMaps(s4, cfg.blackMap, white = false), cfg.whiteMap, white = true)
 
+    // Whole-schema per-column rewrites (steps 7, 11, 12 and the two
+    // apply_norm_obj passes) are batched into ONE projection each: the
+    // rewrites are independent per column, and a withColumn-per-field fold
+    // re-runs the analyzer over the whole (growing) plan once per column —
+    // measured as the dominant cost of every site_* query at gate scale
+    // (~2 s of pure Catalyst for the SDI chains; row execution is
+    // milliseconds). One select = one analysis pass, identical expressions.
+    def mapAllColumns(df: DataFrame)(f: org.apache.spark.sql.types.StructField => Option[Column]): DataFrame = {
+      val cols = df.schema.fields.map { fd =>
+        f(fd).map(_.as(fd.name)).getOrElse(qcol(fd.name))
+      }
+      df.select(cols: _*)
+    }
+
     // 7. remove_empty (:129): "" / empty-list → NULL, all columns
     val s7 =
       if (!cfg.removeEmpty) s6
-      else s6.schema.fields.foldLeft(s6) { (d, f) =>
+      else mapAllColumns(s6) { f =>
         f.dataType match {
-          case StringType =>
-            d.withColumn(f.name,
-              when(qcol(f.name) === "", lit(null).cast(StringType)).otherwise(qcol(f.name)))
-          case at: ArrayType =>
-            d.withColumn(f.name,
-              when(size(qcol(f.name)) === 0, lit(null).cast(at)).otherwise(qcol(f.name)))
-          case _ => d
+          case StringType => Some(
+            when(qcol(f.name) === "", lit(null).cast(StringType)).otherwise(qcol(f.name)))
+          case at: ArrayType => Some(
+            when(size(qcol(f.name)) === 0, lit(null).cast(at)).otherwise(qcol(f.name)))
+          case _ => None
         }
       }
 
@@ -1375,14 +1405,17 @@ object NormOps {
         // drops (second pass) or that don't exist yet (first pass); the
         // reference iterates keys present on the doc at that point
         // (normalizers.py:583), so missing columns are no-ops, not errors.
-        val present = targets.filter(df.columns.contains)
-        present.foldLeft(df) { (d, c) =>
-          d.schema(c).dataType match {
+        // Batched into one projection (see mapAllColumns) — the map lookups
+        // are independent per column.
+        val present = targets.filter(df.columns.contains).toSet
+        mapAllColumns(df) { f =>
+          if (!present.contains(f.name)) None
+          else f.dataType match {
             case StringType =>
-              d.withColumn(c, coalesce(try_element_at(m, qcol(c)), qcol(c)))
+              Some(coalesce(try_element_at(m, qcol(f.name)), qcol(f.name)))
             case ArrayType(StringType, _) =>
-              d.withColumn(c, transform(qcol(c), x => coalesce(try_element_at(m, x), x)))
-            case _ => d
+              Some(transform(qcol(f.name), x => coalesce(try_element_at(m, x), x)))
+            case _ => None
           }
         }
       }
@@ -1404,13 +1437,30 @@ object NormOps {
 
     // 9. apply_norm_prop (:76): fan out, source key removed. The reference
     // walks doc.keys() — a normProp source absent from the doc is a no-op,
-    // so site configs may list renames for optional fields.
-    val s9 = cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
-      if (!d.columns.contains(src)) d
-      else {
-        val fanned = targets.foldLeft(d)((dd, tgt) =>
-          if (tgt == src) dd else dd.withColumn(tgt, qcol(src)))
-        if (targets.contains(src)) fanned else fanned.drop(src)
+    // so site configs may list renames for optional fields. Batched into
+    // one projection + one drop when entries are provably independent (no
+    // target doubles as a source — which would make declaration order
+    // observable — and no duplicate targets); chained configs keep the
+    // sequential fold.
+    val s9 = {
+      val present = cfg.normProp.filter { case (src, _) => s8.columns.contains(src) }
+      val srcs = present.map(_._1).toSet
+      val fanTgts = present.flatMap { case (src, ts) => ts.filterNot(_ == src) }
+      val batchable = fanTgts.distinct.size == fanTgts.size &&
+        fanTgts.forall(t => !srcs.contains(t))
+      if (batchable) {
+        val assigns = present.flatMap { case (src, ts) =>
+          ts.filterNot(_ == src).map(t => t -> qcol(src))
+        }
+        val drops = present.collect { case (src, ts) if !ts.contains(src) => src }
+        withColumnsBatch(s8, assigns).drop(drops: _*)
+      } else cfg.normProp.foldLeft(s8) { case (d, (src, targets)) =>
+        if (!d.columns.contains(src)) d
+        else {
+          val fanned = targets.foldLeft(d)((dd, tgt) =>
+            if (tgt == src) dd else dd.withColumn(tgt, qcol(src)))
+          if (targets.contains(src)) fanned else fanned.drop(src)
+        }
       }
     }
 
@@ -1427,18 +1477,18 @@ object NormOps {
     }
 
     // 11. remove_duplicates (:105): first-occurrence list dedup
-    val s11 = s10.schema.fields.foldLeft(s10) { (d, f) =>
+    val s11 = mapAllColumns(s10) { f =>
       f.dataType match {
-        case ArrayType(_, _) => d.withColumn(f.name, array_distinct(qcol(f.name)))
-        case _ => d
+        case ArrayType(_, _) => Some(array_distinct(qcol(f.name)))
+        case _ => None
       }
     }
 
     // 12. strip_fields (:146): trim every string
-    val s12 = s11.schema.fields.foldLeft(s11) { (d, f) =>
+    val s12 = mapAllColumns(s11) { f =>
       f.dataType match {
-        case StringType => d.withColumn(f.name, zsTrim(qcol(f.name)))
-        case _ => d
+        case StringType => Some(zsTrim(qcol(f.name)))
+        case _ => None
       }
     }
 

@@ -421,16 +421,21 @@ object SiteNormalizers {
       else if (docs.columns.contains("OrgForResourceObject"))
         docs.withColumn("OrgForResource", vocabList(col("OrgForResourceObject"), "default"))
       else docs
-    withOrg
-      .withColumn("site_id", lit("sdi")) // :178
-      .withColumn("type_raw", lit("Data set")) // :180 — @type
-      .withColumn("about", col("metadataIdentifier")) // :181
+    // One batched projection (NormOps.withColumnsBatch — a withColumn per
+    // field re-analyzes the whole plan each call and the SDI chains were
+    // measured as almost pure Catalyst time): every right-hand side below
+    // reads only the INPUT record's columns, never one written in this
+    // same batch, so the batch is withColumn-chain-equivalent.
+    NormOps.withColumnsBatch(withOrg, Seq(
+      "site_id" -> lit("sdi"), // :178
+      "type_raw" -> lit("Data set"), // :180 — @type
+      "about" -> col("metadataIdentifier"), // :181
       // :193 — the reference pins isPublishedToAll = "true" (its own TODO);
       // sdi_normalizers then renames it to hasWorkflowState and normObj
       // maps "true" → "published"
-      .withColumn("isPublishedToAll", lit("true"))
-      .withColumn("review_state", lit("published")) // :193-196 (forced true)
-      .withColumn("issued", // :205-212 — fallback chain to creation/create date;
+      "isPublishedToAll" -> lit("true"),
+      "review_state" -> lit("published"), // :193-196 (forced true)
+      "issued" -> // :205-212 — fallback chain to creation/create date;
         // site_sdi.py:204-209 lacks the creationDateForResource middle step
         (if (fiseIssuedChain)
           coalesce(col("issued"),
@@ -440,39 +445,39 @@ object SiteNormalizers {
         else
           coalesce(col("issued"),
             try_element_at(col("publicationDateForResource"), lit(1)),
-            col("createDate"))))
-      .withColumn("overview.url", vocabList(col("overview"), "url")) // :221
-      .withColumn("sdi_rod", vocabList(c("th_rod-eionet-europa-eu"), "default")) // :224
-      .withColumn("sdi_topics", { // :227-241 — two literal renames on eea-topics
+            col("createDate"))),
+      "overview.url" -> vocabList(col("overview"), "url"), // :221
+      "sdi_rod" -> vocabList(c("th_rod-eionet-europa-eu"), "default"), // :224
+      "sdi_topics" -> { // :227-241 — two literal renames on eea-topics
         val topics = vocabList(c("th_eea-topics"), "default")
         transform(topics, t =>
           when(t === "Climate mitigation", "climate")
             .when(t === "Climate adaptation", "climate-change-adaptation")
             .otherwise(t))
-      })
-      .withColumn("sdi_gemet", // :242 — gemet tree leaf, Title Case
+      },
+      "sdi_gemet" -> // :242 — gemet tree leaf, Title Case
         transform(c("th_gemet_tree.default"), v =>
-          initcap(try_element_at(split(v, "\\^"), lit(-1)))))
-      .withColumn("sdi_spatialRepresentationType", // :245
-        vocabList(col("cl_spatialRepresentationType"), "default"))
-      .withColumn("sdi_spatial", vocabList(col("th_regions"), "default")) // :252
-      .withColumn("time_coverage", // :255
-        yearsFromRanges(col("resourceTemporalExtentDetails"), currentYear))
-      .withColumn("merged_time_coverage_range", // :258
-        mergedRanges(col("resourceTemporalExtentDetails"), currentYear))
-      .withColumn("dataset_formats", // :267 — flatten children's format lists
-        flatten(transform(col("children"), d => d.getField("format"))))
-      .withColumn("instrument", { // :272-281 — rod links → obligation labels
+          initcap(try_element_at(split(v, "\\^"), lit(-1)))),
+      "sdi_spatialRepresentationType" -> // :245
+        vocabList(col("cl_spatialRepresentationType"), "default"),
+      "sdi_spatial" -> vocabList(col("th_regions"), "default"), // :252
+      "time_coverage" -> // :255
+        yearsFromRanges(col("resourceTemporalExtentDetails"), currentYear),
+      "merged_time_coverage_range" -> // :258
+        mergedRanges(col("resourceTemporalExtentDetails"), currentYear),
+      "dataset_formats" -> // :267 — flatten children's format lists
+        flatten(transform(col("children"), d => d.getField("format"))),
+      "instrument" -> { // :272-281 — rod links → obligation labels
         // try_: the reference's obligations.get(link) yields None for an
         // unmapped link (element_at would throw under ANSI mode)
         val rodLinks = vocabList(c("th_rod-eionet-europa-eu"), "link")
         array_distinct(transform(rodLinks, l =>
           try_element_at(typedLit(obligations), l)))
-      })
-      .withColumn("prod_id", // :284-293 — DAT-prefixed resource codes
+      },
+      "prod_id" -> // :284-293 — DAT-prefixed resource codes
         filter(vocabList(col("resourceIdentifier"), "code"),
-          v => v.startsWith("DAT")))
-      .withColumn("title", c("resourceTitleObject.default")) // :295
+          v => v.startsWith("DAT")),
+      "title" -> c("resourceTitleObject.default"))) // :295
   }
 
   /** `normalize_sdi` (site_sdi_fise.py:352-504): pre-normalize →
@@ -488,46 +493,50 @@ object SiteNormalizers {
     val freq = try_element_at(col("cl_maintenanceAndUpdateFrequency"), lit(1)).getField("key")
     val isObsolete = exists(col("cl_status"), // :304-323
       s => s.getField("key").isInCollection(sdiObsoleteKeys))
-    val out = common
-      .withColumn("cluster_name", lit("fise_sdi")) // :377
-      .withColumn("publicationYear", // :381-403 — int fallback chain, 2500 default
+    // Batched like preNormalizeSdi: every expression reads `common`'s
+    // columns — in particular `country` and `language` BOTH read the
+    // pre-overwrite `language` value, which the batch makes explicit
+    // (the sequential chain relied on country preceding language).
+    val out = NormOps.withColumnsBatch(common, Seq(
+      "cluster_name" -> lit("fise_sdi"), // :377
+      "publicationYear" -> // :381-403 — int fallback chain, 2500 default
         coalesce(col("publicationYearForResource").cast("int"),
           col("creationYearForResource").cast("int"),
           try_element_at(col("revisionYearForResource"), lit(-1)).cast("int"),
-          lit(2500)))
-      .withColumn("update_frequency_value", // :409-448 — key → label, else raw key
+          lit(2500)),
+      "update_frequency_value" -> // :409-448 — key → label, else raw key
         coalesce(try_element_at(typedLit(sdiUpdateFrequency), zsTrim(freq)),
-          freq, lit("Unknown")))
-      .withColumn("organisation_name", // :452-457 — first contact
+          freq, lit("Unknown")),
+      "organisation_name" -> // :452-457 — first contact
         try_element_at(col("contact"), lit(1))
-          .getField("organisationObject").getField("default"))
-      .withColumn("organisation_email",
-        try_element_at(col("contact"), lit(1)).getField("email"))
+          .getField("organisationObject").getField("default"),
+      "organisation_email" ->
+        try_element_at(col("contact"), lit(1)).getField("email"),
       // :459-467 — mainLanguage was renamed to `language` by normProp;
       // country reads the scalar code BEFORE language overwrites it in place
-      .withColumn("country",
-        array(coalesce(try_element_at(typedLit(sdiCountryNames), col("language")), lit("Unknown"))))
-      .withColumn("language",
-        array(coalesce(try_element_at(typedLit(sdiLangNames), col("language")), lit("Unknown"))))
-      .withColumn("about", // :468 — catalogue record URL
-        concat(lit("https://sdi.eea.europa.eu/catalogue/fise/api/records/"), col("id")))
-      .withColumn("object_provides", // :473-480 — resourceType → SDI type
+      "country" ->
+        array(coalesce(try_element_at(typedLit(sdiCountryNames), col("language")), lit("Unknown"))),
+      "language" ->
+        array(coalesce(try_element_at(typedLit(sdiLangNames), col("language")), lit("Unknown"))),
+      "about" -> // :468 — catalogue record URL
+        concat(lit("https://sdi.eea.europa.eu/catalogue/fise/api/records/"), col("id")),
+      "object_provides" -> // :473-480 — resourceType → SDI type
         when(array_contains(col("resourceType"), "dataset"), array(lit("Spatial dataset")))
           .when(array_contains(col("resourceType"), "service"), array(lit("Data services")))
           .when(array_contains(col("resourceType"), "nonGeographicDataset"),
             array(lit("Tabular dataset")))
-          .otherwise(array(lit("SDI"))))
-      .withColumn("time_coverage", // :482 — years as strings
-        transform(col("time_coverage"), y => y.cast("string")))
-      .withColumn("expires", when(isObsolete, lit(archivedExpires))) // :326-335
-      .withColumn("last_modified", // :486-489
-        coalesce(col("changeDate"), col("dateStamp")))
-      .withColumn("created", // :490
-        try_element_at(col("creationDateForResource"), lit(1)))
-      .withColumn("date_publication", // :492
-        try_element_at(col("publicationDateForResource"), lit(1)))
-      .withColumn("publication_year", col("creationYearForResource")) // :495
-      .withColumn("topic", vocabList(col("cl_topic"), "default")) // :497-500
+          .otherwise(array(lit("SDI"))),
+      "time_coverage" -> // :482 — years as strings
+        transform(col("time_coverage"), y => y.cast("string")),
+      "expires" -> when(isObsolete, lit(archivedExpires)), // :326-335
+      "last_modified" -> // :486-489
+        coalesce(col("changeDate"), col("dateStamp")),
+      "created" -> // :490
+        try_element_at(col("creationDateForResource"), lit(1)),
+      "date_publication" -> // :492
+        try_element_at(col("publicationDateForResource"), lit(1)),
+      "publication_year" -> col("creationYearForResource"), // :495
+      "topic" -> vocabList(col("cl_topic"), "default"))) // :497-500
     NormOps.addCounts(out, // :483
       listCols = Seq("spatial", "topic", "time_coverage"),
       scalarCols = Seq("cluster_name"))
@@ -589,14 +598,14 @@ object SiteNormalizers {
       filter(transform(col("children"), d => d.getField("changeDate")),
         m => m.isNotNull),
       array().cast("array<string>"))
-    val out = common
-      .withColumn("cluster_name", lit("sdi")) // :351
-      .withColumn("time_coverage", // :352-356 — years as strings
-        transform(col("time_coverage"), y => y.cast("string")))
-      .withColumn("expires", when(isObsolete, lit(archivedExpires))) // :320-330
-      .withColumn("last_modified", // :332-343 — max over children ∪ self
+    val out = NormOps.withColumnsBatch(common, Seq(
+      "cluster_name" -> lit("sdi"), // :351
+      "time_coverage" -> // :352-356 — years as strings
+        transform(col("time_coverage"), y => y.cast("string")),
+      "expires" -> when(isObsolete, lit(archivedExpires)), // :320-330
+      "last_modified" -> // :332-343 — max over children ∪ self
         array_max(concat(childMods,
-          filter(array(col("changeDate")), m => m.isNotNull))))
+          filter(array(col("changeDate")), m => m.isNotNull)))))
     NormOps.addCounts(out,
       listCols = Seq("spatial", "topic", "time_coverage"),
       scalarCols = Seq("cluster_name"))

@@ -37,9 +37,15 @@ object Prof {
       (1 to reps).foreach { i =>
         val j0 = jobs
         val t0 = System.nanoTime()
-        val cnt = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        val cnt = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"PROF $n%-22s run$i $dt%7.3f s  jobs=${jobs - j0}%3d  rows=$cnt")
+        val build = (t1 - t0) / 1e9
+        val phases = df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }
+          .mkString(" ")
+        println(f"PROF $n%-22s run$i $dt%7.3f s (build $build%6.3f)  jobs=${jobs - j0}%3d  rows=$cnt  $phases")
       }
     }
     spark.stop()

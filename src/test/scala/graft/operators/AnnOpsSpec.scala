@@ -472,4 +472,33 @@ class AnnOpsSpec extends SparkSpec {
     assert(z(1L) == Seq(0, 0), "zero vector quantizes to zero codes")
     assert(z(2L) == Seq(-127, 64), "symmetric scale: max |v| maps to ±127")
   }
+
+  test("ivfpqTrainAll is bit-identical to the separated ivf2Train + ivfpqBooks") {
+    // The shared-sample trainer must be an OPTIMIZATION, not a semantic
+    // change: the codebooks' sample is the trainCap hash-smallest rows of
+    // the residual corpus, and residual encoding preserves vec_id, so
+    // residuals OF the shared sample == the sample of the residuals. This
+    // pins that equivalence bit for bit (index levels and every codebook
+    // double), including under a trainCap SMALLER than the corpus — the
+    // regime where sharing could plausibly diverge.
+    val vecs = AnnOps.corpus(spark, sfDir)
+    val n = graft.Tables.rowCountFromFooters(spark, sfDir, "embeddings")
+    for (cap <- Seq(100000, 300)) {
+      val idxSep = AnnOps.ivf2Train(vecs, n, AnnOps.IvfCellTarget, trainCap = cap)
+      val booksSep = AnnOps.ivfpqBooks(vecs, idxSep, trainCap = cap)
+      val (idxAll, booksAll) =
+        AnnOps.ivfpqTrainAll(vecs, n, AnnOps.IvfCellTarget, trainCap = cap)
+      def bitsIdx(i: AnnOps.Ivf2Index): Seq[Seq[Long]] =
+        (i.coarse ++ i.fine.flatMap(_._2))
+          .map(_.toSeq.map(java.lang.Double.doubleToRawLongBits))
+      def bitsBooks(b: IndexedSeq[IndexedSeq[Array[Double]]]): Seq[Seq[Long]] =
+        b.flatten.map(_.toSeq.map(java.lang.Double.doubleToRawLongBits))
+      assert(idxAll.fine.map(_._1) === idxSep.fine.map(_._1),
+        s"cap=$cap: coarse cell ids diverge")
+      assert(bitsIdx(idxAll) === bitsIdx(idxSep),
+        s"cap=$cap: index centroids diverge bit-wise")
+      assert(bitsBooks(booksAll) === bitsBooks(booksSep),
+        s"cap=$cap: codebooks diverge bit-wise")
+    }
+  }
 }

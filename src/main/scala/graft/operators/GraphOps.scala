@@ -129,9 +129,13 @@ object GraphOps {
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
+    // Cached pre-partitioned by src: every iteration joins the undirected
+    // edge table on src, and InMemoryRelation preserves the repartition's
+    // hash layout — only the (smaller) label state exchanges per round.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist()
     // state = (id, comp[, comp_prev]) — comp_prev rides along so the
     // convergence probe shares the SAME action that materializes the
@@ -152,14 +156,19 @@ object GraphOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // comp_prev rides through the SAME aggregation instead of a second
+      // per-round join against state: the state-side union rows carry
+      // their comp as `prev` (exactly one state row per id — every node
+      // is in state), neighbor rows carry null, and max() ignores nulls —
+      // identical (id, comp, comp_prev) rows, one exchange less per round.
+      val compType = state.schema("comp").dataType
       val next = ckpt(
         und
           .join(state.select(col("id").as("src"), col("comp").as("nc")), "src")
-          .select(col("dst").as("id"), col("nc"))
-          .union(state.select(col("id"), col("comp").as("nc")))
+          .select(col("dst").as("id"), col("nc"), lit(null).cast(compType).as("prev"))
+          .union(state.select(col("id"), col("comp").as("nc"), col("comp").as("prev")))
           .groupBy("id")
-          .agg(min("nc").as("comp"))
-          .join(state.select(col("id"), col("comp").as("comp_prev")), Seq("id")),
+          .agg(min("nc").as("comp"), max("prev").as("comp_prev")),
         eager = false)
       val changed = next.filter(col("comp") =!= col("comp_prev")).count()
       state = next

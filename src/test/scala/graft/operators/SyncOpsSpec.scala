@@ -788,11 +788,15 @@ class SyncOpsSpec extends SparkSpec {
       "depth 1 resolves only the root level, whose children are all indexes")
   }
 
-  test("sitemapTreeDeep leaves no persisted RDDs behind (cache hygiene)") {
-    // Same 3-level tree as above — deep enough that the level loop persists
-    // multiple per-level joins. The function returns a LAZY DataFrame, so
-    // any persist it cannot unpersist before returning is a storage leak
-    // that accumulates across calls on a long-lived session.
+  test("sitemapTreeDeep releases its per-level storage (cache hygiene)") {
+    // Same 3-level tree as above — deep enough that the level loop
+    // materializes multiple per-level joins. Each resolved level is an
+    // eager localCheckpoint: those blocks ARE the returned result's backing
+    // data (same contract as GraphOps' checkpointed loops), so they stay
+    // persisted while the result is reachable and must be released by the
+    // ContextCleaner once it is not — the property that prevents storage
+    // accumulating across calls on a long-lived session. The loop-scoped
+    // pool persist must still be gone before return.
     val roots = Seq(("s1",
       "<sitemapindex><sitemap><loc>https://s1.eu/mid.xml</loc></sitemap></sitemapindex>"))
       .toDF("site", "xml")
@@ -803,11 +807,19 @@ class SyncOpsSpec extends SparkSpec {
         "<urlset><url><loc>https://s1.eu/p1</loc></url></urlset>"))
       .toDF("f_url", "f_xml")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
+    var out = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
       maxDepth = 5)
-    assert(out.count() === 1L, "the tree still resolves after unpersisting")
+    assert(out.count() === 1L, "the tree resolves through the checkpoints")
+    out = null // drop the only reference to the checkpoint-backed result
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+        System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+    }
     assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "every per-level persist must be released before the result returns")
+      "the ContextCleaner must release every per-level checkpoint once the " +
+        "result is unreachable (and the pool persist before return)")
   }
 
   test("bloomParams clamps at the single-array cap instead of throwing") {

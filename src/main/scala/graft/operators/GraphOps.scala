@@ -148,8 +148,8 @@ object GraphOps {
     // strings. The probe's full filter-count is the materializing action
     // (a limit(1) would short-circuit and leave partitions unmaterialized),
     // after which `state` is a flat LogicalRDD. Superseded checkpoint
-    // blocks are freed by the ContextCleaner once unreferenced; the loop is
-    // bounded by maxIter so at most a handful are ever live.
+    // blocks are released explicitly after each round materializes — at
+    // most two rounds' blocks are ever live.
     var state = ckpt(
       und.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
       eager = true)
@@ -171,15 +171,23 @@ object GraphOps {
           .agg(min("nc").as("comp"), max("prev").as("comp_prev")),
         eager = false)
       val changed = next.filter(col("comp") =!= col("comp_prev")).count()
+      // The count above computed every partition of `next` and finalized
+      // its checkpoint, so the superseded round's blocks are released
+      // EXPLICITLY (bounded storage on long-lived sessions) instead of
+      // waiting for GC + ContextCleaner.
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.releaseCheckpoints(state)
       state = next
       converged = changed == 0L
       iter += 1
     }
     und.unpersist(false)
-    // Hand the caller a lineage-free projection of the final state; the
-    // loop's superseded checkpoint blocks are freed by the ContextCleaner
-    // once unreferenced.
+    // Hand the caller a lineage-free projection of the final state, then
+    // release the loop's last internal checkpoint — at return exactly ONE
+    // checkpoint (the result's backing data) is pinned, freed by the
+    // ContextCleaner when the result is dropped (or explicitly via
+    // GraftSqlBridge.releaseCheckpoints).
     val out = ckpt(state.select("id", "comp"), eager = true)
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.releaseCheckpoints(state)
     (out, converged, iter)
   }
 
@@ -221,9 +229,12 @@ object GraphOps {
     * broadcast aggregates (N, dangling mass) — never a collect. Hub
     * pages skew the dst shuffle; AQE skew-split handles it (same watch
     * as perplexity_bucket's word join). Lineage is truncated per round
-    * (eager localCheckpoint, or reliable checkpoints under
+    * (LAZY localCheckpoint materialized by the next round's dangling-mass
+    * probe — one job per round; or reliable checkpoints under
     * `checkpointDir` on real clusters — same contract as
-    * [[connectedComponentsWithStats]]).
+    * [[connectedComponentsWithStats]]); superseded rounds are released
+    * explicitly, so at return only the final round's checkpoint is
+    * pinned.
     *
     * Output: (id, rank) for every node, full precision (callers round).
     */
@@ -231,8 +242,8 @@ object GraphOps {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
     // The distinct edge table feeds THREE loop invariants (out-degrees,
     // node set, edge⋈outdeg); persisting it makes the dedup shuffle run
     // once instead of once per invariant materialization.
@@ -267,14 +278,32 @@ object GraphOps {
     // round reads the previous round's checkpoint).
     var ranks =
       nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"), col("dang"))
-    for (_ <- 1 to iters) {
-      // Dangling mass as a collected scalar: one 1-row aggregate over the
-      // previous state (checkpointed — a narrow in-memory scan), injected
-      // as a literal. The broadcast-crossJoin form paid a broadcast build
-      // + nested-loop stage per round for the same single double.
-      val dm = ranks.filter(col("dang"))
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      ranks = ckpt(pageRankStep(nodes, n, linkW, ranks, dm, damping))
+    // Dangling mass as a collected scalar, injected as a literal (the
+    // broadcast-crossJoin form paid a broadcast build + nested-loop stage
+    // per round for the same single double). ONE job per round: the
+    // checkpoint is LAZY and the next round's dangling-mass aggregate is
+    // the action that materializes it — the same probe-shares-the-action
+    // pattern as connectedComponentsWithStats (the earlier eager ckpt +
+    // separate dm job paid two driver round-trips per round). Float
+    // semantics are unchanged: the aggregate is the identical plan over
+    // the identical checkpointed state, only the job boundary moved.
+    var dm = ranks.filter(col("dang"))
+      .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+    for (i <- 1 to iters) {
+      val prev = ranks
+      ranks = ckptLazy(pageRankStep(nodes, n, linkW, prev, dm, damping))
+      if (i < iters)
+        dm = ranks.filter(col("dang"))
+          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      else ranks.count() // materialize the final round before the caches drop
+      // Round i is fully stored (the action above computed every
+      // partition and doCheckpoint truncated its lineage), so round i−1's
+      // blocks are released EXPLICITLY instead of pinning storage until
+      // GC — bounded-storage contract: at return only the final round's
+      // checkpoint is pinned, freed by the ContextCleaner when the result
+      // is dropped (or via GraftSqlBridge.releaseCheckpoints).
+      if (i > 1)
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.releaseCheckpoints(prev)
     }
     nodes.unpersist(false)
     linkW.unpersist(false)
@@ -292,12 +321,24 @@ object GraphOps {
       linkW: DataFrame, ranks: DataFrame, dm: Double,
       damping: Double): DataFrame = {
     val d = lit(damping)
+    // Node rows ride through the SAME aggregation as the edge
+    // contributions (the connectedComponents comp_prev trick) instead of
+    // a per-round nodes⋈contribs join: contribution rows carry
+    // (id=dst, c=rank/odeg, dang=null), node rows carry (id, c=null,
+    // dang) — sum() ignores the null c (merging a null partial is a
+    // no-op, so the contribution sums stay BIT-IDENTICAL to the join
+    // form), max() picks each id's one non-null dang. One exchange per
+    // round, no broadcast build job — and at 100 TB the union scales
+    // where broadcasting a corpus-sized node table could not.
     val contribs = linkW
       .join(ranks.select(col("id").as("src"), col("rank")), "src")
-      .groupBy(col("dst").as("id"))
-      .agg(sum(col("rank") / col("odeg")).as("c"))
+      .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"),
+        lit(null).cast("boolean").as("dang"))
     nodes
-      .join(contribs, Seq("id"), "left")
+      .select(col("id"), lit(null).cast("double").as("c"), col("dang"))
+      .unionByName(contribs)
+      .groupBy("id")
+      .agg(sum(col("c")).as("c"), max(col("dang")).as("dang"))
       .select(col("id"),
         ((lit(1.0) - d) / lit(n) +
           d * (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)))

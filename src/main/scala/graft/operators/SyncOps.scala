@@ -1727,16 +1727,25 @@ object SyncOps {
     *
     * Scale: one (site × children)-sized equi-join per LEVEL (trees are
     * 2-4 levels deep in practice, never data-sized). Each level's
-    * resolved join is persisted — child-list-sized, tiny — so the
-    * per-level emptiness probe and the NEXT level's parse share one
-    * computation, and level N−1's cache is dropped as soon as level N
-    * materializes (plus the last level's on loop exit): a lazily
-    * returned DataFrame must not leak pinned storage it can never
-    * unpersist, so the final page explode recomputes the ≤maxDepth tiny
-    * join chain once instead. Pages explode only once, from the
-    * accumulated leaf set, after all joins. The output matches
-    * [[sitemapTree]]'s shape (`sitemap_url` = the LEAF that listed the
-    * page).
+    * resolved join is an EAGER localCheckpoint — child-list-sized, tiny —
+    * so the per-level emptiness probe, the leaf accumulator and the NEXT
+    * level's parse share one computation instead of re-deriving the join
+    * chain from the roots. Pages explode only once, from the accumulated
+    * leaf set, after all joins.
+    *
+    * BOUNDED-STORAGE CONTRACT: on return exactly ONE checkpoint is
+    * pinned — the accumulated leaf set (the result's backing data; same
+    * contract as GraphOps' checkpointed loops) — and every loop-internal
+    * per-level checkpoint plus the pool cache has been explicitly
+    * released. The leaf-set checkpoint is freed by the ContextCleaner
+    * once the result is unreachable, or deterministically via
+    * `GraftSqlBridge.releaseCheckpoints(result)` when the caller is done.
+    * localCheckpoint blocks live in executor-local storage (non-reliable:
+    * an executor loss mid-query fails the job instead of recomputing) —
+    * acceptable for child-list-sized tables; the function is eager (it
+    * runs Spark jobs at call time, one per level plus the final leaf
+    * materialization). The output matches [[sitemapTree]]'s shape
+    * (`sitemap_url` = the LEAF that listed the page).
     */
   def sitemapTreeDeep(roots: DataFrame, xmlCol: String,
       fetched: DataFrame, urlCol: String, fetchedXmlCol: String,
@@ -1750,6 +1759,7 @@ object SyncOps {
       col(fetchedXmlCol).as("__f_xml")).persist()
     var frontier = roots.withColumn("__tree_xml", col(xmlCol)).drop(xmlCol)
     var leaves: DataFrame = null
+    val levelCkpts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
@@ -1766,6 +1776,7 @@ object SyncOps {
         .join(pool, children("sitemap_url") === col("__f_url"))
         .drop("__f_url")
         .localCheckpoint()
+      levelCkpts += resolved
       val leafRows = resolved.filter(col("__f_xml").contains("<urlset"))
       leaves = if (leaves == null) leafRows else leaves.unionByName(leafRows)
       val next = resolved.filter(col("__f_xml").contains("<sitemapindex"))
@@ -1776,7 +1787,15 @@ object SyncOps {
       depth += 1
     }
     pool.unpersist(false)
-    parseSitemaps(leaves.withColumnRenamed("__f_xml", "__leaf_xml"), "__leaf_xml")
+    // Bounded-storage contract (see scaladoc): fold the ≤maxDepth level
+    // checkpoints into ONE leaf-set checkpoint (leaf xml was already
+    // stored across the levels, so this is a copy of the leaf subset, not
+    // new volume), then release every per-level block EXPLICITLY — the
+    // returned plan references only the leaf set, so nothing else may
+    // stay pinned waiting for GC on a long-lived session.
+    val leafSet = leaves.localCheckpoint()
+    levelCkpts.foreach(org.apache.spark.sql.graftbridge.GraftSqlBridge.releaseCheckpoints)
+    parseSitemaps(leafSet.withColumnRenamed("__f_xml", "__leaf_xml"), "__leaf_xml")
   }
 
   /** queries() wrapper: per source, three leaf sitemaps (docs bucketed by

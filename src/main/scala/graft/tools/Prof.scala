@@ -20,15 +20,19 @@ object Prof {
     val sc = spark.sparkContext
     @volatile var jobs = 0
     val verbose = sys.env.contains("GRAFT_PROF_JOBS")
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs += 1
-        starts.put(js.jobId, (System.nanoTime(), js.stageInfos.size))
+        val site = js.stageInfos.lastOption.map(si =>
+          si.name.take(60) + " | " + si.details.linesIterator.toSeq
+            .find(l => !l.contains("org.apache.spark") && !l.contains("scala."))
+            .getOrElse("").trim.take(90)).getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), js.stageInfos.size, site))
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-        if (verbose) Option(starts.get(je.jobId)).foreach { case (t0, ns) =>
-          println(f"JOB ${je.jobId}%3d stages=$ns%2d ${(System.nanoTime() - t0) / 1e3}%9.0f us")
+        if (verbose) Option(starts.get(je.jobId)).foreach { case (t0, ns, site) =>
+          println(f"JOB ${je.jobId}%3d stages=$ns%2d ${(System.nanoTime() - t0) / 1e3}%9.0f us  $site")
         }
     })
     names.foreach { n =>

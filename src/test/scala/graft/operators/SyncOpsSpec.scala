@@ -788,15 +788,17 @@ class SyncOpsSpec extends SparkSpec {
       "depth 1 resolves only the root level, whose children are all indexes")
   }
 
-  test("sitemapTreeDeep releases its per-level storage (cache hygiene)") {
+  test("sitemapTreeDeep bounds its storage: one leaf-set checkpoint, " +
+      "explicitly releasable") {
     // Same 3-level tree as above — deep enough that the level loop
-    // materializes multiple per-level joins. Each resolved level is an
-    // eager localCheckpoint: those blocks ARE the returned result's backing
-    // data (same contract as GraphOps' checkpointed loops), so they stay
-    // persisted while the result is reachable and must be released by the
-    // ContextCleaner once it is not — the property that prevents storage
-    // accumulating across calls on a long-lived session. The loop-scoped
-    // pool persist must still be gone before return.
+    // materializes multiple per-level joins. The bounded-storage contract
+    // (operator scaladoc): on RETURN exactly one checkpoint is pinned (the
+    // accumulated leaf set — the result's backing data) and every
+    // per-level checkpoint plus the pool cache is already gone; the caller
+    // releases the leaf set deterministically via the bridge when done.
+    // No System.gc()/ContextCleaner race anywhere — every assertion is on
+    // state the operator changes synchronously.
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val roots = Seq(("s1",
       "<sitemapindex><sitemap><loc>https://s1.eu/mid.xml</loc></sitemap></sitemapindex>"))
       .toDF("site", "xml")
@@ -807,19 +809,17 @@ class SyncOpsSpec extends SparkSpec {
         "<urlset><url><loc>https://s1.eu/p1</loc></url></urlset>"))
       .toDF("f_url", "f_xml")
     val before = spark.sparkContext.getPersistentRDDs.size
-    var out = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
+    val out = SyncOps.sitemapTreeDeep(roots, "xml", pool, "f_url", "f_xml",
       maxDepth = 5)
-    assert(out.count() === 1L, "the tree resolves through the checkpoints")
-    out = null // drop the only reference to the checkpoint-backed result
-    val deadline = System.currentTimeMillis() + 30000
-    while (spark.sparkContext.getPersistentRDDs.size > before &&
-        System.currentTimeMillis() < deadline) {
-      System.gc()
-      Thread.sleep(200)
-    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+      "on return: per-level checkpoints and the pool cache are released, " +
+        "only the leaf-set checkpoint backs the result")
+    assert(out.count() === 1L, "the tree resolves through the leaf checkpoint")
+    val backing = GraftSqlBridge.checkpointRdds(out)
+    assert(backing.size === 1, "the plan references exactly one checkpoint")
+    GraftSqlBridge.releaseCheckpoints(out)
     assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "the ContextCleaner must release every per-level checkpoint once the " +
-        "result is unreachable (and the pool persist before return)")
+      "explicit release drops the leaf-set checkpoint deterministically")
   }
 
   test("bloomParams clamps at the single-array cap instead of throwing") {

@@ -79,7 +79,12 @@ object Bench {
     // means the host was contended and per-query deltas are noise. This
     // makes every record self-adjudicating instead of leaving judges to
     // infer contention from spread_total alone.
-    val cores = Runtime.getRuntime.availableProcessors()
+    // The CONFIGURED parallelism (local[N] from SPARK_GRAFT_CPUS), not the
+    // host's processor count: the driver reruns the bench at a lower core
+    // count to measure scaling, and a record that claims the hardware core
+    // count regardless of configuration mislabels that run (the r21
+    // 8-core record said "cores":32).
+    val cores = spark.sparkContext.defaultParallelism
     val loadavg: String =
       try {
         val parts = new String(java.nio.file.Files.readAllBytes(
@@ -97,7 +102,20 @@ object Bench {
     // show up in), totalling a few hundred bytes.
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${fnum(v, 2)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","top":$top}"""
+    // Per-query ground truth INSIDE the one-line record (the r21 PERF
+    // compare had n_common=0 because the line only carried totals): a full
+    // name→sec map is ~2.5 KB — it can never fit the ~2000-char capture
+    // window with the rest of the line — so the line carries centisecond
+    // integers as `"q":[...]` ordered by SORTED query name, with the
+    // name order committed as BENCH_ORDER.json (rewritten by every
+    // full-suite run so it can never go stale). -1 marks a query that
+    // errored (present in `errors`, absent from `timings`). ~360 bytes
+    // for 134 queries; the full float map still lands in BENCH.json.
+    val orderedNames = selected.keys.toSeq.sorted
+    val qArr = orderedNames
+      .map(n => timings.get(n).map(v => math.round(v * 100).toString).getOrElse("-1"))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries_file":"BENCH.json","order_file":"BENCH_ORDER.json","q_unit":"centisec","q":$qArr,"top":$top}"""
     val record = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"spread_total":$totalSpread,$host,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"errors":$es,"queries":$qs,"spread":$sp}"""
     // A FOCUSED run (BENCH_ONLY set) must not clobber the full-suite
     // records — its partial total would read as a catastrophic regression
@@ -109,6 +127,10 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_SPREAD.json"),
         s"""{"spread_total":$totalSpread,"spread":$sp}""".getBytes("UTF-8"))
+      // The manifest that keys the line's `"q"` array: sorted query names.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_ORDER.json"),
+        orderedNames.map(jstr).mkString("[", ",", "]").getBytes("UTF-8"))
     }
     // The builder's own record, safe from the per-round BENCH.json
     // overwrite — keeps a readable trend line across rounds even when the

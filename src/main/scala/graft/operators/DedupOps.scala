@@ -187,16 +187,24 @@ object DedupOps {
       .distinct()
       .localCheckpoint()
     // Exact verify only for candidate docs — identical formula to the
-    // all-pairs form (distinct-gram sets on both sides, as the projected
-    // g field of the SAME per-doc array the prefix index used: the
-    // grouped exchange is reused, no second pass over the corpus).
+    // all-pairs form. The gram sets are REBUILT from the candidate docs
+    // (semi-join first, then one narrow wordNgrams projection): the old
+    // perDoc-semi formulation re-derived the whole corpus gram pipeline
+    // (dfCounts groupBy + join + collect) a second time, because nothing
+    // materializes perDoc between the two references. wordNgrams is
+    // distinct-by-construction and array_intersect/size are
+    // order-insensitive, so the raw gram array verifies bit-identically
+    // to the df-sorted sg.g projection — and candidates ≪ corpus, so the
+    // rebuild is linear in candidates instead of a second corpus pass.
     // Checkpointed for the same reason as `cand`: g1 and g2 are two
-    // references.
+    // references (one materialization instead of two corpus scans).
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
-    val gramSets = perDoc
+    val gramSets = docs
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("sg").getField("g").as("grams"))
+      .withColumn("w", spaceTokens(col("text")))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), wordNgrams(col("w"), n).as("grams"))
       .localCheckpoint()
     val inter = size(array_intersect(col("g1"), col("g2")))
     val jac = inter / (size(col("g1")) + size(col("g2")) - inter).cast("double")
@@ -310,15 +318,18 @@ object DedupOps {
       .select(col("p.id1"), col("p.id2"))
       .distinct()
       .localCheckpoint()
-    // Exact-verify gram sets are built ONLY for candidate docs (semi-join
-    // first): at scale candidates ≪ corpus, so the expensive string sets
-    // never materialize for the long tail. gramRows is already
-    // partitioned by doc_id (the ngram window), so the grouping adds no
-    // shuffle; checkpointed because g1 and g2 are two references.
+    // Exact-verify gram sets are built ONLY for candidate docs — and the
+    // semi-join now sits BELOW the ngram window: filtering `docs` first
+    // means the second pass's posexplode + lead window runs over
+    // candidate docs only, instead of re-deriving the full-corpus
+    // gramRows subtree (whole-corpus window sort) that nothing had
+    // materialized between the two references. Per-doc rows are
+    // unchanged (the window partitions by doc_id, so dropping whole docs
+    // cannot move any gram), hence collect_set is bit-identical.
+    // Checkpointed because g1 and g2 are two references.
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
-    val gramSets = gramRows
-      .join(candIds, Seq("doc_id"), "left_semi")
+    val gramSets = ngramRows(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
       .groupBy("doc_id")
       .agg(collect_set(col("g")).as("grams"))
       .localCheckpoint()
@@ -381,7 +392,17 @@ object DedupOps {
     * `maxBucket` when exactness matters more than skew safety.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = simhashTable(docs, "text")
+    // The signature table is referenced by THREE downstream subtrees (the
+    // degenerate-bucket count, and both sides of the candidate
+    // self-join): un-materialized, each re-inlined the 64-aggregate
+    // simhash computation plus the corpus token explode (a 117 KB
+    // physical plan, 20 exchanges, and 2-3 executions of the most
+    // expensive stage). An eager localCheckpoint runs it ONCE; the table
+    // is 16 bytes/doc — negligible storage next to the corpus at any
+    // scale (same trade as the family's candidate checkpoints, and the
+    // blocks are freed by the ContextCleaner when the result is
+    // dropped, or explicitly via GraftSqlBridge.releaseCheckpoints).
+    val sh = simhashTable(docs, "text").localCheckpoint()
     val blocked = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
